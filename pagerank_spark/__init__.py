@@ -1,0 +1,45 @@
+"""pagerank_spark — a from-scratch, PySpark-native link-graph analytics engine.
+
+Re-creates the capabilities of the reference MPI PageRank project
+(GregorioDalia/PageRank, surveyed in SURVEY.md) as an idiomatic Spark
+DataFrame engine, and extends it with connected components
+(small-star/large-star), label propagation, triangle counting, a
+source-code-corpus edge-derivation stage, and large-scale
+training-data-pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing).
+
+Public API (stable surface):
+
+    from pagerank_spark import (
+        get_spark, read_snap_edges, densify_ids,
+        out_degrees, in_degrees, degrees,
+        pagerank, connected_components, label_propagation, triangle_count,
+        derive_edges,
+    )
+"""
+
+from pagerank_spark.session import get_spark
+from pagerank_spark.sources.snap import read_snap_edges
+from pagerank_spark.operators.densify import densify_ids
+from pagerank_spark.operators.degrees import degrees, in_degrees, out_degrees
+from pagerank_spark.operators.pagerank import pagerank
+from pagerank_spark.operators.components import connected_components
+from pagerank_spark.operators.labelprop import label_propagation
+from pagerank_spark.operators.triangles import triangle_count
+from pagerank_spark.operators.derive import derive_edges
+
+__all__ = [
+    "get_spark",
+    "read_snap_edges",
+    "densify_ids",
+    "degrees",
+    "in_degrees",
+    "out_degrees",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "derive_edges",
+]
+
+__version__ = "0.1.0"

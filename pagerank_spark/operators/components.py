@@ -1,0 +1,105 @@
+"""Connected components via alternating small-star / large-star.
+
+Algorithm: Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond" (SOCC'14) — the
+extension mandated by BASELINE.json.north_star. Not present in the C
+reference (SURVEY.md §2.3); built on the same partitioned edge-table
+substrate as PageRank.
+
+Each round is two bounded shuffles (a groupBy-min per star operation,
+expressed as aggregate + re-join so Catalyst plans partial hash
+aggregates). Edges monotonically contract toward stars rooted at each
+component's minimum id; convergence (edge set unchanged) is detected
+with an order-insensitive xxhash64 checksum + count — one tiny action
+per round. Lineage is truncated per round with ``localCheckpoint`` so
+the plan stays O(1) across iterations.
+
+Semantics: components are those of the UNDIRECTED simple graph
+(direction ignored, self-loops and duplicates irrelevant — they never
+change connectivity). Output labels are exact: every vertex maps to
+the minimum vertex id in its component, so "components match exactly"
+(north_rule) is well-defined and partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient u ≥ v; connect all small neighbors (and u) to m = min(N⁻(u) ∪ {u})."""
+    oriented = e.where(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    linked = oriented.join(mins, "src")
+    out = linked.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        linked.select("src", F.col("m").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, no ANSI overflow (edge set is distinct,
+    # so xor-cancellation of duplicates cannot occur).
+    row = e.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"] or 0)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """``DataFrame[id: long, component: long]`` — component = min id in it.
+
+    Every vertex appearing in ``edges`` gets a row (isolated vertices —
+    present only via self-loops — label themselves).
+    """
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _signature(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Converged edge set is a star forest: (u → component root). Roots
+    # and isolated vertices label themselves via the left join.
+    labels = vertices.join(
+        e.select(F.col("src").alias("id"), F.col("dst").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", "id").alias("component"))
+    return labels

@@ -1,0 +1,66 @@
+"""Synchronous label propagation (LPA) with deterministic tie-breaking.
+
+Extension mandated by BASELINE.json.north_star (not in the C
+reference, SURVEY.md §2.3). Labels init to vertex id; each round every
+vertex adopts the most frequent label among its (undirected)
+neighbors, ties broken by the MINIMUM label — the deterministic
+tie-break that makes "labels match exactly" well-defined across
+partitionings and runs (north_rule).
+
+Each round is two bounded shuffles: message groupBy(dst, label) with
+map-side partial counts, then the argmax picked with a single
+``max(struct(count, -label))`` aggregate — no window function, no
+per-row Python. Lineage truncated per round with ``localCheckpoint``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame, max_iter: int = 10, directed: bool = False
+) -> DataFrame:
+    """``DataFrame[id: long, label: long]`` after synchronous LPA.
+
+    Stops early when no label changes in a round. Isolated endpoints
+    (only self-loop neighbors) keep their current label.
+    """
+    sym = edges.where(F.col("src") != F.col("dst"))
+    if not directed:
+        sym = sym.union(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    sym = sym.localCheckpoint()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        msgs = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "label"
+        )
+        counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
+        # argmax by (count, -label): most frequent label, ties -> min label.
+        picked = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("top")
+        ).select("id", (-F.col("top.neg")).alias("new_label"))
+        new_labels = (
+            labels.join(picked, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "nl")
+            .join(labels, "id")
+            .where(F.col("nl") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

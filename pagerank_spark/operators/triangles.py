@@ -1,0 +1,76 @@
+"""Triangle counting via degree-ordered edge iteration.
+
+Extension mandated by BASELINE.json.north_star (SURVEY.md §2.3).
+Counts triangles of the UNDIRECTED SIMPLE projection (self-loops
+dropped, duplicates and direction collapsed) — the oracle is
+trace(A³)/6 on that projection (FIXTURES.md F1: DEMO → 4).
+
+Degree ordering is the classic shuffle-volume bound: orient every
+edge from its lower-(degree, id) endpoint to the higher one, so each
+wedge is generated exactly once at its lowest-degree corner — the
+heavy-hitter vertex never fans out its full neighborhood. Triangles
+are then two self-joins of the oriented edge table (wedge build +
+closing-edge semi-join), all JVM-side, whole-stage-codegen'd, with AQE
+free to pick broadcast sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _oriented_simple(edges: DataFrame) -> DataFrame:
+    simple = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        simple.select(F.col("a").alias("id"))
+        .union(simple.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient low (deg, id) -> high (deg, id): total order, no 2-cycles.
+    return (
+        simple.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+
+
+def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
+    """Total triangle count (``DataFrame[triangles: long]``, one row),
+    or per-vertex corner counts (``DataFrame[id, triangles]``)."""
+    o = _oriented_simple(edges).localCheckpoint()
+    wedges = o.alias("e1").join(
+        o.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("x"),
+        F.col("e1.v").alias("y"),
+        F.col("e2.v").alias("z"),
+    )
+    tris = wedges.join(
+        o.select(F.col("u").alias("x"), F.col("v").alias("z")), ["x", "z"]
+    )
+    if not per_vertex:
+        return tris.agg(F.count(F.lit(1)).alias("triangles"))
+    corners = (
+        tris.select(F.col("x").alias("id"))
+        .union(tris.select(F.col("y").alias("id")))
+        .union(tris.select(F.col("z").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))

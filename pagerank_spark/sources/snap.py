@@ -1,0 +1,63 @@
+"""SNAP-style edge-list text source.
+
+Reads the reference's input format (see SURVEY.md §1.2):
+``#``-prefixed header lines, the last one matching ``Nodes: <n>
+Edges: <e>``; then one whitespace-separated ``src dst`` integer pair
+per line. A ``first_node`` flag (0 or 1) declares the id base; 1-based
+ids are shifted down at load, mirroring the reference's CLI flag
+(``Page_Rank_SERIAL.c:51-58,120-123``).
+
+Unlike the reference's ``while(!feof)`` loop — which silently
+duplicates the final edge when the file ends with a newline
+(``Page_Rank_SERIAL.c:114-118``, a parse bug, not a semantic; see
+SURVEY.md §1.3.6) — this loader parses exactly the listed edges.
+
+Duplicate edges are KEPT (each contributes mass), self-loops are
+ordinary edges: both invariants pinned by ``Page_Rank_SERIAL.c:131-143``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HEADER_RE = re.compile(r"Nodes:\s*(\d+)\s+Edges:\s*(\d+)")
+
+
+def read_snap_edges(
+    spark: SparkSession, path: str, first_node: int = 0
+) -> tuple[DataFrame, int, int]:
+    """Load a SNAP-format edge list.
+
+    Returns ``(edges, n, e)`` where ``edges`` is a
+    ``DataFrame[src: long, dst: long]`` (0-based), ``n`` the declared
+    vertex count and ``e`` the declared edge count. The vertex set is
+    ``0..n-1`` from the header, not the ids seen in edges
+    (``Page_Rank_SERIAL.c:155-159``): callers must honor ``n``.
+    """
+    lines = spark.read.text(path)
+    # Header lines are a handful at the top of the file; filtering is a
+    # metadata-light scan and the collect is O(#header lines).
+    headers = [
+        r[0] for r in lines.filter(F.col("value").startswith("#")).collect()
+    ]
+    n = e = None
+    for h in headers:
+        m = _HEADER_RE.search(h)
+        if m:  # the reference keeps the LAST matching header line
+            n, e = int(m.group(1)), int(m.group(2))
+    if n is None:
+        raise ValueError(f"no '# Nodes: N Edges: E' header found in {path}")
+
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    edges = (
+        lines.filter(~F.col("value").startswith("#"))
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            (parts.getItem(0).cast("long") - first_node).alias("src"),
+            (parts.getItem(1).cast("long") - first_node).alias("dst"),
+        )
+    )
+    return edges, n, e

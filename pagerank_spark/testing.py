@@ -1,0 +1,113 @@
+"""Deterministic synthetic inputs for tests and benchmarks.
+
+No external data, no RNG state: everything is a pure function of row
+id via xxhash64, so the same (n, e, seed) always yields the same graph
+regardless of partitioning or parallelism — required for the bench's
+two-parallelism scaling protocol (BASELINE.md) and for exact-match
+correctness tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# FIXTURES.md F1/F2 — copies of the reference validation graphs
+# (/root/reference/DEMO.txt:4-11, DEMODISPARI.txt:4-13).
+DEMO_EDGES = [(0, 1), (0, 3), (0, 2), (1, 2), (1, 3), (2, 0), (3, 2), (3, 0)]
+DEMO_N = 4
+DEMODISPARI_EDGES = DEMO_EDGES + [(3, 4), (4, 2)]
+DEMODISPARI_N = 5
+
+# Golden PageRank vectors (fp64, d=0.85, eps=1e-4, leak mode; see
+# FIXTURES.md — both converge in 12 iterations).
+DEMO_GOLDEN = [0.3681495, 0.1418013, 0.2879685, 0.2020806]
+DEMODISPARI_GOLDEN = [0.3287118, 0.1231462, 0.2929534, 0.1754708, 0.0797179]
+
+
+def edges_df(spark: SparkSession, pairs) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(s), int(t)) for s, t in pairs], "src long, dst long"
+    )
+
+
+def synth_edges(
+    spark: SparkSession, n: int, e: int, seed: int = 42, zipf: float = 0.7
+) -> DataFrame:
+    """Power-law-ish directed multigraph, generated fully distributed.
+
+    src skews (few hot sources via pow-transform of a uniform hash),
+    dst near-uniform with a hot tail — enough skew to exercise the
+    partitioner and AQE without pathological single-key collapse.
+    Deterministic in (n, e, seed): both hash draws are pure functions
+    of the row id.
+    """
+    u1 = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1 << 30))) / F.lit(
+        float(1 << 30)
+    )
+    u2 = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(1 << 30))) / F.lit(
+        float(1 << 30)
+    )
+    return spark.range(e).select(
+        F.floor(F.pow(u1, F.lit(1.0 + zipf)) * n).cast("long").alias("src"),
+        F.floor(F.pow(u2, F.lit(1.0)) * n).cast("long").alias("dst"),
+    )
+
+
+def synth_corpus(
+    spark: SparkSession,
+    n_repos: int = 50,
+    files_per_repo: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Iceberg-shaped corpus table (repo, path, commit, lang, content,
+    content_sha256) whose import statements encode a deterministic
+    repo-reference graph (FIXTURES.md T1).
+
+    Built driver-side (test scale only) so the sha256 invariant column
+    can be computed at synthesis time, independent of Spark.
+    """
+    langs = ["python", "c", "java", "js"]
+    exts = {"python": "py", "c": "c", "java": "java", "js": "js"}
+    rows = []
+    for r in range(n_repos):
+        repo = f"org/name-{r}"
+        for fidx in range(files_per_repo):
+            h = int.from_bytes(
+                hashlib.sha256(f"{seed}:{r}:{fidx}".encode()).digest()[:8], "big"
+            )
+            lang = langs[h % len(langs)]
+            # 1-3 referenced repos, deterministic, skewed toward low ids
+            n_refs = 1 + (h >> 8) % 3
+            targets = [((h >> (16 + 7 * k)) % (r + 1 + k)) % n_repos for k in range(n_refs)]
+            lines = [f"// file {fidx} of {repo}"]
+            for t in targets:
+                mod = f"org_name_{t}"
+                if lang == "python":
+                    lines.append(f"import {mod}")
+                elif lang == "c":
+                    lines.append(f'#include "{mod}/api.h"')
+                elif lang == "java":
+                    lines.append(f"import {mod}.Api;")
+                else:
+                    lines.append(f"const x{t} = require('{mod}')")
+            lines.append(f"function body_{fidx}() {{ return {h % 997}; }}")
+            content = "\n".join(lines)
+            commit = hashlib.sha256(f"{seed}:commit:{r}:{fidx}".encode()).hexdigest()[:40]
+            rows.append(
+                (
+                    repo,
+                    f"src/f{fidx}.{exts[lang]}",
+                    commit,
+                    lang,
+                    content,
+                    hashlib.sha256(content.encode()).hexdigest(),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string",
+    )

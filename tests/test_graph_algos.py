@@ -1,0 +1,148 @@
+"""CC / LPA / triangle tests vs independent oracles (SURVEY.md §5.2)."""
+
+import numpy as np
+
+from pagerank_spark import connected_components, label_propagation, triangle_count
+from pagerank_spark.testing import DEMO_EDGES, edges_df, synth_edges
+
+
+def union_find_oracle(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to min representative
+    labels = {}
+    for x in list(parent):
+        r = find(x)
+        labels[x] = r
+    # normalize: representative = min element of component
+    comp = {}
+    for x, r in labels.items():
+        comp.setdefault(r, []).append(x)
+    out = {}
+    for r, members in comp.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def triangles_oracle(pairs):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        if a != b:
+            A[idx[a], idx[b]] = 1
+            A[idx[b], idx[a]] = 1
+    return int(round(np.trace(A @ A @ A) / 6))
+
+
+def test_cc_demo_single_component(spark):
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df(spark, DEMO_EDGES)).collect()
+    }
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_cc_multi_component_exact(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 20), (30, 31), (31, 30)]
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df(spark, pairs)).collect()
+    }
+    assert labels == union_find_oracle(pairs) | {20: 20}
+
+
+def test_cc_random_exact_match(spark):
+    e = synth_edges(spark, n=300, e=400, seed=11).cache()
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    got = {
+        r["id"]: r["component"] for r in connected_components(e).collect()
+    }
+    want = union_find_oracle(pairs)
+    # self-loop-only vertices label themselves in both
+    assert got == want
+    e.unpersist()
+
+
+def test_cc_long_path(spark):
+    # path graph needs several star rounds — exercises convergence loop
+    pairs = [(i, i + 1) for i in range(40)]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df(spark, pairs)).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_triangles_demo(spark):
+    # FIXTURES.md F1: symmetrized simple DEMO graph is K4 -> 4 triangles.
+    row = triangle_count(edges_df(spark, DEMO_EDGES)).collect()[0]
+    assert row["triangles"] == 4
+
+
+def test_triangles_random_vs_trace_oracle(spark):
+    e = synth_edges(spark, n=60, e=500, seed=5).cache()
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    got = triangle_count(e).collect()[0]["triangles"]
+    assert got == triangles_oracle(pairs)
+    e.unpersist()
+
+
+def lpa_oracle(pairs, max_iter=10):
+    """Deterministic synchronous LPA re-implementation (SURVEY.md §5.2)."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b in pairs:
+        if a != b:
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+    nodes = sorted({x for p in pairs for x in p})
+    labels = {v: v for v in nodes}
+    for _ in range(max_iter):
+        new = {}
+        for v in nodes:
+            if not nbrs[v]:
+                new[v] = labels[v]
+                continue
+            c = Counter(labels[u] for u in nbrs[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_lpa_matches_oracle(spark):
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges_df(spark, pairs), max_iter=10).collect()
+    }
+    assert got == lpa_oracle(pairs, max_iter=10)
+
+
+def test_lpa_random_matches_oracle(spark):
+    e = synth_edges(spark, n=80, e=200, seed=3).cache()
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, max_iter=6).collect()
+    }
+    assert got == lpa_oracle(pairs, max_iter=6)
+    e.unpersist()

@@ -1,0 +1,157 @@
+"""Golden-vector + invariant tests for PageRank (SURVEY.md §5.2 items 1-3).
+
+Goldens replicate Page_Rank_SERIAL.c semantics exactly (d=0.85,
+eps=1e-4 global L1, init 1/n, duplicate edges counted, dangling mass
+leaks, >=1 iteration) — values in FIXTURES.md, re-verified in fp64.
+"""
+
+import numpy as np
+import pytest
+
+from pagerank_spark import pagerank
+from pagerank_spark.testing import (
+    DEMO_EDGES,
+    DEMO_GOLDEN,
+    DEMO_N,
+    DEMODISPARI_EDGES,
+    DEMODISPARI_GOLDEN,
+    DEMODISPARI_N,
+    edges_df,
+)
+
+
+def ranks_vec(result, n):
+    rows = result.ranks.collect()
+    v = np.zeros(n)
+    for r in rows:
+        v[r["id"]] = r["rank"]
+    return v
+
+
+def numpy_pagerank(n, edges, d=0.85, eps=1e-4, dangling="leak", max_iter=1000):
+    """Independent dense oracle (SURVEY.md §5.2 item 3)."""
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[s] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        new = np.full(n, (1 - d) / n)
+        if dangling == "redistribute":
+            new += d * rank[out == 0].sum() / n
+        for s, t in edges:
+            new[t] += d / out[s] * rank[s]
+        res = np.abs(new - rank).sum()
+        rank = new
+        if res <= eps:
+            break
+    return rank
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_demo_golden(spark, mode):
+    e = edges_df(spark, DEMO_EDGES)
+    res = pagerank(e, n=DEMO_N, dangling="leak", mode=mode)
+    assert res.converged
+    assert res.iterations == 12  # FIXTURES.md F1
+    np.testing.assert_allclose(ranks_vec(res, DEMO_N), DEMO_GOLDEN, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_demodispari_golden(spark, mode):
+    e = edges_df(spark, DEMODISPARI_EDGES)
+    res = pagerank(e, n=DEMODISPARI_N, dangling="leak", mode=mode)
+    assert res.iterations == 12
+    np.testing.assert_allclose(
+        ranks_vec(res, DEMODISPARI_N), DEMODISPARI_GOLDEN, atol=1e-6
+    )
+
+
+def test_dangling_leak_vs_redistribute(spark):
+    # F4: 0->1->2->3, node 3 dangling.
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    leak = pagerank(e, n=4, dangling="leak")
+    redis = pagerank(e, n=4, dangling="redistribute")
+    s_leak = ranks_vec(leak, 4).sum()
+    s_redis = ranks_vec(redis, 4).sum()
+    assert s_leak < 1.0 - 1e-6  # mass leaks (C-reference behavior)
+    assert abs(s_redis - 1.0) < 1e-9  # redistribution conserves mass
+    np.testing.assert_allclose(
+        ranks_vec(redis, 4),
+        numpy_pagerank(4, [(0, 1), (1, 2), (2, 3)], dangling="redistribute"),
+        atol=1e-9,
+    )
+
+
+def test_duplicate_edges_count(spark):
+    # F5: doubled 0->1 contributes twice (Page_Rank_SERIAL.c:131-143).
+    edges = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0)]
+    e = edges_df(spark, edges)
+    res = pagerank(e, n=3, dangling="leak")
+    np.testing.assert_allclose(
+        ranks_vec(res, 3), numpy_pagerank(3, edges), atol=1e-9
+    )
+
+
+def test_selfloop_and_isolated(spark):
+    # F6: self-loop ordinary; isolated node 3 gets exactly the teleport
+    # (+ dangling share) each iteration and MUST appear in the output.
+    edges = [(0, 0), (0, 1), (1, 2)]
+    e = edges_df(spark, edges)
+    res = pagerank(e, n=4, dangling="leak")
+    v = ranks_vec(res, 4)
+    assert res.ranks.count() == 4
+    np.testing.assert_allclose(v, numpy_pagerank(4, edges), atol=1e-9)
+    assert v[3] == pytest.approx((1 - 0.85) / 4)
+
+
+def test_modes_agree_on_random_graph(spark):
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=200, e=1500, seed=7).cache()
+    b = pagerank(e, n=200, dangling="redistribute", mode="broadcast")
+    j = pagerank(e, n=200, dangling="redistribute", mode="join")
+    np.testing.assert_allclose(ranks_vec(b, 200), ranks_vec(j, 200), atol=1e-9)
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    np.testing.assert_allclose(
+        ranks_vec(b, 200),
+        numpy_pagerank(200, pairs, dangling="redistribute"),
+        atol=1e-8,
+    )
+    e.unpersist()
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    # SURVEY.md §5.2 item 5: stop after k iterations, resume from the
+    # manifest, final vector identical to the uninterrupted run.
+    e = edges_df(spark, DEMODISPARI_EDGES)
+    full = pagerank(e, n=DEMODISPARI_N, dangling="leak")
+    ck = str(tmp_path / "ckpt")
+    part = pagerank(e, n=DEMODISPARI_N, dangling="leak", max_iter=5, checkpoint_dir=ck)
+    assert not part.converged and part.iterations == 5
+    resumed = pagerank(
+        e, n=DEMODISPARI_N, dangling="leak", checkpoint_dir=ck, resume=True
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    np.testing.assert_allclose(
+        ranks_vec(resumed, DEMODISPARI_N),
+        ranks_vec(full, DEMODISPARI_N),
+        atol=1e-12,
+    )
+    # manifest carries lineage + per-iteration metrics (north_rule)
+    import json, os
+
+    m = json.load(open(os.path.join(ck, "manifest.json")))
+    assert m["iteration"] == resumed.iterations
+    assert m["partition_lineage"]["edge_count"] == len(DEMODISPARI_EDGES)
+    assert all("residual" in x and "seconds" in x for x in m["metrics"])
+
+
+def test_permutation_invariance(spark):
+    # Renaming vertices permutes ranks identically (SURVEY.md §5.2 item 2).
+    edges = DEMO_EDGES
+    perm = [2, 0, 3, 1]
+    permuted = [(perm[s], perm[t]) for s, t in edges]
+    r1 = ranks_vec(pagerank(edges_df(spark, edges), n=4, dangling="leak"), 4)
+    r2 = ranks_vec(pagerank(edges_df(spark, permuted), n=4, dangling="leak"), 4)
+    np.testing.assert_allclose([r2[perm[i]] for i in range(4)], r1, atol=1e-12)
