@@ -1,0 +1,274 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four strategies over a document table ``(doc_id: long, text: string)``,
+ordered by cost/recall tradeoff:
+
+- ``exact_duplicates`` / ``dedup_exact`` — md5 content hash, one
+  map-side-combinable groupBy. The 100 TB workhorse: the shuffle
+  carries (hash, doc_id) pairs only, never the text.
+- ``minhash_lsh_pairs`` — shingle → MinHash signature → banded LSH
+  bucket join. Shingling and string hashing stay JVM-side
+  (``transform`` + ``xxhash64`` inside whole-stage codegen); the K
+  permutations are computed in ONE vectorized Arrow kernel per batch
+  (universal hashing over the shingle-hash array — zero per-row
+  Python, no K-fold explode). The only shuffle is on (band,
+  band_hash), i.e. O(docs * bands) skinny rows.
+- ``simhash_fingerprints`` — 64-bit SimHash packed from token-hash
+  arrays in the same Arrow-kernel style; near-dup candidates = equal
+  fingerprint (or banded 16-bit chunks for Hamming<=k).
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard verification on
+  candidate pairs (array_intersect/array_union, JVM-side); used to
+  confirm LSH candidates or as the small-scale brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime for universal hashing of 64-bit shingle hashes.
+_MERSENNE = (1 << 61) - 1
+
+
+def content_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: ``[content_hash, n_dups, keep_id]``.
+
+    ``keep_id`` is the minimum doc id of the group (the canonical
+    survivor) — deterministic across partitionings.
+    """
+    return (
+        content_hashes(docs, id_col, text_col)
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents with exact duplicates removed (min id survives)."""
+    keep = exact_duplicates(docs, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, k: int):
+    """``(doc_id, hashes: array<long>)`` — k-token shingle hashes, all JVM-side."""
+    tokens = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("hashes"),
+    )
+
+
+def _minhash_kernel(num_perm: int, bands: int, seed: int):
+    rows_per_band = num_perm // bands
+    rng = np.random.RandomState(seed)
+    # (h*a + b) with uint64 wraparound: a fixed family of 64-bit odd
+    # multipliers — adequate as a MinHash permutation family.
+    am = (rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    bm = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+
+    def kernel(batches):
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            hl = batch.column("hashes")
+            arr = hl.combine_chunks() if isinstance(hl, pa.ChunkedArray) else hl
+            offsets = np.asarray(arr.offsets)
+            vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            counts = np.diff(offsets)
+            # Fully vectorized: (E, K) permuted hashes, per-doc segment min
+            # via minimum.reduceat — zero per-row (and per-doc) Python.
+            if len(vals):
+                m = vals[:, None] * am[None, :] + bm[None, :]
+                starts = np.minimum(offsets[:-1].astype(np.intp), len(vals) - 1)
+                sig = np.minimum.reduceat(m, starts, axis=0)
+            else:
+                sig = np.empty((nrows, num_perm), dtype=np.uint64)
+            sig[counts == 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            # band hashes: fold each band's rows with a splitmix finalizer
+            band_sig = sig.reshape(nrows, bands, rows_per_band)
+            acc = np.zeros((nrows, bands), dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc ^= band_sig[:, :, r] + np.uint64(0x9E3779B97F4A7C15) + (acc << np.uint64(6)) + (acc >> np.uint64(2))
+            out_ids = np.repeat(ids, bands)
+            out_band = np.tile(np.arange(bands, dtype=np.int32), nrows)
+            out_hash = acc.reshape(-1).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids), pa.array(out_band), pa.array(out_hash)],
+                ["doc_id", "band", "band_hash"],
+            )
+
+    return kernel
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """``(doc_id, band, band_hash)`` — LSH bucket keys, bands rows per doc."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_k)
+    return sh.mapInArrow(
+        _minhash_kernel(num_perm, bands, seed),
+        "doc_id long, band int, band_hash long",
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: float | None = 0.7,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(a, b, jaccard)`` with a < b.
+
+    Pairs colliding in >=1 LSH band; when ``verify_threshold`` is set,
+    candidates are verified with exact shingle-set Jaccard (JVM
+    ``array_intersect``/``array_union``) and filtered.
+    """
+    bands_df = minhash_bands(docs, id_col, text_col, shingle_k, num_perm, bands, seed)
+    left = bands_df.select(F.col("doc_id").alias("a"), "band", "band_hash")
+    right = bands_df.select(F.col("doc_id").alias("b"), "band", "band_hash")
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_k).select(
+        "doc_id", F.array_distinct("hashes").alias("hset")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("hset").alias("ha")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("hset").alias("hb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("ha", "hb"))
+                / F.size(F.array_union("ha", "hb"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= verify_threshold)
+
+
+def _simhash_kernel():
+    def kernel(batches):
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            hl = batch.column("hashes")
+            arr = hl.combine_chunks() if isinstance(hl, pa.ChunkedArray) else hl
+            offsets = np.asarray(arr.offsets)
+            vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            bits = ((vals[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            signed = bits * 2 - 1  # ±1 per bit
+            counts = np.diff(offsets)
+            starts = offsets[:-1].astype(np.intp)
+            # guard empty docs: reduceat needs valid starts
+            safe_starts = np.minimum(starts, max(len(vals) - 1, 0))
+            sums = np.add.reduceat(signed, safe_starts, axis=0) if len(vals) else np.zeros((nrows, 64), dtype=np.int64)
+            sums[counts == 0] = 0
+            fp = ((sums > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(fp.astype(np.int64))],
+                ["doc_id", "simhash"],
+            )
+
+    return kernel
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, simhash: long)`` — 64-bit SimHash over token hashes."""
+    tokens = F.split(F.col(text_col), r"\s+")
+    th = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens, lambda t: F.xxhash64(t)).alias("hashes"),
+    )
+    return th.mapInArrow(_simhash_kernel(), "doc_id long, simhash long")
+
+
+def simhash_duplicate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pairs with IDENTICAL SimHash (Hamming 0) — the conservative bucket.
+
+    For Hamming<=k matching, band the 64 bits into k+1 chunks and join
+    per chunk (pigeonhole); identical-fingerprint is the k=0 case and
+    what the tests pin.
+    """
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    a = fp.select(F.col("doc_id").alias("a"), "simhash")
+    b = fp.select(F.col("doc_id").alias("b"), "simhash")
+    return a.join(b, "simhash").where(F.col("a") < F.col("b")).select("a", "b", "simhash")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_bits: int = 0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs, ``(a, b, jaccard)``.
+
+    ``block_bits`` > 0 blocks the quadratic join by a cheap prefix key
+    (docs only compared within a block) — the scale knob; 0 means true
+    all-pairs (test scale only).
+    """
+    sh = _shingle_hashes(docs, id_col, text_col, n).select(
+        "doc_id", F.array_distinct("hashes").alias("hset")
+    )
+    if block_bits > 0:
+        sh = sh.withColumn(
+            "block", F.pmod(F.xxhash64(F.element_at("hset", 1)), F.lit(1 << block_bits))
+        )
+        join_cond = ["block"]
+        a = sh.select(F.col("doc_id").alias("a"), F.col("hset").alias("ha"), "block")
+        b = sh.select(F.col("doc_id").alias("b"), F.col("hset").alias("hb"), "block")
+        pairs = a.join(b, join_cond).where(F.col("a") < F.col("b"))
+    else:
+        a = sh.select(F.col("doc_id").alias("a"), F.col("hset").alias("ha"))
+        b = sh.select(F.col("doc_id").alias("b"), F.col("hset").alias("hb"))
+        pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    return pairs.select(
+        "a",
+        "b",
+        (
+            F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)

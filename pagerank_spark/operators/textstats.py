@@ -1,0 +1,151 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built from JVM-side expressions (split / regexp /
+length-replace arithmetic) so the hot path is whole-stage codegen —
+and deliberately PORTABLE: every function here has an exact ANSI-SQL
+equivalent (used as the DuckDB oracle in ``__spark_entry__.py``), so
+correctness is machine-checked, not eyeballed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Counting ' word ' occurrences via length-replace arithmetic is exact
+# and portable across Spark and DuckDB.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+    "de": ["der", "und", "die"],
+    "zh": ["de", "shi", "le"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# BPE-ish subword unit: runs of word chars up to 4 long, or a single
+# non-space symbol — a deterministic stand-in for a tokenizer's merges.
+BPE_REGEX = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Occurrence count of ``needle`` via length-replace arithmetic."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def _word_occurrences(col: Column, word: str) -> Column:
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return _occurrences(padded, f" {word} ")
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, ws_tokens, bpe_tokens, n_chars)``.
+
+    ``ws_tokens`` — whitespace tokenization; ``bpe_tokens`` — count of
+    BPE-ish subword units (``BPE_REGEX``), the "how many tokens will
+    this cost" estimator.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality signals: ``(doc_id, n_chars, n_tokens,
+    mean_token_len, stopword_ratio, punct_ratio, quality_score)``.
+
+    quality_score in [0,1]: stopword presence (natural-language-ness)
+    minus punctuation-noise penalty, clamped. Deterministic, portable.
+    """
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    n_chars = F.length(t).cast("double")
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _word_occurrences(t, w).cast("double")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double")
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    score = F.least(
+        F.greatest(
+            F.least(stop_ratio * 4, F.lit(1.0)) - punct_ratio * 2, F.lit(0.0)
+        ),
+        F.lit(1.0),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1.0)), 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, pred_lang, marker_hits)`` — argmax of marker-word
+    counts, ties broken by language code order (deterministic).
+
+    An honest heuristic, not a model: accuracy depends on the corpus
+    actually containing the marker words.
+    """
+    t = F.col(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        s = None
+        for w in LANG_MARKERS[lang]:
+            c = _word_occurrences(t, w)
+            s = c if s is None else s + c
+        scores.append(F.struct(s.alias("hits"), F.lit(lang).alias("lang")))
+    # max of (hits, lang-desc) -> most hits, ties -> smallest code.
+    # struct max compares hits first, then lang lexicographically; to
+    # break ties toward the SMALLEST code we invert via a sort_array.
+    arr = F.sort_array(F.array(*scores), asc=False)
+    best = F.element_at(
+        F.filter(arr, lambda x: x["hits"] == arr[0]["hits"]), -1
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("long").alias("marker_hits"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: ``(doc_id, fingerprint)``.
+
+    Min xxhash64 over sliding ``window``-token shingles — a rolling-
+    hash content signature stable under reordering-free edits outside
+    the minimal window. JVM-side (transform + xxhash64 + array_min).
+    """
+    tokens = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (window - 1), F.lit(1)))
+    shingles = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(shingles).alias("fingerprint"),
+    )

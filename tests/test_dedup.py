@@ -1,0 +1,90 @@
+"""Dedup operator tests on the driver's documents table + crafted fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_bands,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_duplicate_pairs,
+    simhash_fingerprints,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # inject known duplicates/near-duplicates deterministically
+    dup = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = base.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 8)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    return base.union(dup).union(near).cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs)
+    dups = groups.where(F.col("n_dups") > 1).collect()
+    assert len(dups) == 5
+    assert all(r["keep_id"] < 5 for r in dups)
+    kept = dedup_exact(docs)
+    assert kept.count() == docs.count() - 5
+    # survivors are the min ids
+    assert kept.where(F.col("doc_id") >= 100000).count() == 3  # only near-dups remain
+
+
+def test_minhash_bands_shape(spark, docs):
+    b = minhash_bands(docs, num_perm=32, bands=8)
+    assert b.columns == ["doc_id", "band", "band_hash"]
+    per_doc = b.groupBy("doc_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_doc] == [8]
+
+
+def test_minhash_finds_exact_and_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=64, bands=32, verify_threshold=0.5
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    # all 5 exact dup pairs must collide (jaccard 1.0)
+    for i in range(5):
+        assert (i, i + 100000) in got
+    # near-dups (one appended token) should be caught at >=0.5 jaccard
+    for i in range(5, 8):
+        assert (i, i + 200000) in got
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in pairs}
+    for i in range(5):
+        assert jac[(i, i + 100000)] == pytest.approx(1.0)
+
+
+def test_minhash_deterministic(spark, docs):
+    p1 = sorted(map(tuple, minhash_lsh_pairs(docs, verify_threshold=None).collect()))
+    p2 = sorted(map(tuple, minhash_lsh_pairs(docs, verify_threshold=None).collect()))
+    assert p1 == p2
+
+
+def test_simhash_exact_dups_collide(spark, docs):
+    fp = simhash_fingerprints(docs)
+    assert fp.count() == docs.count()
+    pairs = {(r["a"], r["b"]) for r in simhash_duplicate_pairs(docs).collect()}
+    for i in range(5):
+        assert (i, i + 100000) in pairs
+
+
+def test_ngram_jaccard_bruteforce(spark, docs):
+    small = docs.where((F.col("doc_id") < 10) | (F.col("doc_id") >= 100000))
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(small, threshold=0.4).collect()
+    }
+    for i in range(5):
+        assert pairs[(i, i + 100000)] == pytest.approx(1.0)
+    for i in range(5, 8):
+        assert 0.4 <= pairs[(i, i + 200000)] <= 1.0

@@ -1,0 +1,126 @@
+"""Multimodal plumbing + structured streaming tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_payloads,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from pagerank_spark.streaming.events import (
+    read_events_stream,
+    run_stream_once,
+    streaming_edge_degrees,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return attach_payloads(docs).cache()
+
+
+def test_asset_schema_and_payload(spark, assets):
+    row = assets.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["media_type"] in ("image/png", "audio/wav")
+    assert assets.count() == 500
+
+
+def test_extract_features_stubbed(spark, assets):
+    feats = extract_features(assets)
+    rows = feats.limit(5).collect()
+    for r in rows:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # deterministic: same payload -> same feature
+    f2 = {r["asset_id"]: r["feature"] for r in extract_features(assets).limit(5).collect()}
+    for r in rows:
+        assert f2[r["asset_id"]] == r["feature"]
+
+
+def test_extract_features_real_decode_raises(spark, assets):
+    import py4j
+
+    with pytest.raises(Exception) as exc_info:
+        extract_features(assets, decode_stub=False).count()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
+
+
+def test_resize_preserves_aspect_and_bounds(spark, assets):
+    out = resize_images(assets, max_side=128)
+    bad = out.where(
+        (F.col("kind") == "image")
+        & ((F.col("width") > 128) | (F.col("height") > 128))
+    ).count()
+    assert bad == 0
+    untouched = out.where(F.col("kind") != "image").count()
+    assert untouched == assets.where(F.col("kind") != "image").count()
+
+
+def test_sample_frames_plan(spark, assets):
+    frames = sample_frames(assets, every_ms=1000, max_frames=4)
+    g = frames.groupBy("asset_id").agg(F.max("frame_idx").alias("mx"), F.count("*").alias("c"))
+    assert g.where(F.col("c") > 4).count() == 0
+    assert frames.where(F.col("offset_ms") != F.col("frame_idx") * 1000).count() == 0
+
+
+def _stage_events_dir(tmp_path):
+    # the file stream source requires a DIRECTORY of files
+    import shutil
+
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    stream = read_events_stream(spark, _stage_events_dir(tmp_path))
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    sink = str(tmp_path / "sink")
+    run_stream_once(agg, sink, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(sink)
+    # cross-check against the identical batch computation
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "v")
+    )
+    gotset = {
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    wantset = {(r["ws"], r["event_type"], r["n"], r["v"]) for r in want.collect()}
+    # watermark may hold back the trailing window(s) in availableNow replay;
+    # everything emitted must be correct and cover most of the data
+    assert gotset <= wantset
+    assert len(gotset) >= len(wantset) - 5
+
+
+def test_streaming_degrees_memory_sink(spark, tmp_path):
+    stream = read_events_stream(spark, _stage_events_dir(tmp_path))
+    deg = streaming_edge_degrees(stream)
+    q = (
+        deg.writeStream.format("memory")
+        .queryName("deg_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["src"]: r["out_deg"] for r in spark.sql("select * from deg_test").collect()}
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["user_id"]: r["c"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want

@@ -1,0 +1,128 @@
+"""Similarity search + text analysis tests vs NumPy/python oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_duplicates,
+    lsh_cosine_buckets,
+)
+from pagerank_spark.operators.textstats import (
+    BPE_REGEX,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    return pdf["vec_id"].to_numpy(), np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+
+def test_cosine_topk_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    q = mat[0]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))[:10]
+    want = list(ids[order])
+    got = [r["vec_id"] for r in cosine_topk(emb, list(q), k=10).collect()]
+    assert got == want
+    top = cosine_topk(emb, list(q), k=1).collect()[0]
+    assert top["vec_id"] == 0 and top["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb, emb_np):
+    ids, mat = emb_np
+    q = list(mat[3])
+    approx = cosine_topk_lsh(emb, q, k=5, nbits=4)
+    rows = approx.collect()
+    assert rows[0]["vec_id"] == 3  # query vector itself always in its bucket
+    assert len(rows) <= 5
+    # every returned id is genuinely in the query's bucket
+    buckets = {r["vec_id"]: r["bucket"] for r in lsh_cosine_buckets(emb, dim=64, nbits=4).collect()}
+    qb = buckets[3]
+    assert all(buckets[r["vec_id"]] == qb for r in rows)
+
+
+def test_embedding_near_duplicates(spark, emb):
+    # duplicate three vectors with new ids -> cosine 1.0 pairs must surface
+    dup = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.union(dup)
+    pairs = {(r["a"], r["b"]) for r in embedding_near_duplicates(both, threshold=0.999).collect()}
+    for i in range(3):
+        assert (i, i + 9000) in pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_token_counts_oracle(spark, docs):
+    import re
+
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    for row in docs.limit(30).collect():
+        toks = row["text"].strip().split()
+        bpe = re.findall(BPE_REGEX, row["text"])
+        g = got[row["doc_id"]]
+        assert g["ws_tokens"] == len(toks)
+        assert g["bpe_tokens"] == len(bpe)
+        assert g["n_chars"] == len(row["text"])
+
+
+def test_quality_scores_bounds(spark, docs):
+    q = quality_scores(docs)
+    bad = q.where(
+        (F.col("quality_score") < 0)
+        | (F.col("quality_score") > 1)
+        | (F.col("stopword_ratio") < 0)
+        | (F.col("mean_token_len") <= 0)
+    ).count()
+    assert bad == 0
+    # oracle check one row
+    row = docs.first()
+    text = row["text"]
+    toks = text.strip().split()
+    from pagerank_spark.operators.textstats import STOPWORDS
+
+    hits = sum((" " + text + " ").count(f" {w} ") for w in STOPWORDS)
+    g = q.where(F.col("doc_id") == row["doc_id"]).collect()[0]
+    assert g["stopword_ratio"] == pytest.approx(hits / max(len(toks), 1), abs=1e-6)
+
+
+def test_language_id_deterministic_and_total(spark, docs):
+    p = language_id(docs)
+    assert p.count() == docs.count()
+    assert p.where(F.col("pred_lang").isNull()).count() == 0
+    # determinism across runs
+    a = sorted(map(tuple, p.collect()))
+    b = sorted(map(tuple, language_id(docs).collect()))
+    assert a == b
+
+
+def test_fingerprints_stable_and_dup_sensitive(spark, docs):
+    fp = fingerprints(docs)
+    assert fp.count() == docs.count()
+    # identical text -> identical fingerprint
+    base = docs.select("doc_id", "text")
+    dup = docs.limit(3).select((F.col("doc_id") + 7000).alias("doc_id"), "text")
+    both = fingerprints(base.union(dup))
+    vals = {r["doc_id"]: r["fingerprint"] for r in both.collect()}
+    for r in docs.limit(3).collect():
+        assert vals[r["doc_id"]] == vals[r["doc_id"] + 7000]
