@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "scaling": {... local[8] vs local[32] PageRank throughput ...}}
+
+Two parts:
+
+1. **Headline queries** at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]: a representative
+   slice of the engine (converged PageRank, CC, LPA, triangles,
+   MinHash dedup, ANN, exact dedup, relational agg).
+
+2. **Scaling evidence** (BASELINE.json north_rule, sandbox protocol
+   per BASELINE.md): the same fixed-iteration PageRank job — same
+   deterministic synthetic graph (seed=42), same partition count —
+   at N=2 and 4N=8 cores; reports median sec/iter, edges/sec per
+   iteration at both, and scaling efficiency (throughput_4N /
+   throughput_N) / 4. N=2→8 is the honest single-box proxy for the
+   N→4N executor rule: both levels run below DRAM-bandwidth
+   saturation, like real executors each with their own memory bus.
+   A secondary 8→32 pair is also reported; it under-measures cluster
+   scaling because 32 threads on ONE socket share the memory
+   bandwidth that 4x the executors would not. Skippable with
+   SPARK_GRAFT_SKIP_SCALING=1 for quick runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "pagerank_converged",
+    "pagerank_fixed10",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "minhash_dup_pairs",
+    "ann_cosine_topk",
+    "dedup_exact_groups",
+    "quality_scores",
+    "pricing_summary",
+    "events_hourly",
+]
+
+SCALE_N = 2_000_000
+SCALE_E = 100_000_000
+SCALE_P = 32
+SCALE_ITERS = 8
+SCALE_PAIRS = [(2, 8), (8, 32)]  # primary (N, 4N), secondary
+
+
+def _new_spark(cores: int, mem="48g"):
+    from pagerank_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={"spark.driver.memory": mem},
+    )
+
+
+def run_headline():
+    import __spark_entry__ as entrymod
+
+    spark = _new_spark(int(CPUS))
+    qs = entrymod.queries()
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    spark.stop()
+    return timings
+
+
+def _measure_cores(cores: int) -> dict:
+    """One fixed-iteration PageRank run of the SAME job (same input,
+    same SCALE_P partitions) at the given parallelism level."""
+    from pagerank_spark.operators.pagerank import pagerank
+    from pagerank_spark.testing import synth_edges
+
+    spark = _new_spark(cores)
+    edges = synth_edges(spark, n=SCALE_N, e=SCALE_E, seed=42)
+    t0 = time.monotonic()
+    res = pagerank(
+        edges,
+        n=SCALE_N,
+        dangling="redistribute",
+        eps=0.0,
+        max_iter=SCALE_ITERS,
+        mode="broadcast",
+        num_partitions=SCALE_P,
+    )
+    wall = time.monotonic() - t0
+    iter_secs = sorted(m["seconds"] for m in res.metrics)
+    med = iter_secs[len(iter_secs) // 2]
+    out = {
+        "edges": SCALE_E,
+        "partitions": SCALE_P,
+        "iterations": res.iterations,
+        "sec_per_iter_median": round(med, 3),
+        "edges_per_sec_per_iter": round(SCALE_E / med),
+        "total_wall_sec": round(wall, 3),
+        "skew_ratio": round(res.partition_lineage["skew_ratio"], 3),
+    }
+    print(f"# scaling local[{cores}]: {out}", file=sys.stderr)
+    spark.stop()
+    return out
+
+
+def run_scaling():
+    """Same job, same input, N vs 4N cores (primary 2->8, secondary 8->32)."""
+    measured = {}
+    for pair in SCALE_PAIRS:
+        for cores in pair:
+            if cores not in measured:
+                measured[cores] = _measure_cores(cores)
+    results = {f"local[{c}]": m for c, m in measured.items()}
+    for lo, hi in SCALE_PAIRS:
+        tp_lo = measured[lo]["edges_per_sec_per_iter"]
+        tp_hi = measured[hi]["edges_per_sec_per_iter"]
+        factor = hi / lo
+        results[f"scaling_{lo}_to_{hi}"] = {
+            "speedup": round(tp_hi / tp_lo, 3),
+            "efficiency": round((tp_hi / tp_lo) / factor, 3),
+        }
+    results["primary_pair"] = f"local[{SCALE_PAIRS[0][0]}] -> local[{SCALE_PAIRS[0][1]}]"
+    results["scaling_efficiency"] = results[
+        f"scaling_{SCALE_PAIRS[0][0]}_to_{SCALE_PAIRS[0][1]}"
+    ]["efficiency"]
+    results["note"] = (
+        "single-box proxy for the N->4N executor rule (BASELINE.md): the "
+        "primary pair keeps both levels below DRAM-bandwidth saturation, "
+        "as separate executors would be; the 8->32 pair shares one "
+        "socket's memory bandwidth and therefore under-measures cluster "
+        "scaling for this bandwidth-bound kernel"
+    )
+    return results
+
+
+def main():
+    timings = run_headline()
+    out = {
+        "metric": "headline query wall time (sum) + PageRank scaling evidence",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+    }
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") != "1":
+        out["scaling"] = run_scaling()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

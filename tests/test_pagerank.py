@@ -47,7 +47,7 @@ def numpy_pagerank(n, edges, d=0.85, eps=1e-4, dangling="leak", max_iter=1000):
     return rank
 
 
-@pytest.mark.parametrize("mode", ["broadcast", "join"])
+@pytest.mark.parametrize("mode", ["broadcast", "join", "local"])
 def test_demo_golden(spark, mode):
     e = edges_df(spark, DEMO_EDGES)
     res = pagerank(e, n=DEMO_N, dangling="leak", mode=mode)
@@ -110,7 +110,9 @@ def test_modes_agree_on_random_graph(spark):
     e = synth_edges(spark, n=200, e=1500, seed=7).cache()
     b = pagerank(e, n=200, dangling="redistribute", mode="broadcast")
     j = pagerank(e, n=200, dangling="redistribute", mode="join")
+    l = pagerank(e, n=200, dangling="redistribute", mode="local")
     np.testing.assert_allclose(ranks_vec(b, 200), ranks_vec(j, 200), atol=1e-9)
+    np.testing.assert_allclose(ranks_vec(b, 200), ranks_vec(l, 200), atol=1e-12)
     pairs = [(r["src"], r["dst"]) for r in e.collect()]
     np.testing.assert_allclose(
         ranks_vec(b, 200),
@@ -145,6 +147,51 @@ def test_checkpoint_resume(spark, tmp_path):
     assert m["iteration"] == resumed.iterations
     assert m["partition_lineage"]["edge_count"] == len(DEMODISPARI_EDGES)
     assert all("residual" in x and "seconds" in x for x in m["metrics"])
+
+
+def test_broadcast_checkpoint_resume_reuses_blocks(spark, tmp_path):
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=300, e=3000, seed=9).cache()
+    full = pagerank(e, n=300, dangling="redistribute", mode="broadcast")
+    ck = str(tmp_path / "ck_b")
+    part = pagerank(
+        e, n=300, dangling="redistribute", mode="broadcast",
+        max_iter=4, checkpoint_dir=ck,
+    )
+    assert not part.converged
+    import os
+
+    assert os.path.exists(os.path.join(ck, "blocks", "blocks_manifest.json"))
+    resumed = pagerank(
+        e, n=300, dangling="redistribute", mode="broadcast",
+        checkpoint_dir=ck, resume=True,
+    )
+    assert resumed.converged and resumed.iterations == full.iterations
+    np.testing.assert_allclose(
+        ranks_vec(resumed, 300), ranks_vec(full, 300), atol=1e-12
+    )
+    e.unpersist()
+
+
+def test_salting_preserves_exact_sums(spark):
+    from pagerank_spark.testing import synth_edges
+
+    # skewed graph: every vertex also points at hub 0
+    base = synth_edges(spark, n=400, e=2000, seed=13)
+    hub = spark.range(400).selectExpr("id as src", "cast(0 as long) as dst")
+    e = base.union(hub).cache()
+    plain = pagerank(e, n=400, dangling="redistribute", mode="local")
+    # salt_threshold=1 forces EVERY dst with >1 in-edge through the
+    # salted path — exactness must be unaffected
+    salted = pagerank(
+        e, n=400, dangling="redistribute", mode="broadcast", salt_threshold=1
+    )
+    assert salted.partition_lineage["salted_dsts"] > 0
+    np.testing.assert_allclose(
+        ranks_vec(salted, 400), ranks_vec(plain, 400), atol=1e-12
+    )
+    e.unpersist()
 
 
 def test_permutation_invariance(spark):
