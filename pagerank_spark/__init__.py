@@ -20,6 +20,7 @@ Public API (stable surface):
 
 from pagerank_spark.session import get_spark
 from pagerank_spark.sources.snap import read_snap_edges
+from pagerank_spark.sources.tables import read_corpus, read_table
 from pagerank_spark.operators.densify import densify_ids
 from pagerank_spark.operators.degrees import degrees, in_degrees, out_degrees
 from pagerank_spark.operators.pagerank import pagerank
@@ -27,10 +28,30 @@ from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
 from pagerank_spark.operators.triangles import triangle_count
 from pagerank_spark.operators.derive import derive_edges
+from pagerank_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from pagerank_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_duplicates,
+)
+from pagerank_spark.operators.textstats import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
 
 __all__ = [
     "get_spark",
     "read_snap_edges",
+    "read_table",
+    "read_corpus",
     "densify_ids",
     "degrees",
     "in_degrees",
@@ -40,6 +61,18 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "derive_edges",
+    "dedup_exact",
+    "exact_duplicates",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "embedding_near_duplicates",
+    "fingerprints",
+    "language_id",
+    "quality_scores",
+    "token_counts",
 ]
 
 __version__ = "0.1.0"

@@ -126,6 +126,7 @@ def pagerank(
     resume: bool = False,
     block_dir: str | None = None,
     salt_threshold: int | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Compute PageRank over ``DataFrame[src: long, dst: long]``.
 
@@ -134,6 +135,14 @@ def pagerank(
     explicitly when the header/catalog declares more vertices than the
     edges touch (``Page_Rank_SERIAL.c:155-159``: rank slots exist for
     every id < n).
+
+    ``weight_col`` names an edge-weight column (e.g. the reference
+    count produced by ``derive_edges``): a weighted edge behaves
+    exactly like that many duplicate rows (the reference's
+    multiplicity semantics, ``Page_Rank_SERIAL.c:131-143``,
+    generalized to arbitrary positive weights): out-strength = sum of
+    weights per src, per-edge contribution = d * w / strength(src) *
+    rank(src). Supported natively by every mode — no row expansion.
     """
     if dangling not in ("redistribute", "leak"):
         raise ValueError("dangling must be 'redistribute' or 'leak'")
@@ -149,17 +158,18 @@ def pagerank(
             mode = "broadcast" if n <= BROADCAST_MAX_N else "join"
     if mode == "local":
         return _pagerank_local(
-            edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume
+            edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume,
+            weight_col,
         )
     if mode in ("broadcast", "blocks"):
         return _pagerank_broadcast(
             edges, n, d, eps, dangling, max_iter, num_partitions,
-            checkpoint_dir, resume, block_dir, salt_threshold,
+            checkpoint_dir, resume, block_dir, salt_threshold, weight_col,
         )
     if mode == "join":
         return _pagerank_join(
             edges, n, d, eps, dangling, max_iter, num_partitions,
-            checkpoint_dir, resume,
+            checkpoint_dir, resume, weight_col,
         )
     raise ValueError(f"unknown mode {mode!r}")
 
@@ -168,16 +178,21 @@ def pagerank(
 # driver-local strategy (tiny graphs: one collect, NumPy loop)
 # --------------------------------------------------------------------------
 
-def _pagerank_local(edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume):
+def _pagerank_local(
+    edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume, weight_col=None
+):
     spark = edges.sparkSession
-    pdf = edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
-    ).toPandas()
+    cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
+    if weight_col:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    pdf = edges.select(*cols).toPandas()
     src = pdf["src"].to_numpy()
     dst = pdf["dst"].to_numpy()
-    out_deg = np.bincount(src, minlength=n).astype(np.float64)
-    dangling_mask = out_deg == 0.0
-    w_edge = d / out_deg[src]  # per-edge weight, defined (out_deg[src] >= 1)
+    ew = pdf["_w"].to_numpy() if weight_col else np.ones(len(src))
+    strength = np.bincount(src, weights=ew, minlength=n).astype(np.float64)
+    dangling_mask = strength == 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w_edge = d * ew / strength[src]  # defined: strength[src] > 0 per edge
 
     rank = np.full(n, 1.0 / n, dtype=np.float64)
     start_iter = 0
@@ -235,20 +250,35 @@ def _block_build_kernel(block_dir: str, id32: bool):
     def kernel(batches):
         from pyspark import TaskContext
 
-        srcs, dsts = [], []
+        srcs, dsts, ews = [], [], []
+        weighted = None
         for batch in batches:
             if batch.num_rows:
+                if weighted is None:
+                    weighted = "_w" in batch.schema.names
                 srcs.append(batch.column("src").to_numpy(zero_copy_only=False))
                 dsts.append(batch.column("dst").to_numpy(zero_copy_only=False))
+                if weighted:
+                    ews.append(batch.column("_w").to_numpy(zero_copy_only=False))
         if not srcs:
             return
         pid = TaskContext.get().partitionId()
         src = np.concatenate(srcs)
         dst = np.concatenate(dsts)
+        ew = np.concatenate(ews) if ews else np.ones(len(src))
         uniq, inv = np.unique(dst, return_inverse=True)
+        # Per-edge factor d*w/strength(src), loop-invariant
+        # (Page_Rank_SERIAL.c:168-180): baked into the block so each
+        # iteration needs only ONE random gather (rank[src]).
+        strength = _load_weights(os.path.join(block_dir, "strength_vec.npy"))
+        wfac = ew * strength[src]  # strength file holds d/strength
         idt = np.int32 if id32 else np.int64
         edges_tbl = pa.table(
-            {"src": pa.array(src.astype(idt)), "inv": pa.array(inv.astype(idt))}
+            {
+                "src": pa.array(src.astype(idt)),
+                "inv": pa.array(inv.astype(idt)),
+                "wfac": pa.array(wfac.astype(np.float64)),
+            }
         )
         uniq_tbl = pa.table({"uniq": pa.array(uniq.astype(np.int64))})
         # uniq sidecar FIRST: the main file's existence then implies a
@@ -311,7 +341,6 @@ def _block_spmv_kernel(block_dir: str, iteration: int):
 
     def kernel(batches):
         r = _load_vec(os.path.join(block_dir, "rank_vec.npy"), iteration)
-        w = _load_weights(os.path.join(block_dir, "weight_vec.npy"))
         for batch in batches:
             for pid in batch.column("pid").to_pylist():
                 path = os.path.join(block_dir, f"block_{pid:05d}.arrow")
@@ -323,13 +352,14 @@ def _block_spmv_kernel(block_dir: str, iteration: int):
                     tbl = pa.ipc.open_file(mm).read_all()
                     src = tbl.column("src").to_numpy(zero_copy_only=False)
                     inv = tbl.column("inv").to_numpy(zero_copy_only=False)
+                    wfac = tbl.column("wfac").to_numpy(zero_copy_only=False)
                     uniq = (
                         pa.ipc.open_file(mu)
                         .read_all()
                         .column("uniq")
                         .to_numpy(zero_copy_only=False)
                     )
-                    contrib = w[src] * r[src]
+                    contrib = wfac * r[src]
                     sums = np.bincount(inv, weights=contrib, minlength=len(uniq))
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(uniq), pa.array(sums)], ["dst", "s"]
@@ -340,7 +370,7 @@ def _block_spmv_kernel(block_dir: str, iteration: int):
 
 def _pagerank_broadcast(
     edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume,
-    block_dir=None, salt_threshold=None,
+    block_dir=None, salt_threshold=None, weight_col=None,
 ):
     """Block-partitioned broadcast-rank strategy (the scale path).
 
@@ -366,16 +396,18 @@ def _pagerank_broadcast(
     sc = spark.sparkContext
     P = num_partitions or sc.defaultParallelism
 
-    # Out-degree vector (duplicates counted). One shuffle, n-bounded.
-    deg_pdf = (
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("c")).toPandas()
+    # Out-strength vector (duplicates counted; = out-degree when
+    # unweighted). One shuffle, n-bounded.
+    str_agg = (
+        F.sum(F.col(weight_col).cast("double")) if weight_col else F.count(F.lit(1))
     )
+    deg_pdf = edges.groupBy("src").agg(str_agg.alias("c")).toPandas()
     out_deg = np.zeros(n, dtype=np.float64)
     out_deg[deg_pdf["src"].to_numpy()] = deg_pdf["c"].to_numpy()
     dangling_mask = out_deg == 0.0
     weights = np.zeros(n, dtype=np.float64)
     nz = ~dangling_mask
-    weights[nz] = d / out_deg[nz]  # w = d/out_deg, once, before the loop
+    weights[nz] = d / out_deg[nz]  # d/strength, once, before the loop
 
     owns_block_dir = block_dir is None and checkpoint_dir is None
     if block_dir is None:
@@ -386,10 +418,11 @@ def _pagerank_broadcast(
 
             block_dir = tempfile.mkdtemp(prefix="pagerank_blocks_")
     os.makedirs(block_dir, exist_ok=True)
-    # Replicated weight vector, written once (loop-invariant,
-    # Page_Rank_SERIAL.c:168-180). block_dir is executor-reachable by
+    # Replicated d/strength vector, written once (loop-invariant,
+    # Page_Rank_SERIAL.c:168-180); the block build bakes it into the
+    # per-edge wfac column. block_dir is executor-reachable by
     # construction (local scratch in local mode, shared FS on a cluster).
-    _atomic_np_save(os.path.join(block_dir, "weight_vec.npy"), weights)
+    _atomic_np_save(os.path.join(block_dir, "strength_vec.npy"), weights)
 
     manifest_path = os.path.join(block_dir, "blocks_manifest.json")
     lineage = None
@@ -422,10 +455,10 @@ def _pagerank_broadcast(
         else:
             pk = F.xxhash64("dst")
         id32 = n <= (1 << 31) - 1
-        prepared = (
-            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-            .repartition(P, pk)
-        )
+        sel = [F.col("src").cast("long"), F.col("dst").cast("long")]
+        if weight_col:
+            sel.append(F.col(weight_col).cast("double").alias("_w"))
+        prepared = edges.select(*sel).repartition(P, pk)
         man_rows = prepared.mapInArrow(
             _block_build_kernel(block_dir, id32),
             "pid int, n_edges long, n_uniq long",
@@ -522,19 +555,24 @@ def _pagerank_broadcast(
 # --------------------------------------------------------------------------
 
 def _pagerank_join(
-    edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume
+    edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume,
+    weight_col=None,
 ):
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     teleport = (1.0 - d) / n
 
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    str_agg = (
+        F.sum(F.col(weight_col).cast("double")) if weight_col else F.count(F.lit(1))
+    )
+    out_deg = edges.groupBy("src").agg(str_agg.alias("out_deg"))
+    ew = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     # Weight the edge table once (loop-invariant, Page_Rank_SERIAL.c:168-180)
     # and pre-partition it by src so the per-iteration ranks join shuffles
     # only the (small) rank side. AQE may broadcast out_deg if it fits.
     edges_w = (
         edges.join(out_deg, "src")
-        .select("src", "dst", (F.lit(d) / F.col("out_deg")).alias("w"))
+        .select("src", "dst", (F.lit(d) * ew / F.col("out_deg")).alias("w"))
         .repartition(P, "src")
         .persist()
     )

@@ -1,0 +1,116 @@
+"""spark-submit --py-files shipping (north_rule) + Catalyst plan checks."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.plans import plan_has
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+JOB = """
+import sys
+from pyspark.sql import SparkSession
+import pagerank_spark  # must come from the shipped zip
+from pagerank_spark import pagerank
+spark = SparkSession.builder.getOrCreate()
+edges = spark.createDataFrame(
+    [(0,1),(0,3),(0,2),(1,2),(1,3),(2,0),(3,2),(3,0)], "src long, dst long")
+res = pagerank(edges, n=4, dangling="leak", mode="broadcast")
+top = {r["id"]: round(r["rank"], 4) for r in res.ranks.collect()}
+assert res.converged and res.iterations == 12, (res.converged, res.iterations)
+assert top[0] == 0.3681, top
+print("PYFILES_JOB_OK", pagerank_spark.__file__)
+"""
+
+
+def test_spark_submit_py_files(tmp_path):
+    """Ship the engine as a zip to a fresh spark-submit with NO repo on
+    any python path — proves the --py-files deployment story."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+    assert os.path.exists(spark_submit), "spark-submit not found"
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from build_pyfiles import build
+
+    zip_path = build(str(tmp_path / "pagerank_spark.zip"))
+    job = tmp_path / "job.py"
+    job.write_text(JOB)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH",)
+    }
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=2",
+            "--py-files", zip_path,
+            str(job),
+        ],
+        cwd=str(tmp_path),  # NOT the repo: the zip is the only source
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "PYFILES_JOB_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-3000:]
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert plan_has(q, "PushedFilters")
+    assert plan_has(q, "GreaterThan(l_quantity,30.0)")
+    # only the two projected columns reach the scan
+    import re
+
+    from pagerank_spark.plans import explain_summary
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", explain_summary(q))
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"l_orderkey", "l_quantity"}
+
+
+def test_degree_agg_is_partial_plus_final(spark):
+    from pagerank_spark import out_degrees
+    from pagerank_spark.testing import synth_edges
+
+    from pagerank_spark.plans import explain_summary
+
+    deg = out_degrees(synth_edges(spark, n=100, e=1000, seed=1))
+    s = explain_summary(deg)
+    assert s.count("HashAggregate") >= 2  # map-side partial + final
+    assert "partial_count" in s  # the map-side combine is really partial
+
+
+def test_derive_resolution_is_broadcast_join(spark):
+    from pagerank_spark.operators.derive import derive_edges
+    from pagerank_spark.testing import synth_corpus
+
+    edges = derive_edges(synth_corpus(spark, n_repos=8, files_per_repo=2))
+    assert plan_has(edges, "BroadcastHashJoin")
+
+
+def test_triangles_no_cartesian_product(spark):
+    from pagerank_spark import triangle_count
+    from pagerank_spark.testing import synth_edges
+
+    t = triangle_count(synth_edges(spark, n=50, e=300, seed=2))
+    from pagerank_spark.plans import explain_summary
+
+    assert "CartesianProduct" not in explain_summary(t)

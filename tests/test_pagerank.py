@@ -194,6 +194,22 @@ def test_salting_preserves_exact_sums(spark):
     e.unpersist()
 
 
+@pytest.mark.parametrize("mode", ["local", "broadcast", "join"])
+def test_weighted_equals_multigraph(spark, mode):
+    # integer weight w == w duplicate rows (Page_Rank_SERIAL.c:131-143)
+    weighted = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 1), (1, 2, 3), (2, 0, 1), (3, 0, 4)],
+        "src long, dst long, weight long",
+    )
+    expanded = [(0, 1), (0, 1), (0, 2), (1, 2), (1, 2), (1, 2), (2, 0)] + [
+        (3, 0)
+    ] * 4
+    w = pagerank(weighted, n=4, dangling="leak", mode=mode, weight_col="weight")
+    u = pagerank(edges_df(spark, expanded), n=4, dangling="leak", mode=mode)
+    np.testing.assert_allclose(ranks_vec(w, 4), ranks_vec(u, 4), atol=1e-12)
+    assert w.iterations == u.iterations
+
+
 def test_permutation_invariance(spark):
     # Renaming vertices permutes ranks identically (SURVEY.md §5.2 item 2).
     edges = DEMO_EDGES
