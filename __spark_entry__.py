@@ -119,7 +119,6 @@ def q_pagerank_fixed(spark, sf_dir):
     e = _edges(spark, sf_dir)
     res = pagerank(
         e, n=_graph_n(e), dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS,
-        mode="broadcast",
     )
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 

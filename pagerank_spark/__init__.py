@@ -40,6 +40,7 @@ from pagerank_spark.operators.similarity import (
     cosine_topk_lsh,
     embedding_near_duplicates,
 )
+from pagerank_spark.graph import LinkGraph
 from pagerank_spark.operators.textstats import (
     fingerprints,
     language_id,
@@ -48,6 +49,7 @@ from pagerank_spark.operators.textstats import (
 )
 
 __all__ = [
+    "LinkGraph",
     "get_spark",
     "read_snap_edges",
     "read_table",

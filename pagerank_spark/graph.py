@@ -1,0 +1,99 @@
+"""LinkGraph — the engine's one-stop graph handle.
+
+A thin, immutable wrapper over an edge DataFrame that gives a user of
+the reference a single object with every capability the reference (and
+this engine's extensions) provide:
+
+    g = LinkGraph.from_snap(spark, "RETE.txt", first_node=1)
+    g = LinkGraph.from_corpus(corpus_df)          # repo reference graph
+    g.pagerank(dangling="redistribute").ranks
+    g.connected_components()
+    g.label_propagation(max_iter=10)
+    g.triangle_count()
+    g.degrees()
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pagerank_spark.operators.components import connected_components
+from pagerank_spark.operators.degrees import degrees as _degrees
+from pagerank_spark.operators.densify import densify_ids
+from pagerank_spark.operators.derive import derive_edges
+from pagerank_spark.operators.labelprop import label_propagation
+from pagerank_spark.operators.pagerank import PageRankResult, pagerank
+from pagerank_spark.operators.triangles import triangle_count
+from pagerank_spark.sources.snap import read_snap_edges
+
+
+@dataclass(frozen=True)
+class LinkGraph:
+    edges: DataFrame  # src: long, dst: long [, weight]
+    n: int | None = None
+    weight_col: str | None = None
+    mapping: DataFrame | None = None  # orig_id <-> dense id, if densified
+
+    @classmethod
+    def from_snap(
+        cls, spark: SparkSession, path: str, first_node: int = 0
+    ) -> "LinkGraph":
+        edges, n, _e = read_snap_edges(spark, path, first_node)
+        return cls(edges=edges, n=n)
+
+    @classmethod
+    def from_corpus(cls, corpus: DataFrame) -> "LinkGraph":
+        """Corpus table (repo, path, commit, lang, content) -> weighted
+        dense repo graph, keeping the id mapping for result joins."""
+        from pyspark.sql import functions as F
+
+        weighted = derive_edges(corpus)
+        _dense, mapping = densify_ids(weighted.select("src", "dst"))
+        m_src = mapping.withColumnRenamed("orig_id", "src").withColumnRenamed(
+            "id", "src_id"
+        )
+        m_dst = mapping.withColumnRenamed("orig_id", "dst").withColumnRenamed(
+            "id", "dst_id"
+        )
+        wdense = (
+            weighted.join(m_src, "src")
+            .join(m_dst, "dst")
+            .select(
+                F.col("src_id").alias("src"),
+                F.col("dst_id").alias("dst"),
+                "weight",
+            )
+        )
+        return cls(
+            edges=wdense, n=mapping.count(), weight_col="weight", mapping=mapping
+        )
+
+    def _n(self) -> int | None:
+        return self.n
+
+    def pagerank(self, **kwargs) -> PageRankResult:
+        kwargs.setdefault("n", self.n)
+        kwargs.setdefault("weight_col", self.weight_col)
+        return pagerank(self.edges, **kwargs)
+
+    def degrees(self) -> DataFrame:
+        return _degrees(self.edges)
+
+    def connected_components(self, max_iter: int = 50) -> DataFrame:
+        return connected_components(self.edges, max_iter=max_iter)
+
+    def label_propagation(self, max_iter: int = 10) -> DataFrame:
+        return label_propagation(self.edges, max_iter=max_iter)
+
+    def triangle_count(self, per_vertex: bool = False) -> DataFrame:
+        return triangle_count(self.edges, per_vertex=per_vertex)
+
+    def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
+        """Join a dense-id result back to original ids (post-densify)."""
+        if self.mapping is None:
+            return result
+        return result.join(
+            self.mapping.withColumnRenamed("id", id_col), id_col
+        ).withColumnRenamed("orig_id", f"orig_{id_col}")

