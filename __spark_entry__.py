@@ -276,6 +276,46 @@ def q_user_top_events(spark, sf_dir):
     )
 
 
+def q_pricing_rollup(spark, sf_dir):
+    """Grouping-set/rollup delegation demo (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_urgent_not_big_spenders(spark, sf_dir):
+    """Set-operator demo: INTERSECT-free EXCEPT with distinct semantics."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.where(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        urgent.subtract(big)  # set EXCEPT (distinct semantics)
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join demo: customers who never placed an URGENT order."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph operators (SURVEY.md §2.1 + §2.3)
@@ -305,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "user_top_events": q_user_top_events,
+        "pricing_rollup": q_pricing_rollup,
+        "urgent_not_big_spenders": q_urgent_not_big_spenders,
+        "customers_without_orders": q_customers_without_orders,
     }
 
 
@@ -540,6 +583,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, value, "
             "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn "
             "FROM events) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "pricing_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "urgent_not_big_spenders": (
+            "SELECT custkey FROM ("
+            "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+            "EXCEPT "
+            "SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
+            "ORDER BY custkey"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') "
+            "ORDER BY c_custkey"
         ),
     }
 

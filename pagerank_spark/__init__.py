@@ -23,7 +23,7 @@ from pagerank_spark.sources.snap import read_snap_edges
 from pagerank_spark.sources.tables import read_corpus, read_table
 from pagerank_spark.operators.densify import densify_ids
 from pagerank_spark.operators.degrees import degrees, in_degrees, out_degrees
-from pagerank_spark.operators.pagerank import pagerank
+from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
 from pagerank_spark.operators.triangles import triangle_count
@@ -59,6 +59,7 @@ __all__ = [
     "in_degrees",
     "out_degrees",
     "pagerank",
+    "pagerank_two_phase",
     "connected_components",
     "label_propagation",
     "triangle_count",

@@ -100,6 +100,54 @@ class PageRankResult:
     partition_lineage: dict = field(default_factory=dict)
 
 
+def pagerank_two_phase(
+    edges: DataFrame,
+    n: int | None = None,
+    d: float = DAMPING,
+    coarse_eps: float = 1e-3,
+    eps: float = EPSILON,
+    local_iters: int = 8,
+    dangling: str = "redistribute",
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+    max_iter: int | None = None,
+    weight_col: str | None = None,
+) -> PageRankResult:
+    """The reference's two-phase scheme (``Page_Rank_improved.c``):
+
+    Phase 1 — exact, globally-synchronized power iterations to a COARSE
+    residual (``:368`` uses 1e-3). Phase 2 — continue with
+    ``local_iters`` communication-free block-Jacobi sub-iterations per
+    global sync (``:404-468``) until the final ``eps``. Both phases
+    share one block store and one checkpoint lineage, so phase 2 starts
+    from phase 1's rank vector without rebuilding anything.
+    """
+    import tempfile
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="pagerank_two_phase_")
+    owns = checkpoint_dir is None
+    try:
+        # salting off throughout: phase 2 emits values, not partials
+        p1 = pagerank(
+            edges, n=n, d=d, eps=coarse_eps, dangling=dangling,
+            mode="broadcast", num_partitions=num_partitions,
+            checkpoint_dir=ckpt, salt_threshold=1 << 62,
+            weight_col=weight_col, max_iter=max_iter,
+        )
+        p2 = pagerank(
+            edges, n=n, d=d, eps=eps, dangling=dangling,
+            mode="broadcast", num_partitions=num_partitions,
+            checkpoint_dir=ckpt, resume=True, local_iters=local_iters,
+            weight_col=weight_col, max_iter=max_iter,
+        )
+    finally:
+        if owns:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return p2
+
+
 def _atomic_np_save(path: str, arr: np.ndarray) -> None:
     tmp = path + ".tmp.npy"
     np.save(tmp, arr)
@@ -306,13 +354,18 @@ def _block_build_kernel(block_dir: str, id32: bool):
                 with pa.ipc.new_file(f, tbl.schema) as w:
                     w.write_table(tbl)
             os.replace(tmp, path)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(block_dir, f"block_{pid:05d}{sfx}.arrow"))
+            for sfx in ("", ".uniq")
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], type=pa.int32()),
                 pa.array([len(src)], type=pa.int64()),
                 pa.array([len(uniq)], type=pa.int64()),
+                pa.array([n_bytes], type=pa.int64()),
             ],
-            ["pid", "n_edges", "n_uniq"],
+            ["pid", "n_edges", "n_uniq", "n_bytes"],
         )
 
     return kernel
@@ -544,7 +597,7 @@ def _pagerank_broadcast(
         prepared = edges.select(*sel).repartition(P, pk)
         man_rows = prepared.mapInArrow(
             _block_build_kernel(block_dir, id32),
-            "pid int, n_edges long, n_uniq long",
+            "pid int, n_edges long, n_uniq long, n_bytes long",
         ).collect()
         part_sizes = {int(r["pid"]): int(r["n_edges"]) for r in man_rows}
         sizes = np.array(list(part_sizes.values()) or [0], dtype=np.float64)
@@ -554,6 +607,9 @@ def _pagerank_broadcast(
             "partition_edge_counts": part_sizes,
             "partition_uniq_counts": {
                 int(r["pid"]): int(r["n_uniq"]) for r in man_rows
+            },
+            "partition_block_bytes": {
+                int(r["pid"]): int(r["n_bytes"]) for r in man_rows
             },
             "salted_dsts": len(heavy),
             "salt_fanout": salt_fanout if heavy else 1,

@@ -230,6 +230,25 @@ def test_local_iters_block_jacobi(spark):
     e.unpersist()
 
 
+def test_two_phase_matches_exact(spark):
+    from pagerank_spark.operators.pagerank import pagerank_two_phase
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=250, e=3000, seed=31).cache()
+    exact = pagerank(e, n=250, dangling="redistribute", eps=1e-6, mode="local")
+    tp = pagerank_two_phase(
+        e, n=250, coarse_eps=1e-3, eps=1e-6, local_iters=4,
+        dangling="redistribute",
+    )
+    assert tp.converged
+    np.testing.assert_allclose(
+        ranks_vec(tp, 250), ranks_vec(exact, 250), atol=1e-5
+    )
+    # lineage carries per-partition block bytes (north_rule metrics)
+    assert sum(tp.partition_lineage["partition_block_bytes"].values()) > 0
+    e.unpersist()
+
+
 def test_permutation_invariance(spark):
     # Renaming vertices permutes ranks identically (SURVEY.md §5.2 item 2).
     edges = DEMO_EDGES
