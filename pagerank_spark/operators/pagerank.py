@@ -154,6 +154,24 @@ def _atomic_np_save(path: str, arr: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
+def _validate_ids(edges: DataFrame, n: int) -> None:
+    """One columnar min/max scan: fail fast with a clear message instead
+    of an IndexError deep inside a kernel when ids are out of range."""
+    row = edges.agg(
+        F.min("src").alias("mns"),
+        F.max("src").alias("mxs"),
+        F.min("dst").alias("mnd"),
+        F.max("dst").alias("mxd"),
+    ).collect()[0]
+    lo = min(row["mns"], row["mnd"])
+    hi = max(row["mxs"], row["mxd"])
+    if lo < 0 or hi >= n:
+        raise ValueError(
+            f"vertex ids must be dense in [0, n={n}): found range "
+            f"[{lo}, {hi}] — run densify_ids() first or pass the right n"
+        )
+
+
 def _infer_n(edges: DataFrame) -> int:
     row = edges.agg(
         F.greatest(F.max("src"), F.max("dst")).alias("mx")
@@ -201,6 +219,11 @@ def pagerank(
         raise ValueError("local_iters > 1 requires the blocks strategy")
     if n is None:
         n = _infer_n(edges)
+    elif mode != "local":
+        # local mode validates for free on the collected arrays; the
+        # distributed modes pay one cheap columnar min/max scan to fail
+        # fast on out-of-range ids.
+        _validate_ids(edges, n)
     if n <= 0:
         raise ValueError("empty graph")
     if mode == "auto":
@@ -244,8 +267,16 @@ def _pagerank_local(
     pdf = edges.select(*cols).toPandas()
     src = pdf["src"].to_numpy()
     dst = pdf["dst"].to_numpy()
+    if len(src) and (
+        min(src.min(), dst.min()) < 0 or max(src.max(), dst.max()) >= n
+    ):
+        raise ValueError(
+            f"vertex ids must be dense in [0, n={n}): found range "
+            f"[{min(src.min(), dst.min())}, {max(src.max(), dst.max())}] — "
+            "run densify_ids() first or pass the right n"
+        )
     ew = pdf["_w"].to_numpy() if weight_col else np.ones(len(src))
-    strength = np.bincount(src, weights=ew, minlength=n).astype(np.float64)
+    strength = np.bincount(src, weights=ew, minlength=n)[:n].astype(np.float64)
     dangling_mask = strength == 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
         w_edge = d * ew / strength[src]  # defined: strength[src] > 0 per edge
@@ -731,6 +762,15 @@ def _pagerank_join(
     ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     it, residual, converged = 0, float("inf"), False
     metrics: list[dict] = []
+    if resume and checkpoint_dir:
+        mpath = os.path.join(checkpoint_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+            ranks = spark.read.parquet(manifest["rank_path"]).localCheckpoint()
+            it = manifest["iteration"]
+            metrics = manifest.get("metrics", [])
+    start_iter = it
     lineage = {"num_partitions": P, "edge_count": edge_count, "mode": "join"}
     while True:
         t0 = time.monotonic()
@@ -780,7 +820,7 @@ def _pagerank_join(
         if residual <= eps:
             converged = True
             break
-        if max_iter is not None and it >= max_iter:
+        if max_iter is not None and it - start_iter >= max_iter:
             break
     edges_w.unpersist()
     dangling_ids.unpersist()

@@ -106,6 +106,69 @@ def test_derive_resolution_is_broadcast_join(spark):
     assert plan_has(edges, "BroadcastHashJoin")
 
 
+def test_partition_pruning_on_lang_partitioned_corpus(spark, tmp_path):
+    """The production corpus is partitioned (Iceberg hidden partitioning /
+    hive layout here); a lang filter must prune partitions at the scan."""
+    from pagerank_spark.testing import synth_corpus
+
+    corpus = synth_corpus(spark, n_repos=10, files_per_repo=4)
+    path = str(tmp_path / "warehouse_corpus")
+    corpus.write.partitionBy("lang").parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .where(F.col("lang") == "python")
+        .select("repo", "content")
+    )
+    from pagerank_spark.plans import explain_summary
+
+    s = explain_summary(q)
+    assert "PartitionFilters" in s and "lang" in s
+    # correctness of the pruned read
+    want = corpus.where(F.col("lang") == "python").count()
+    assert q.count() == want
+
+
+def test_pagerank_id_validation_errors(spark):
+    from pagerank_spark import pagerank
+    from pagerank_spark.testing import edges_df
+
+    bad = edges_df(spark, [(0, 1), (1, 7)])  # id 7 out of range for n=3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="densify_ids"):
+        pagerank(bad, n=3, mode="local")
+    with _pytest.raises(ValueError, match="densify_ids"):
+        pagerank(bad, n=3, mode="broadcast")
+
+
+def test_join_mode_checkpoint_resume(spark, tmp_path):
+    import numpy as np
+
+    from pagerank_spark import pagerank
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=150, e=1200, seed=17).cache()
+    full = pagerank(e, n=150, dangling="redistribute", mode="join")
+    ck = str(tmp_path / "jck")
+    part = pagerank(
+        e, n=150, dangling="redistribute", mode="join", max_iter=3,
+        checkpoint_dir=ck,
+    )
+    assert not part.converged
+    resumed = pagerank(
+        e, n=150, dangling="redistribute", mode="join",
+        checkpoint_dir=ck, resume=True,
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    a = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    np.testing.assert_allclose(
+        [a[i] for i in range(150)], [b[i] for i in range(150)], atol=1e-12
+    )
+    e.unpersist()
+
+
 def test_triangles_no_cartesian_product(spark):
     from pagerank_spark import triangle_count
     from pagerank_spark.testing import synth_edges
