@@ -61,12 +61,13 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, k: int):
     """``(doc_id, hashes: array<long>)`` — k-token shingle hashes, all JVM-side."""
-    tokens = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    from pagerank_spark.functions.text import shingles
+
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(shingles, lambda s: F.xxhash64(s)).alias("hashes"),
+        F.transform(
+            shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+        ).alias("hashes"),
     )
 
 

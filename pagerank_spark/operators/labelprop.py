@@ -49,18 +49,15 @@ def label_propagation(
         picked = counts.groupBy("id").agg(
             F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("top")
         ).select("id", (-F.col("top.neg")).alias("new_label"))
-        new_labels = (
-            labels.join(picked, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "nl")
-            .join(labels, "id")
-            .where(F.col("nl") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        # carry old + new in one frame: the change count needs no extra
+        # join, just a filter over the already-checkpointed result
+        staged = labels.join(picked, "id", "left").select(
+            "id",
+            F.coalesce("new_label", "label").alias("label"),
+            (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
+        ).localCheckpoint()
+        changed = staged.where(F.col("_chg")).count()
+        labels = staged.select("id", "label")
         if changed == 0:
             break
     return labels

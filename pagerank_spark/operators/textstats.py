@@ -10,8 +10,12 @@ correctness is machine-checked, not eyeballed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pagerank_spark.functions.text import occurrences as _occurrences
+from pagerank_spark.functions.text import shingles as _shingles
+from pagerank_spark.functions.text import word_occurrences as _word_occurrences
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Counting ' word ' occurrences via length-replace arithmetic is exact
@@ -29,19 +33,6 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 # BPE-ish subword unit: runs of word chars up to 4 long, or a single
 # non-space symbol — a deterministic stand-in for a tokenizer's merges.
 BPE_REGEX = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
-
-
-def _occurrences(col: Column, needle: str) -> Column:
-    """Occurrence count of ``needle`` via length-replace arithmetic."""
-    return (
-        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
-        / len(needle)
-    ).cast("long")
-
-
-def _word_occurrences(col: Column, word: str) -> Column:
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
-    return _occurrences(padded, f" {word} ")
 
 
 def token_counts(
@@ -140,12 +131,10 @@ def fingerprints(
     hash content signature stable under reordering-free edits outside
     the minimal window. JVM-side (transform + xxhash64 + array_min).
     """
-    tokens = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (window - 1), F.lit(1)))
-    shingles = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window)))
+    hashed = F.transform(
+        _shingles(F.col(text_col), window), lambda s: F.xxhash64(s)
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_min(shingles).alias("fingerprint"),
+        F.array_min(hashed).alias("fingerprint"),
     )
