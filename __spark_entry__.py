@@ -207,6 +207,27 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF index probed exhaustively (nprobe = n_centroids) — must equal
+    the exact scan, so it shares the brute-force SQL oracle."""
+    from pagerank_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ivf_topk(
+        emb, [float(x) for x in qv], k=10, n_centroids=8, nprobe=8
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    from pagerank_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "a", "b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational delegation demos (generic SQL is Spark SQL itself)
 # ---------------------------------------------------------------------------
@@ -340,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "simhash_near_pairs": q_simhash_near_pairs,
         # relational delegation demos
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -551,6 +574,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY a, b"
         ),
         "ann_cosine_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), "
+            "s AS (SELECT vec_id, "
+            "list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) / "
+            "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(q.qv, q.qv))) AS cos FROM embeddings, q) "
+            "SELECT vec_id, round(cos, 6) AS cosine FROM s "
+            "ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        "ivf_cosine_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), "
             "s AS (SELECT vec_id, "
             "list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) / "

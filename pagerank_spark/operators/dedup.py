@@ -90,14 +90,16 @@ def _minhash_kernel(num_perm: int, bands: int, seed: int):
             offsets = np.asarray(arr.offsets)
             vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
             counts = np.diff(offsets)
-            # Fully vectorized: (E, K) permuted hashes, per-doc segment min
-            # via minimum.reduceat — zero per-row (and per-doc) Python.
+            # Vectorized per permutation (cache-friendly 1-D temporaries
+            # instead of one (E, K) matrix): per-doc segment min via
+            # minimum.reduceat — zero per-row (and per-doc) Python.
+            sig = np.empty((nrows, num_perm), dtype=np.uint64)
             if len(vals):
-                m = vals[:, None] * am[None, :] + bm[None, :]
                 starts = np.minimum(offsets[:-1].astype(np.intp), len(vals) - 1)
-                sig = np.minimum.reduceat(m, starts, axis=0)
-            else:
-                sig = np.empty((nrows, num_perm), dtype=np.uint64)
+                for k in range(num_perm):
+                    sig[:, k] = np.minimum.reduceat(
+                        vals * am[k] + bm[k], starts
+                    )
             sig[counts == 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
             # band hashes: fold each band's rows with a splitmix finalizer
             band_sig = sig.reshape(nrows, bands, rows_per_band)
@@ -235,6 +237,59 @@ def simhash_duplicate_pairs(
     a = fp.select(F.col("doc_id").alias("a"), "simhash")
     b = fp.select(F.col("doc_id").alias("b"), "simhash")
     return a.join(b, "simhash").where(F.col("a") < F.col("b")).select("a", "b", "simhash")
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= ``max_hamming``:
+    ``(a, b, hamming)``.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks — any pair within distance k must agree
+    on at least one chunk — then verify candidates exactly with
+    ``bit_count(a XOR b)``. All JVM-side; the quadratic join runs only
+    within chunk-value buckets.
+    """
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+    mask = (1 << bits) - 1
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    keys = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", c * bits).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "key"),
+    )
+    a = keys.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "chunk", "key"
+    )
+    b = keys.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "chunk", "key"
+    )
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def ngram_jaccard_pairs(

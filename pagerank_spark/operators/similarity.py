@@ -142,6 +142,132 @@ def cosine_topk_lsh(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means centroids for an IVF index.
+
+    Init: the n_centroids vectors whose xxhash64(id, seed) is smallest —
+    a deterministic pseudo-random sample, partition-order independent.
+    Each Lloyd round is one assignment kernel (BLAS per Arrow batch) +
+    one map-side-combinable sum/count aggregate; centroids stay driver-
+    side NumPy (k × dim is tiny by construction).
+    """
+    dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    init = (
+        embeddings.select(
+            vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("h")
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    for _ in range(iters):
+        assigned = src.mapInArrow(
+            _assign_kernel(centroids), "vec_id long, centroid int"
+        )
+        sums = (
+            embeddings.join(
+                assigned, embeddings[id_col] == assigned["vec_id"]
+            )
+            .groupBy("centroid")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.col(vec_col).getItem(i).cast("double"))
+                        for i in range(dim)
+                    ]
+                ).alias("vsum"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for r in sums:
+            c = r["centroid"]
+            new[c] = np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
+        if np.allclose(new, centroids, atol=1e-12):
+            break
+        centroids = new
+    return centroids
+
+
+def _assign_kernel(centroids: np.ndarray):
+    k, dim = centroids.shape
+
+    def kernel(batches):
+        cT = np.ascontiguousarray(centroids.T)
+        c_norm2 = (centroids**2).sum(axis=1)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("embedding")
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            mat = (
+                arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
+            # argmin ||x-c||^2 = argmin c.c - 2 x.c  (x.x constant per row)
+            scores = c_norm2[None, :] - 2.0 * (mat @ cT)
+            best = scores.argmin(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(best)], ["vec_id", "centroid"]
+            )
+
+    return kernel
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine rerank within the ``nprobe``
+    centroids nearest to the query. At scale the index assignment is
+    a stored partition/cluster column, so the probe is a partition-
+    pruned read of ~nprobe/n_centroids of the data.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, iters, seed, id_col, vec_col
+        )
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = set(int(c) for c in np.argsort(d2)[:nprobe])
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    assigned = src.mapInArrow(
+        _assign_kernel(centroids), "vec_id long, centroid int"
+    ).where(F.col("centroid").isin(list(probe)))
+    cand = embeddings.join(
+        assigned.select(F.col("vec_id").alias("__ivf_id")),
+        embeddings[id_col] == F.col("__ivf_id"),
+        "left_semi",
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

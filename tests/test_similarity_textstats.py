@@ -57,6 +57,43 @@ def test_lsh_topk_subset_of_bucket(spark, emb, emb_np):
     assert all(buckets[r["vec_id"]] == qb for r in rows)
 
 
+def test_ivf_topk_recall_and_determinism(spark, emb, emb_np):
+    from pagerank_spark.operators.similarity import cosine_topk, ivf_topk
+
+    ids, mat = emb_np
+    q = list(mat[7])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx1 = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_centroids=8, nprobe=4).collect()]
+    approx2 = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_centroids=8, nprobe=4).collect()]
+    assert approx1 == approx2  # deterministic index + probe
+    assert approx1[0] == 7  # the query vector itself survives probing
+    recall = len(set(exact) & set(approx1)) / 10
+    assert recall >= 0.3  # nprobe=4 of 8 centroids: at least half the space
+    # full probe == exact
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(emb, q, k=10, n_centroids=8, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_simhash_near_pairs_hamming(spark, docs):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.dedup import simhash_near_pairs
+
+    base = docs.select("doc_id", "text")
+    dup = base.limit(4).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    both = base.union(dup)
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(both, max_hamming=3).collect()
+    }
+    for r in base.limit(4).collect():
+        assert pairs[(r["doc_id"], r["doc_id"] + 5000)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
 def test_embedding_near_duplicates(spark, emb):
     # duplicate three vectors with new ids -> cosine 1.0 pairs must surface
     dup = emb.where(F.col("vec_id") < 3).select(
