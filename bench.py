@@ -165,6 +165,13 @@ def run_scaling():
     return results
 
 
+def _sf_of(sf_dir: str):
+    try:
+        return float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return sf_dir  # non-standard dir name: report it verbatim
+
+
 def main():
     timings = run_headline()
     out = {
@@ -172,7 +179,7 @@ def main():
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "sf": _sf_of(SF_DIR),
     }
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") != "1":
         out["scaling"] = run_scaling()

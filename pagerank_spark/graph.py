@@ -49,8 +49,11 @@ class LinkGraph:
         dense repo graph, keeping the id mapping for result joins."""
         from pyspark.sql import functions as F
 
-        weighted = derive_edges(corpus)
+        weighted = derive_edges(corpus).persist()
         _dense, mapping = densify_ids(weighted.select("src", "dst"))
+        # mapping's lineage includes the full corpus regex scan — cache it
+        # so the two resolution joins and the count scan it exactly once
+        mapping = mapping.persist()
         m_src = mapping.withColumnRenamed("orig_id", "src").withColumnRenamed(
             "id", "src_id"
         )

@@ -134,11 +134,13 @@ def pagerank_two_phase(
             checkpoint_dir=ckpt, salt_threshold=1 << 62,
             weight_col=weight_col, max_iter=max_iter,
         )
+        # max_iter is a TOTAL global-sync budget across both phases
+        remaining = None if max_iter is None else max(max_iter - p1.iterations, 0)
         p2 = pagerank(
             edges, n=n, d=d, eps=eps, dangling=dangling,
             mode="broadcast", num_partitions=num_partitions,
             checkpoint_dir=ckpt, resume=True, local_iters=local_iters,
-            weight_col=weight_col, max_iter=max_iter,
+            weight_col=weight_col, max_iter=remaining,
         )
     finally:
         if owns:
@@ -152,31 +154,6 @@ def _atomic_np_save(path: str, arr: np.ndarray) -> None:
     tmp = path + ".tmp.npy"
     np.save(tmp, arr)
     os.replace(tmp, path)
-
-
-def _validate_ids(edges: DataFrame, n: int) -> None:
-    """One columnar min/max scan: fail fast with a clear message instead
-    of an IndexError deep inside a kernel when ids are out of range."""
-    row = edges.agg(
-        F.min("src").alias("mns"),
-        F.max("src").alias("mxs"),
-        F.min("dst").alias("mnd"),
-        F.max("dst").alias("mxd"),
-    ).collect()[0]
-    lo = min(row["mns"], row["mnd"])
-    hi = max(row["mxs"], row["mxd"])
-    if lo < 0 or hi >= n:
-        raise ValueError(
-            f"vertex ids must be dense in [0, n={n}): found range "
-            f"[{lo}, {hi}] — run densify_ids() first or pass the right n"
-        )
-
-
-def _infer_n(edges: DataFrame) -> int:
-    row = edges.agg(
-        F.greatest(F.max("src"), F.max("dst")).alias("mx")
-    ).collect()[0]
-    return int(row["mx"]) + 1 if row["mx"] is not None else 0
 
 
 def pagerank(
@@ -217,21 +194,32 @@ def pagerank(
         raise ValueError("local_iters must be >= 1")
     if local_iters > 1 and mode not in ("auto", "broadcast", "blocks"):
         raise ValueError("local_iters > 1 requires the blocks strategy")
-    if n is None:
-        n = _infer_n(edges)
-    elif mode != "local":
-        # local mode validates for free on the collected arrays; the
-        # distributed modes pay one cheap columnar min/max scan to fail
-        # fast on out-of-range ids.
-        _validate_ids(edges, n)
+    # ONE combined columnar scan serves n-inference, id validation, and
+    # the auto-mode size decision (explicit local mode skips it — the
+    # collected arrays validate for free there).
+    e_count = None
+    if n is None or mode != "local":
+        row = edges.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.least(F.min("src"), F.min("dst")).alias("lo"),
+            F.greatest(F.max("src"), F.max("dst")).alias("hi"),
+        ).collect()[0]
+        e_count = int(row["cnt"])
+        lo, hi = row["lo"], row["hi"]
+        if n is None:
+            n = int(hi) + 1 if hi is not None else 0
+        elif e_count and (lo < 0 or hi >= n):
+            raise ValueError(
+                f"vertex ids must be dense in [0, n={n}): found range "
+                f"[{lo}, {hi}] — run densify_ids() first or pass the right n"
+            )
     if n <= 0:
         raise ValueError("empty graph")
     if mode == "auto":
         if local_iters > 1:
             mode = "broadcast"
-        elif n <= LOCAL_MAX_N:
-            e_count = edges.count()
-            mode = "local" if e_count <= LOCAL_MAX_E else "broadcast"
+        elif n <= LOCAL_MAX_N and e_count <= LOCAL_MAX_E:
+            mode = "local"
         else:
             mode = "broadcast" if n <= BROADCAST_MAX_N else "join"
     if mode == "local":
@@ -243,7 +231,7 @@ def pagerank(
         return _pagerank_broadcast(
             edges, n, d, eps, dangling, max_iter, num_partitions,
             checkpoint_dir, resume, block_dir, salt_threshold, weight_col,
-            local_iters,
+            local_iters, e_count,
         )
     if mode == "join":
         return _pagerank_join(
@@ -323,7 +311,7 @@ def _pagerank_local(
 # broadcast-rank strategy
 # --------------------------------------------------------------------------
 
-def _block_build_kernel(block_dir: str, id32: bool):
+def _block_build_kernel(block_dir: str, id32: bool, strength_path: str):
     """Build one CSR-style block per input partition, persisted as an
     Arrow IPC file (columns: src, inv, uniq), and emit its lineage row.
 
@@ -357,7 +345,7 @@ def _block_build_kernel(block_dir: str, id32: bool):
         # Per-edge factor d*w/strength(src), loop-invariant
         # (Page_Rank_SERIAL.c:168-180): baked into the block so each
         # iteration needs only ONE random gather (rank[src]).
-        strength = _load_weights(os.path.join(block_dir, "strength_vec.npy"))
+        strength = _load_weights(strength_path)
         wfac = ew * strength[src]  # strength file holds d/strength
         # pos: index of src within this block's own dst set (-1 if the
         # source vertex is external) — enables block-Jacobi local
@@ -430,7 +418,10 @@ def _load_weights(path: str) -> np.ndarray:
     return _WEIGHT_CACHE["vec"]
 
 
-def _block_jacobi_kernel(block_dir: str, iteration: int, k: int, base: float):
+def _block_jacobi_kernel(
+    block_dir: str, rank_path: str, iteration: int, k: int, base: float,
+    expected_pids: frozenset,
+):
     """O18: k block-Jacobi sub-iterations per global sync
     (``Page_Rank_improved.c:404-468``'s phase-2, generalized). Each
     block updates the ranks of ITS OWN destinations k times, reading
@@ -452,12 +443,18 @@ def _block_jacobi_kernel(block_dir: str, iteration: int, k: int, base: float):
     """
 
     def kernel(batches):
-        r = _load_vec(os.path.join(block_dir, "rank_vec.npy"), iteration)
+        r = _load_vec(rank_path, iteration)
         for batch in batches:
             for pid in batch.column("pid").to_pylist():
                 path = os.path.join(block_dir, f"block_{pid:05d}.arrow")
                 if not os.path.exists(path):
-                    continue
+                    if pid in expected_pids:
+                        raise FileNotFoundError(
+                            f"block store incomplete: {path} is listed in "
+                            "the manifest but missing on disk — rebuild "
+                            "(resume=False) or restore the block files"
+                        )
+                    continue  # pid genuinely owns no edges
                 with pa.memory_map(path, "r") as mm, pa.memory_map(
                     path.replace(".arrow", ".uniq.arrow"), "r"
                 ) as mu:
@@ -488,7 +485,9 @@ def _block_jacobi_kernel(block_dir: str, iteration: int, k: int, base: float):
     return kernel
 
 
-def _block_spmv_kernel(block_dir: str, iteration: int):
+def _block_spmv_kernel(
+    block_dir: str, rank_path: str, iteration: int, expected_pids: frozenset
+):
     """Per-iteration SpMV over materialized blocks: memory-map the
     Arrow file (zero-copy), gather w[src]*rank[src] from the replicated
     vectors, one bincount per block. The NumPy analogue of the
@@ -498,11 +497,17 @@ def _block_spmv_kernel(block_dir: str, iteration: int):
     """
 
     def kernel(batches):
-        r = _load_vec(os.path.join(block_dir, "rank_vec.npy"), iteration)
+        r = _load_vec(rank_path, iteration)
         for batch in batches:
             for pid in batch.column("pid").to_pylist():
                 path = os.path.join(block_dir, f"block_{pid:05d}.arrow")
                 if not os.path.exists(path):
+                    if pid in expected_pids:
+                        raise FileNotFoundError(
+                            f"block store incomplete: {path} is listed in "
+                            "the manifest but missing on disk — rebuild "
+                            "(resume=False) or restore the block files"
+                        )
                     continue  # empty partition produced no block
                 with pa.memory_map(path, "r") as mm, pa.memory_map(
                     path.replace(".arrow", ".uniq.arrow"), "r"
@@ -529,6 +534,7 @@ def _block_spmv_kernel(block_dir: str, iteration: int):
 def _pagerank_broadcast(
     edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume,
     block_dir=None, salt_threshold=None, weight_col=None, local_iters=1,
+    e_count=None,
 ):
     """Block-partitioned broadcast-rank strategy (the scale path).
 
@@ -576,11 +582,19 @@ def _pagerank_broadcast(
 
             block_dir = tempfile.mkdtemp(prefix="pagerank_blocks_")
     os.makedirs(block_dir, exist_ok=True)
+    # Per-run token: vector filenames are unique per run, so reused
+    # Python worker processes can never serve a stale cached vector
+    # from an earlier run that shared this block_dir path.
+    import uuid
+
+    run_token = uuid.uuid4().hex[:12]
+    strength_path = os.path.join(block_dir, f"strength_vec_{run_token}.npy")
+    rank_path = os.path.join(block_dir, f"rank_vec_{run_token}.npy")
     # Replicated d/strength vector, written once (loop-invariant,
     # Page_Rank_SERIAL.c:168-180); the block build bakes it into the
     # per-edge wfac column. block_dir is executor-reachable by
     # construction (local scratch in local mode, shared FS on a cluster).
-    _atomic_np_save(os.path.join(block_dir, "strength_vec.npy"), weights)
+    _atomic_np_save(strength_path, weights)
 
     manifest_path = os.path.join(block_dir, "blocks_manifest.json")
     lineage = None
@@ -592,12 +606,19 @@ def _pagerank_broadcast(
                 "cannot resume with local_iters > 1 from salted blocks"
             )
     if lineage is None:
+        # Building fresh: stale blocks from any earlier run sharing this
+        # dir would otherwise be silently summed in (their pids may not
+        # be overwritten when the new graph leaves partitions empty).
+        for fn in os.listdir(block_dir):
+            if fn.startswith("block_") and fn.endswith(".arrow"):
+                os.unlink(os.path.join(block_dir, fn))
         # Skew-aware partition key: destinations with more in-edges than
         # a whole average partition get salted across SALT sub-keys by
         # src, bounding the largest block. Partial sums for a salted dst
         # land in several blocks; the driver's np.add.at recombines them
         # exactly (summation stays keyed by true dst).
-        e_count = edges.count()
+        if e_count is None:
+            e_count = edges.count()
         thresh = salt_threshold if salt_threshold is not None else max(
             e_count // max(P, 1), 1_000
         )
@@ -627,7 +648,7 @@ def _pagerank_broadcast(
             sel.append(F.col(weight_col).cast("double").alias("_w"))
         prepared = edges.select(*sel).repartition(P, pk)
         man_rows = prepared.mapInArrow(
-            _block_build_kernel(block_dir, id32),
+            _block_build_kernel(block_dir, id32, strength_path),
             "pid int, n_edges long, n_uniq long, n_bytes long",
         ).collect()
         part_sizes = {int(r["pid"]): int(r["n_edges"]) for r in man_rows}
@@ -652,12 +673,18 @@ def _pagerank_broadcast(
             json.dump(lineage, f)
     edge_count = lineage["edge_count"]
     skew_ratio = lineage["skew_ratio"]
+    # pids that actually own a block; iteration kernels FAIL FAST if one
+    # of these is missing on disk instead of silently dropping its edges.
+    expected_pids = frozenset(
+        int(p) for p in lineage["partition_edge_counts"]
+    )
 
-    # Tiny driver frame: one row per partition id, spread across P tasks.
+    # Tiny driver frame: exactly one partition per block id (range with
+    # numPartitions=P places id i in partition i — a hash repartition
+    # would leave ~1/e of tasks empty and pile blocks onto others).
     pids = (
-        spark.range(lineage["num_partitions"])
+        spark.range(0, lineage["num_partitions"], 1, lineage["num_partitions"])
         .select(F.col("id").cast("int").alias("pid"))
-        .repartition(lineage["num_partitions"], "pid")
         .persist()
     )
     pids.count()
@@ -676,13 +703,17 @@ def _pagerank_broadcast(
     converged = False
     while True:
         t0 = time.monotonic()
-        _atomic_np_save(os.path.join(block_dir, "rank_vec.npy"), rank)
+        _atomic_np_save(rank_path, rank)
         dm = float(rank[dangling_mask].sum()) if dangling == "redistribute" else 0.0
         base = teleport + d * dm / n
         if local_iters > 1:
-            kern = _block_jacobi_kernel(block_dir, it + 1, local_iters, base)
+            kern = _block_jacobi_kernel(
+                block_dir, rank_path, it + 1, local_iters, base, expected_pids
+            )
         else:
-            kern = _block_spmv_kernel(block_dir, it + 1)
+            kern = _block_spmv_kernel(
+                block_dir, rank_path, it + 1, expected_pids
+            )
         parts = pids.mapInArrow(kern, "dst long, s double").toPandas()
         new = np.full(n, base, dtype=np.float64)
         if len(parts):

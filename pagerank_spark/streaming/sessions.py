@@ -39,8 +39,12 @@ def _sessionize_fn(gap_us: int):
             cur_start = cur_last = None
             cur_n, cur_total = 0, 0.0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # Chunks from the iterator are NOT globally time-ordered — a key
+        # with more rows than one Arrow batch arrives as several chunks.
+        # Concatenate and sort ONCE per micro-batch before folding.
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
             ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
             vals = pdf["value"].to_numpy()
             for t, v in zip(ts_us.to_numpy(), vals):
@@ -50,7 +54,9 @@ def _sessionize_fn(gap_us: int):
                     closed.append((cur_start, cur_last, cur_n, cur_total))
                     cur_start, cur_last, cur_n, cur_total = int(t), int(t), 1, float(v)
                 else:
-                    cur_last = int(t)
+                    # late data within the gap extends the session but
+                    # never moves its end backward
+                    cur_last = max(cur_last, int(t))
                     cur_n += 1
                     cur_total += float(v)
         if cur_start is not None:

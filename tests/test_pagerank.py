@@ -249,6 +249,32 @@ def test_two_phase_matches_exact(spark):
     e.unpersist()
 
 
+@pytest.mark.parametrize("mode", ["local", "broadcast", "join"])
+def test_edgeless_graph_uniform_teleport(spark, mode):
+    # n vertices, zero edges: every vertex is dangling; leak mode gives
+    # the pure teleport vector each iteration
+    e = spark.createDataFrame([], "src long, dst long")
+    res = pagerank(e, n=5, dangling="leak", mode=mode)
+    v = ranks_vec(res, 5)
+    np.testing.assert_allclose(v, np.full(5, 0.03), atol=1e-12)
+    redis = pagerank(e, n=5, dangling="redistribute", mode=mode)
+    np.testing.assert_allclose(ranks_vec(redis, 5), np.full(5, 0.2), atol=1e-12)
+
+
+def test_blockdir_reuse_across_graphs_is_safe(spark, tmp_path):
+    # rebuilding into a dir that holds an earlier graph's blocks must not
+    # leak the old edges into the new result
+    from pagerank_spark.testing import synth_edges
+
+    bd = str(tmp_path / "shared_blocks")
+    big = synth_edges(spark, n=200, e=3000, seed=41).cache()
+    small = edges_df(spark, DEMO_EDGES)
+    pagerank(big, n=200, dangling="leak", mode="broadcast", block_dir=bd)
+    res = pagerank(small, n=4, dangling="leak", mode="broadcast", block_dir=bd)
+    np.testing.assert_allclose(ranks_vec(res, 4), DEMO_GOLDEN, atol=1e-6)
+    big.unpersist()
+
+
 def test_permutation_invariance(spark):
     # Renaming vertices permutes ranks identically (SURVEY.md §5.2 item 2).
     edges = DEMO_EDGES
