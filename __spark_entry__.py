@@ -220,6 +220,17 @@ def q_ivf_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_dedup_near_docs(spark, sf_dir):
+    """Near-dup removal: MinHash-LSH pair graph -> connected components
+    -> keep each cluster's min doc id (composition of the engine's own
+    dedup + graph operators)."""
+    from pagerank_spark.operators.dedup import dedup_near
+
+    return dedup_near(_docs(spark, sf_dir), threshold=0.8).select(
+        "doc_id"
+    ).orderBy("doc_id")
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     from pagerank_spark.operators.dedup import simhash_near_pairs
 
@@ -363,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "dedup_near_docs": q_dedup_near_docs,
         # relational delegation demos
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,

@@ -239,6 +239,39 @@ def simhash_duplicate_pairs(
     return a.join(b, "simhash").where(F.col("a") < F.col("b")).select("a", "b", "simhash")
 
 
+def dedup_near(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Remove near-duplicates, keeping one canonical doc per cluster.
+
+    Composition of the engine's own operators: MinHash-LSH candidate
+    pairs (verified at ``threshold`` Jaccard) form a similarity graph;
+    ``connected_components`` (small-star/large-star) clusters it; the
+    component label IS the minimum doc id, which survives. Transitive
+    near-duplicate chains (A~B~C with A!~C) therefore collapse to one
+    representative — the behavior large-scale training-data dedup wants.
+    """
+    from pagerank_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, shingle_k, num_perm, bands, seed,
+        verify_threshold=threshold,
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels = connected_components(edges)
+    drop = labels.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

@@ -64,6 +64,41 @@ def test_minhash_finds_exact_and_near_dups(spark, docs):
         assert jac[(i, i + 100000)] == pytest.approx(1.0)
 
 
+def test_dedup_near_transitive_clusters(spark, docs):
+    from pagerank_spark.operators.dedup import dedup_near
+
+    out = dedup_near(docs, threshold=0.7)
+    # exact dups (jaccard 1.0) are removed, min id survives
+    assert out.where(F.col("doc_id").isin([100000 + i for i in range(5)])).count() == 0
+    assert out.where(F.col("doc_id").isin(list(range(5)))).count() == 5
+    # near-dups (appended token) removed at 0.7
+    assert out.where(F.col("doc_id").isin([200005, 200006, 200007])).count() == 0
+    # exact survivor set: union-find over the same verified pair graph
+    # (the base corpus itself contains organic near-dup pairs)
+    pairs = [
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs, verify_threshold=0.7).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    dropped = {x for x in parent if find(x) != x}
+    want_survivors = all_ids - dropped
+    got_survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got_survivors == want_survivors
+
+
 def test_minhash_deterministic(spark, docs):
     p1 = sorted(map(tuple, minhash_lsh_pairs(docs, verify_threshold=None).collect()))
     p2 = sorted(map(tuple, minhash_lsh_pairs(docs, verify_threshold=None).collect()))
