@@ -160,7 +160,60 @@ def test_stateful_sessionize(spark, tmp_path):
     assert len(got) > 0
 
 
-def test_streaming_degrees_memory_sink(spark, tmp_path):
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    """State must carry sessions across micro-batches: split the events
+    into two files and force one file per trigger; sessions spanning the
+    boundary are merged by the state store, so the final closed-session
+    set must equal the single-batch oracle."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from pagerank_spark.streaming.sessions import sessionize
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    d = tmp_path / "events_split"
+    d.mkdir()
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), d / "part-0.parquet")
+    pq.write_table(tbl.slice(half), d / "part-1.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    sess = sessionize(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_mb_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    got = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in spark.sql("select * from sess_mb_test").collect()
+    }
+    batch_rows = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    want = sessions_oracle(batch_rows, gap_minutes=30)
+    # NOTE: a session closed *within* micro-batch 1 whose gap to batch-2
+    # events is within the 30min window would differ only if the file
+    # split broke time order mid-session; the oracle ordering matches
+    # because rows are time-ordered in the source file. Exact match:
+    assert got == want
+    assert len(got) > 0
     stream = read_events_stream(spark, _stage_events_dir(tmp_path))
     deg = streaming_edge_degrees(stream)
     q = (
