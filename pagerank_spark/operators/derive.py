@@ -73,22 +73,43 @@ def extract_references(corpus: DataFrame) -> DataFrame:
 def derive_edges(
     corpus: DataFrame,
     keep_self: bool = False,
+    granularity: str = "repo",
 ) -> DataFrame:
-    """``DataFrame[src: string, dst: string, weight: long]`` repo graph.
+    """``DataFrame[src: string, dst: string, weight: long]`` reference graph.
+
+    ``granularity="repo"``: src is the referencing repo (repo→repo
+    graph, the default production shape). ``granularity="file"``: src is
+    ``repo:path`` (file→repo bipartite graph — finer-grained ranking,
+    ~10^6x more source vertices at the design point; the dst side stays
+    repo-level because import statements name packages, not paths).
 
     The repo dimension (distinct repos + canonical module name) is
     broadcast — it is orders of magnitude smaller than the file table
     (10^6 repos vs 10^12 files at the design point), so resolution
     never shuffles the fat side.
     """
+    if granularity not in ("repo", "file"):
+        raise ValueError("granularity must be 'repo' or 'file'")
     repos = corpus.select("repo").distinct().select(
         F.col("repo").alias("dst"), repo_module_name(F.col("repo")).alias("module")
     )
-    refs = extract_references(corpus)
-    edges = (
-        refs.join(F.broadcast(repos), "module")
-        .select(F.col("src_repo").alias("src"), "dst")
-    )
-    if not keep_self:
-        edges = edges.where(F.col("src") != F.col("dst"))
+    if granularity == "file":
+        src_corpus = corpus.withColumn(
+            "repo", F.concat_ws(":", "repo", "path")
+        )
+        refs = extract_references(src_corpus)
+        edges = refs.join(F.broadcast(repos), "module").select(
+            F.col("src_repo").alias("src"), "dst"
+        )
+        if not keep_self:
+            edges = edges.where(
+                F.split(F.col("src"), ":").getItem(0) != F.col("dst")
+            )
+    else:
+        refs = extract_references(corpus)
+        edges = refs.join(F.broadcast(repos), "module").select(
+            F.col("src_repo").alias("src"), "dst"
+        )
+        if not keep_self:
+            edges = edges.where(F.col("src") != F.col("dst"))
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))

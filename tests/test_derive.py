@@ -34,6 +34,24 @@ def test_extract_references_all_langs(spark):
     assert refs.count() >= corpus.count()
 
 
+def test_derive_file_granularity(spark):
+    corpus = synth_corpus(spark, n_repos=10, files_per_repo=3)
+    repo_edges = derive_edges(corpus, granularity="repo")
+    file_edges = derive_edges(corpus, granularity="file")
+    # file srcs are repo:path; weights aggregate to the same repo totals
+    assert file_edges.where(~F.col("src").contains(":")).count() == 0
+    repo_total = repo_edges.agg(F.sum("weight")).collect()[0][0]
+    file_total = (
+        file_edges.select(
+            F.split("src", ":").getItem(0).alias("r"), "dst", "weight"
+        )
+        .where(F.col("r") != F.col("dst"))
+        .agg(F.sum("weight"))
+        .collect()[0][0]
+    )
+    assert file_total == repo_total
+
+
 def test_derive_edges_weighted_and_ranked(spark):
     corpus = synth_corpus(spark, n_repos=20, files_per_repo=5)
     edges = derive_edges(corpus)
