@@ -68,10 +68,14 @@ class LinkGraph:
                 F.col("dst_id").alias("dst"),
                 "weight",
             )
+            # materialize now so `weighted` can be released immediately —
+            # otherwise the persisted edge table pins executor storage
+            # for the rest of the session with no handle to unpersist
+            .localCheckpoint()
         )
-        return cls(
-            edges=wdense, n=mapping.count(), weight_col="weight", mapping=mapping
-        )
+        n = mapping.count()
+        weighted.unpersist()
+        return cls(edges=wdense, n=n, weight_col="weight", mapping=mapping)
 
     def _n(self) -> int | None:
         return self.n

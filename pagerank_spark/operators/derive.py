@@ -93,23 +93,19 @@ def derive_edges(
     repos = corpus.select("repo").distinct().select(
         F.col("repo").alias("dst"), repo_module_name(F.col("repo")).alias("module")
     )
-    if granularity == "file":
-        src_corpus = corpus.withColumn(
-            "repo", F.concat_ws(":", "repo", "path")
+    src_corpus = (
+        corpus.withColumn("repo", F.concat_ws(":", "repo", "path"))
+        if granularity == "file"
+        else corpus
+    )
+    edges = extract_references(src_corpus).join(F.broadcast(repos), "module").select(
+        F.col("src_repo").alias("src"), "dst"
+    )
+    if not keep_self:
+        src_repo_part = (
+            F.split(F.col("src"), ":").getItem(0)
+            if granularity == "file"
+            else F.col("src")
         )
-        refs = extract_references(src_corpus)
-        edges = refs.join(F.broadcast(repos), "module").select(
-            F.col("src_repo").alias("src"), "dst"
-        )
-        if not keep_self:
-            edges = edges.where(
-                F.split(F.col("src"), ":").getItem(0) != F.col("dst")
-            )
-    else:
-        refs = extract_references(corpus)
-        edges = refs.join(F.broadcast(repos), "module").select(
-            F.col("src_repo").alias("src"), "dst"
-        )
-        if not keep_self:
-            edges = edges.where(F.col("src") != F.col("dst"))
+        edges = edges.where(src_repo_part != F.col("dst"))
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))

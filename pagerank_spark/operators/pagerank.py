@@ -135,7 +135,9 @@ def pagerank_two_phase(
             weight_col=weight_col, max_iter=max_iter,
         )
         # max_iter is a TOTAL global-sync budget across both phases
-        remaining = None if max_iter is None else max(max_iter - p1.iterations, 0)
+        remaining = None if max_iter is None else max_iter - p1.iterations
+        if remaining is not None and remaining <= 0:
+            return p1  # budget exhausted in phase 1 (do-while would run +1)
         p2 = pagerank(
             edges, n=n, d=d, eps=eps, dangling=dangling,
             mode="broadcast", num_partitions=num_partitions,
@@ -206,9 +208,14 @@ def pagerank(
         ).collect()[0]
         e_count = int(row["cnt"])
         lo, hi = row["lo"], row["hi"]
+        if e_count and lo < 0:
+            raise ValueError(
+                f"vertex ids must be non-negative: found {lo} — run "
+                "densify_ids() first"
+            )
         if n is None:
             n = int(hi) + 1 if hi is not None else 0
-        elif e_count and (lo < 0 or hi >= n):
+        elif e_count and hi >= n:
             raise ValueError(
                 f"vertex ids must be dense in [0, n={n}): found range "
                 f"[{lo}, {hi}] — run densify_ids() first or pass the right n"
@@ -750,6 +757,14 @@ def _pagerank_broadcast(
         import shutil
 
         shutil.rmtree(block_dir, ignore_errors=True)
+    else:
+        # shared/caller-owned dir: clean up THIS run's vector files so
+        # repeated runs don't accumulate ~16MB .npy files per run
+        for p in (strength_path, rank_path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
     ranks_df = spark.createDataFrame(
         pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
                   "rank": pa.array(rank)})

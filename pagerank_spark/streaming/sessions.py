@@ -42,23 +42,41 @@ def _sessionize_fn(gap_us: int):
         # Chunks from the iterator are NOT globally time-ordered — a key
         # with more rows than one Arrow batch arrives as several chunks.
         # Concatenate and sort ONCE per micro-batch before folding.
+        # Cross-micro-batch late data (t before the open session carried
+        # in state): events within the gap of the open session extend it
+        # (in both directions); events MORE than a gap older cannot
+        # belong to it and are folded into their own immediately-closed
+        # late session(s) — bounded state, deterministic output.
+        late = None  # [start, last, n, total] of the pre-open-session run
         frames = [p for p in pdfs if len(p)]
         if frames:
             pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
             ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
             vals = pdf["value"].to_numpy()
-            for t, v in zip(ts_us.to_numpy(), vals):
+            for t_raw, v_raw in zip(ts_us.to_numpy(), vals):
+                t, v = int(t_raw), float(v_raw)
                 if cur_start is None:
-                    cur_start, cur_last, cur_n, cur_total = int(t), int(t), 1, float(v)
+                    cur_start, cur_last, cur_n, cur_total = t, t, 1, v
+                elif t < cur_start - gap_us:
+                    if late is None:
+                        late = [t, t, 1, v]
+                    elif t - late[1] > gap_us:
+                        closed.append(tuple(late))
+                        late = [t, t, 1, v]
+                    else:
+                        late[1] = max(late[1], t)
+                        late[2] += 1
+                        late[3] += v
                 elif t - cur_last > gap_us:
                     closed.append((cur_start, cur_last, cur_n, cur_total))
-                    cur_start, cur_last, cur_n, cur_total = int(t), int(t), 1, float(v)
+                    cur_start, cur_last, cur_n, cur_total = t, t, 1, v
                 else:
-                    # late data within the gap extends the session but
-                    # never moves its end backward
-                    cur_last = max(cur_last, int(t))
+                    cur_start = min(cur_start, t)
+                    cur_last = max(cur_last, t)
                     cur_n += 1
-                    cur_total += float(v)
+                    cur_total += v
+        if late is not None:
+            closed.append(tuple(late))
         if cur_start is not None:
             state.update((cur_start, cur_last, cur_n, cur_total))
         if closed:

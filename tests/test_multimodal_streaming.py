@@ -165,8 +165,6 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     into two files and force one file per trigger; sessions spanning the
     boundary are merged by the state store, so the final closed-session
     set must equal the single-batch oracle."""
-    import shutil
-
     import pyarrow.parquet as pq
 
     from pagerank_spark.streaming.sessions import sessionize
@@ -214,6 +212,9 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     # because rows are time-ordered in the source file. Exact match:
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_degrees_memory_sink(spark, tmp_path):
     stream = read_events_stream(spark, _stage_events_dir(tmp_path))
     deg = streaming_edge_degrees(stream)
     q = (
