@@ -102,6 +102,28 @@ def test_triangles_random_vs_trace_oracle(spark):
     e.unpersist()
 
 
+def test_triangles_per_vertex(spark):
+    # K4 (DEMO symmetrized): every vertex is a corner of 3 triangles
+    got = {
+        r["id"]: r["triangles"]
+        for r in triangle_count(edges_df(spark, DEMO_EDGES), per_vertex=True).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_lpa_directed_mode(spark):
+    # star 0->1,0->2,0->3: directed messages flow only src->dst, so the
+    # leaves adopt 0's label while 0 (no in-edges) keeps its own
+    pairs = [(0, 1), (0, 2), (0, 3)]
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            edges_df(spark, pairs), max_iter=3, directed=True
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
 def lpa_oracle(pairs, max_iter=10):
     """Deterministic synchronous LPA re-implementation (SURVEY.md §5.2)."""
     from collections import Counter, defaultdict
