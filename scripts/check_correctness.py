@@ -65,6 +65,10 @@ def main():
         extra_conf={"spark.driver.memory": "8g"},
     )
     con = duckdb.connect()
+    # big oracles (triangles/CC on dense graphs) can spill: keep DuckDB's
+    # temp storage out of the repo and bound its memory
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
