@@ -26,8 +26,8 @@ TABLES = [
 
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    # raw values, no rounding: the exactness report below must reflect
+    # what a strict value-hash over the rows would see
     return v
 
 
@@ -40,21 +40,28 @@ def rows_key(rows, cols):
 
 
 def values_match(a, b):
+    """Returns (ok, why, exact) — exact=True means EVERY value compared
+    bit-identical (a strict value-hash over the rows would match too)."""
     if len(a) != len(b):
-        return False, "row count"
+        return False, "row count", False
+    exact = True
     for ra, rb in zip(a, b):
         if len(ra) != len(rb):
-            return False, "width"
+            return False, "width", False
         for va, vb in zip(ra, rb):
             if isinstance(va, float) or isinstance(vb, float):
                 if va is None or vb is None:
                     if va is not vb:
-                        return False, f"{va!r} != {vb!r}"
-                elif not math.isclose(float(va), float(vb), rel_tol=0, abs_tol=1e-9):
-                    return False, f"{va!r} != {vb!r}"
+                        return False, f"{va!r} != {vb!r}", False
+                elif float(va) != float(vb):
+                    if not math.isclose(
+                        float(va), float(vb), rel_tol=0, abs_tol=1e-9
+                    ):
+                        return False, f"{va!r} != {vb!r}", False
+                    exact = False
             elif va != vb:
-                return False, f"{va!r} != {vb!r}"
-    return True, ""
+                return False, f"{va!r} != {vb!r}", False
+    return True, "", exact
 
 
 def main():
@@ -112,9 +119,13 @@ def main():
             continue
         ka = rows_key(srows, scols)
         kb = rows_key(drows, dcols)
-        ok, why = values_match(ka, kb)
+        ok, why, exact = values_match(ka, kb)
         if ok:
-            print(f"OK    {name}: {len(srows)} rows match ({time.monotonic()-t0:.1f}s)")
+            tag = "bit-exact" if exact else "within 1e-9 (HASH RISK)"
+            print(
+                f"OK    {name}: {len(srows)} rows match, {tag} "
+                f"({time.monotonic()-t0:.1f}s)"
+            )
         else:
             print(f"FAIL  {name}: value mismatch: {why}")
             for x, y in list(zip(ka, kb))[:2000]:
