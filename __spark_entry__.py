@@ -458,12 +458,24 @@ def _lpa_sql() -> str:
     return "\n".join(parts)
 
 
+def _word_count_sql(w: str) -> str:
+    """Exact whole-word count, mirroring functions.text.word_occurrences
+    (lambda filter over whitespace tokens — identical in both dialects)."""
+    return (
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+        f"x -> x = '{w}')) AS BIGINT)"
+    )
+
+
+_WS_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
 def _textstats_common() -> dict[str, str]:
     stop = ["the", "a", "of", "and", "to", "in", "is"]
-    hits = " + ".join(
-        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-        for w in stop
-    )
+    hits = " + ".join(_word_count_sql(w) for w in stop)
     return {"stop_hits": hits}
 
 
@@ -478,11 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "zh": ["de", "shi", "le"],
     }
 
-    def word_count(w):
-        return (
-            f"CAST((length(' ' || text || ' ') - "
-            f"length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-        )
+    word_count = _word_count_sql
 
     lang_hits = {
         lang: " + ".join(word_count(w) for w in ws)
@@ -547,14 +555,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text) ORDER BY content_hash"
         ),
         "token_counts": (
-            "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, "
+            f"SELECT doc_id, CAST({_WS_TOKENS_SQL} AS BIGINT) AS ws_tokens, "
             f"CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS bpe_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"
         ),
         "quality_scores": (
             "WITH t AS (SELECT doc_id, text, "
             "CAST(length(text) AS DOUBLE) AS n_chars, "
-            "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens, "
+            f"CAST({_WS_TOKENS_SQL} AS DOUBLE) AS n_tokens, "
             f"CAST({stop_hits} AS DOUBLE) AS stop_hits, "
             "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct "
             "FROM documents) "

@@ -30,15 +30,18 @@ from pagerank_spark.operators.triangles import triangle_count
 from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.dedup import (
     dedup_exact,
+    dedup_near,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    simhash_near_pairs,
 )
 from pagerank_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_duplicates,
+    ivf_topk,
 )
 from pagerank_spark.graph import LinkGraph
 from pagerank_spark.operators.textstats import (
@@ -65,13 +68,16 @@ __all__ = [
     "triangle_count",
     "derive_edges",
     "dedup_exact",
+    "dedup_near",
     "exact_duplicates",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
+    "simhash_near_pairs",
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_duplicates",
+    "ivf_topk",
     "fingerprints",
     "language_id",
     "quality_scores",

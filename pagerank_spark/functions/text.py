@@ -17,14 +17,24 @@ def occurrences(col: Column, needle: str) -> Column:
 
 
 def word_occurrences(col: Column, word: str) -> Column:
-    """Whole-word occurrence count (space-delimited tokens)."""
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
-    return occurrences(padded, f" {word} ")
+    """EXACT whole-word occurrence count: tokenize on any whitespace and
+    count equal tokens. (A replace-based count misses newline-delimited
+    words and adjacent repeats sharing a delimiter.) Portable: DuckDB's
+    ``len(list_filter(string_split_regex(...), x -> x = w))`` is
+    identical."""
+    return F.size(
+        F.filter(F.split(col, r"\s+"), lambda x: x == F.lit(word))
+    ).cast("long")
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(col), r"\s+")).cast("long")
+    """Whitespace token count; empty/whitespace-only text counts 0
+    (``split('')`` returns ``['']`` — guard the off-by-one)."""
+    return (
+        F.when(F.trim(col) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(col), r"\s+")))
+        .cast("long")
+    )
 
 
 def shingles(col: Column, k: int) -> Column:

@@ -93,13 +93,17 @@ def _minhash_kernel(num_perm: int, bands: int, seed: int):
             # Vectorized per permutation (cache-friendly 1-D temporaries
             # instead of one (E, K) matrix): per-doc segment min via
             # minimum.reduceat — zero per-row (and per-doc) Python.
+            # A +inf sentinel is appended so a trailing empty document's
+            # start index stays valid WITHOUT clamping (clamping would
+            # truncate the previous document's segment); empty-doc rows
+            # are overwritten by the counts==0 mask below.
             sig = np.empty((nrows, num_perm), dtype=np.uint64)
             if len(vals):
-                starts = np.minimum(offsets[:-1].astype(np.intp), len(vals) - 1)
+                starts = offsets[:-1].astype(np.intp)
+                sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
                 for k in range(num_perm):
-                    sig[:, k] = np.minimum.reduceat(
-                        vals * am[k] + bm[k], starts
-                    )
+                    hk = np.append(vals * am[k] + bm[k], sentinel)
+                    sig[:, k] = np.minimum.reduceat(hk, starts)
             sig[counts == 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
             # band hashes: fold each band's rows with a splitmix finalizer
             band_sig = sig.reshape(nrows, bands, rows_per_band)
@@ -197,9 +201,14 @@ def _simhash_kernel():
             signed = bits * 2 - 1  # ±1 per bit
             counts = np.diff(offsets)
             starts = offsets[:-1].astype(np.intp)
-            # guard empty docs: reduceat needs valid starts
-            safe_starts = np.minimum(starts, max(len(vals) - 1, 0))
-            sums = np.add.reduceat(signed, safe_starts, axis=0) if len(vals) else np.zeros((nrows, 64), dtype=np.int64)
+            # zero-row sentinel keeps trailing-empty-doc starts valid
+            # without clamping (which truncated the previous segment)
+            signed_ext = np.vstack([signed, np.zeros((1, 64), dtype=np.int64)])
+            sums = (
+                np.add.reduceat(signed_ext, starts, axis=0)
+                if len(vals)
+                else np.zeros((nrows, 64), dtype=np.int64)
+            )
             sums[counts == 0] = 0
             fp = ((sums > 0).astype(np.uint64) << bit_idx[None, :]).sum(
                 axis=1, dtype=np.uint64
@@ -216,7 +225,7 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """``(doc_id, simhash: long)`` — 64-bit SimHash over token hashes."""
-    tokens = F.split(F.col(text_col), r"\s+")
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     th = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(tokens, lambda t: F.xxhash64(t)).alias("hashes"),

@@ -100,13 +100,22 @@ def resize_images(assets: DataFrame, max_side: int = 256, decode_stub: bool = Tr
         & (F.greatest("width", "height") > max_side),
         max_side / F.greatest("width", "height").cast("double"),
     ).otherwise(F.lit(1.0))
+    # least(..., max_side) guards double-rounding overshoot: e.g.
+    # ceil(265 * (200/265)) == 201 in IEEE arithmetic
+    clamp = lambda c: F.least(
+        F.greatest(F.ceil(F.col(c) * F.col("_s")), F.lit(1)), F.lit(max_side)
+    ).cast("int")
     out = assets.withColumn("_s", scale).select(
         "asset_id",
         "kind",
         "payload",
         "media_type",
-        F.ceil(F.col("width") * F.col("_s")).cast("int").alias("width"),
-        F.ceil(F.col("height") * F.col("_s")).cast("int").alias("height"),
+        F.when(F.col("_s") < 1.0, clamp("width"))
+        .otherwise(F.col("width"))
+        .alias("width"),
+        F.when(F.col("_s") < 1.0, clamp("height"))
+        .otherwise(F.col("height"))
+        .alias("height"),
         "duration_ms",
     )
     if not decode_stub:
@@ -125,7 +134,11 @@ def sample_frames(
     n_frames = F.least(
         F.ceil(F.col("duration_ms") / every_ms).cast("int"), F.lit(max_frames)
     )
-    return assets.where(F.col("kind") != "image").select(
+    # guard phantom frames: sequence(0, -1) counts DOWN in Spark, and
+    # least(NULL, k) skips nulls — only positive known durations sample
+    return assets.where(
+        F.col("kind") != "image"
+    ).where(F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)).select(
         "asset_id",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_i"),
     ).select(

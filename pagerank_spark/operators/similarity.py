@@ -150,7 +150,12 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic Lloyd k-means centroids for an IVF index.
+    """Deterministic SPHERICAL Lloyd k-means centroids for an IVF index.
+
+    Vectors are L2-normalized before clustering/assignment: the rerank
+    metric is cosine, so clustering must live on the unit sphere too —
+    Euclidean k-means on raw vectors would route a high-magnitude vector
+    with perfect cosine similarity into a far cluster the probe misses.
 
     Init: the n_centroids vectors whose xxhash64(id, seed) is smallest —
     a deterministic pseudo-random sample, partition-order independent.
@@ -158,7 +163,10 @@ def ivf_centroids(
     one map-side-combinable sum/count aggregate; centroids stay driver-
     side NumPy (k × dim is tiny by construction).
     """
-    dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty embeddings table")
+    dim = int(dim_row["d"])
     init = (
         embeddings.select(
             vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("h")
@@ -167,10 +175,14 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
-    centroids = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+    centroids = _unit_rows(
+        np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+    )
     src = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    dc = F.col(vec_col).cast("array<double>")
+    normalized = F.transform(dc, lambda e: e / _norm(dc))
     for _ in range(iters):
         assigned = src.mapInArrow(
             _assign_kernel(centroids), "vec_id long, centroid int"
@@ -179,12 +191,12 @@ def ivf_centroids(
             embeddings.join(
                 assigned, embeddings[id_col] == assigned["vec_id"]
             )
+            .select("centroid", normalized.alias("nv"))
             .groupBy("centroid")
             .agg(
                 F.array(
                     *[
-                        F.sum(F.col(vec_col).getItem(i).cast("double"))
-                        for i in range(dim)
+                        F.sum(F.col("nv").getItem(i)) for i in range(dim)
                     ]
                 ).alias("vsum"),
                 F.count(F.lit(1)).alias("cnt"),
@@ -195,10 +207,17 @@ def ivf_centroids(
         for r in sums:
             c = r["centroid"]
             new[c] = np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
+        new = _unit_rows(new)
         if np.allclose(new, centroids, atol=1e-12):
             break
         centroids = new
     return centroids
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
 
 
 def _assign_kernel(centroids: np.ndarray):
@@ -206,7 +225,6 @@ def _assign_kernel(centroids: np.ndarray):
 
     def kernel(batches):
         cT = np.ascontiguousarray(centroids.T)
-        c_norm2 = (centroids**2).sum(axis=1)
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -220,9 +238,12 @@ def _assign_kernel(centroids: np.ndarray):
                 .astype(np.float64)
                 .reshape(n, dim)
             )
-            # argmin ||x-c||^2 = argmin c.c - 2 x.c  (x.x constant per row)
-            scores = c_norm2[None, :] - 2.0 * (mat @ cT)
-            best = scores.argmin(axis=1).astype(np.int32)
+            # spherical assignment: normalize rows, argmax cosine with
+            # the unit centroids — magnitude must not influence routing
+            # (the rerank metric is cosine)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            best = ((mat / norms) @ cT).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids), pa.array(best)], ["vec_id", "centroid"]
             )
@@ -252,8 +273,9 @@ def ivf_topk(
             embeddings, n_centroids, iters, seed, id_col, vec_col
         )
     q = np.asarray(query, dtype=np.float64)
-    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probe = set(int(c) for c in np.argsort(d2)[:nprobe])
+    qn = np.linalg.norm(q) or 1.0
+    # centroids are unit vectors: nearest-by-cosine probe order
+    probe = set(int(c) for c in np.argsort(-(centroids @ (q / qn)))[:nprobe])
     src = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
@@ -282,6 +304,8 @@ def embedding_near_duplicates(
     probability; the quadratic join runs only within buckets.
     """
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty embeddings table")
     dim = int(dim_row["d"])
     buckets = lsh_cosine_buckets(embeddings, dim, nbits, seed, id_col, vec_col)
     src = embeddings.select(

@@ -13,8 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pagerank_spark.functions.text import occurrences as _occurrences
 from pagerank_spark.functions.text import shingles as _shingles
+from pagerank_spark.functions.text import token_count as _token_count
 from pagerank_spark.functions.text import word_occurrences as _word_occurrences
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
@@ -47,7 +47,7 @@ def token_counts(
     t = F.col(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("ws_tokens"),
+        _token_count(t).alias("ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX), F.lit(0)))
         .cast("long")
         .alias("bpe_tokens"),
@@ -65,7 +65,7 @@ def quality_scores(
     minus punctuation-noise penalty, clamped. Deterministic, portable.
     """
     t = F.col(text_col)
-    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    n_tokens = _token_count(t).cast("double")
     n_chars = F.length(t).cast("double")
     stop_hits = None
     for w in STOPWORDS:

@@ -54,7 +54,10 @@ def read_snap_edges(
     parts = F.split(F.trim(F.col("value")), r"\s+")
     edges = (
         lines.filter(~F.col("value").startswith("#"))
-        .filter(F.trim(F.col("value")) != "")
+        # only well-formed "int<ws>int" data lines: a truncated trailing
+        # line would otherwise yield a NULL/ANSI-error phantom edge.
+        # Callers can detect drops by comparing count() with the header e.
+        .filter(F.trim(F.col("value")).rlike(r"^\d+\s+\d+"))
         .select(
             (parts.getItem(0).cast("long") - first_node).alias("src"),
             (parts.getItem(1).cast("long") - first_node).alias("dst"),

@@ -138,7 +138,8 @@ def test_quality_scores_bounds(spark, docs):
     toks = text.strip().split()
     from pagerank_spark.operators.textstats import STOPWORDS
 
-    hits = sum((" " + text + " ").count(f" {w} ") for w in STOPWORDS)
+    toks_all = text.split()
+    hits = sum(toks_all.count(w) for w in STOPWORDS)
     g = q.where(F.col("doc_id") == row["doc_id"]).collect()[0]
     assert g["stopword_ratio"] == pytest.approx(hits / max(len(toks), 1), abs=1e-6)
 
