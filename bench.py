@@ -55,7 +55,7 @@ HEADLINE = [
 SCALE_N = 2_000_000
 SCALE_E = 100_000_000
 SCALE_P = 32
-SCALE_ITERS = 8
+SCALE_ITERS = 6
 SCALE_PAIRS = [(2, 8), (8, 32)]  # primary (N, 4N), secondary
 
 
@@ -139,12 +139,17 @@ def _measure_cores(cores: int) -> dict:
 
 
 def run_scaling():
-    """Same job, same input, N vs 4N cores (primary 2->8, secondary 8->32)."""
+    """Same job, same input, N vs 4N cores (primary 2->8, secondary 8->32).
+
+    Levels run in DESCENDING core order: the first session builds the
+    shared block store, and building 1e8 edges at 32 cores takes ~30s
+    vs minutes at 2 — the iteration timings (what the rule measures)
+    are unaffected by who built the blocks.
+    """
     measured = {}
-    for pair in SCALE_PAIRS:
-        for cores in pair:
-            if cores not in measured:
-                measured[cores] = _measure_cores(cores)
+    all_cores = sorted({c for pair in SCALE_PAIRS for c in pair}, reverse=True)
+    for cores in all_cores:
+        measured[cores] = _measure_cores(cores)
     results = {f"local[{c}]": m for c, m in measured.items()}
     for lo, hi in SCALE_PAIRS:
         tp_lo = measured[lo]["edges_per_sec_per_iter"]

@@ -196,11 +196,30 @@ def pagerank(
         raise ValueError("local_iters must be >= 1")
     if local_iters > 1 and mode not in ("auto", "broadcast", "blocks"):
         raise ValueError("local_iters > 1 requires the blocks strategy")
+    # Resuming from an existing block store: n/edge_count come from the
+    # manifest (ids were validated at build) — zero input scans needed.
+    resume_bd = None
+    if resume and mode in ("auto", "broadcast", "blocks"):
+        resume_bd = block_dir or (
+            os.path.join(checkpoint_dir, "blocks") if checkpoint_dir else None
+        )
+        if resume_bd and not os.path.exists(
+            os.path.join(resume_bd, "blocks_manifest.json")
+        ):
+            resume_bd = None
+    e_count = None
+    if resume_bd:
+        with open(os.path.join(resume_bd, "blocks_manifest.json")) as f:
+            _man = json.load(f)
+        e_count = _man["edge_count"]
+        if n is None:
+            n = _man.get("n")
+        if mode == "auto":
+            mode = "broadcast"
     # ONE combined columnar scan serves n-inference, id validation, and
     # the auto-mode size decision (explicit local mode skips it — the
     # collected arrays validate for free there).
-    e_count = None
-    if n is None or mode != "local":
+    if (n is None or mode != "local") and not resume_bd:
         row = edges.agg(
             F.count(F.lit(1)).alias("cnt"),
             F.least(F.min("src"), F.min("dst")).alias("lo"),
@@ -567,19 +586,6 @@ def _pagerank_broadcast(
     sc = spark.sparkContext
     P = num_partitions or sc.defaultParallelism
 
-    # Out-strength vector (duplicates counted; = out-degree when
-    # unweighted). One shuffle, n-bounded.
-    str_agg = (
-        F.sum(F.col(weight_col).cast("double")) if weight_col else F.count(F.lit(1))
-    )
-    deg_pdf = edges.groupBy("src").agg(str_agg.alias("c")).toPandas()
-    out_deg = np.zeros(n, dtype=np.float64)
-    out_deg[deg_pdf["src"].to_numpy()] = deg_pdf["c"].to_numpy()
-    dangling_mask = out_deg == 0.0
-    weights = np.zeros(n, dtype=np.float64)
-    nz = ~dangling_mask
-    weights[nz] = d / out_deg[nz]  # d/strength, once, before the loop
-
     owns_block_dir = block_dir is None and checkpoint_dir is None
     if block_dir is None:
         if checkpoint_dir is not None:
@@ -597,22 +603,41 @@ def _pagerank_broadcast(
     run_token = uuid.uuid4().hex[:12]
     strength_path = os.path.join(block_dir, f"strength_vec_{run_token}.npy")
     rank_path = os.path.join(block_dir, f"rank_vec_{run_token}.npy")
-    # Replicated d/strength vector, written once (loop-invariant,
-    # Page_Rank_SERIAL.c:168-180); the block build bakes it into the
-    # per-edge wfac column. block_dir is executor-reachable by
-    # construction (local scratch in local mode, shared FS on a cluster).
-    _atomic_np_save(strength_path, weights)
+    mask_path = os.path.join(block_dir, "dangling_mask.npy")
 
     manifest_path = os.path.join(block_dir, "blocks_manifest.json")
     lineage = None
-    if resume and os.path.exists(manifest_path):
+    if resume and os.path.exists(manifest_path) and os.path.exists(mask_path):
         with open(manifest_path) as f:
             lineage = json.load(f)
         if local_iters > 1 and lineage.get("salted_dsts", 0) > 0:
             raise ValueError(
                 "cannot resume with local_iters > 1 from salted blocks"
             )
+        # wfac is baked into the blocks and the dangling mask persisted:
+        # a resume touches the input edge table ZERO times.
+        dangling_mask = np.load(mask_path).astype(bool)
     if lineage is None:
+        # Out-strength vector (duplicates counted; = out-degree when
+        # unweighted). One shuffle, n-bounded.
+        str_agg = (
+            F.sum(F.col(weight_col).cast("double"))
+            if weight_col
+            else F.count(F.lit(1))
+        )
+        deg_pdf = edges.groupBy("src").agg(str_agg.alias("c")).toPandas()
+        out_deg = np.zeros(n, dtype=np.float64)
+        out_deg[deg_pdf["src"].to_numpy()] = deg_pdf["c"].to_numpy()
+        dangling_mask = out_deg == 0.0
+        weights = np.zeros(n, dtype=np.float64)
+        nz = ~dangling_mask
+        weights[nz] = d / out_deg[nz]  # d/strength, once, before the loop
+        # Replicated d/strength vector (loop-invariant,
+        # Page_Rank_SERIAL.c:168-180); the block build bakes it into the
+        # per-edge wfac column. block_dir is executor-reachable by
+        # construction (local scratch here, shared FS on a cluster).
+        _atomic_np_save(strength_path, weights)
+        _atomic_np_save(mask_path, dangling_mask.astype(np.uint8))
         # Building fresh: stale blocks from any earlier run sharing this
         # dir would otherwise be silently summed in (their pids may not
         # be overwritten when the new graph leaves partitions empty).
@@ -675,9 +700,17 @@ def _pagerank_broadcast(
             "skew_ratio": skew_ratio,
             "edge_count": e_count,
             "block_dir": block_dir,
+            "n": n,
+            "d": d,
         }
         with open(manifest_path, "w") as f:
             json.dump(lineage, f)
+    if lineage.get("n") not in (None, n) or lineage.get("d") not in (None, d):
+        raise ValueError(
+            f"block store was built for n={lineage.get('n')}, "
+            f"d={lineage.get('d')} — cannot resume with n={n}, d={d} "
+            "(wfac is baked into the blocks); rebuild with resume=False"
+        )
     edge_count = lineage["edge_count"]
     skew_ratio = lineage["skew_ratio"]
     # pids that actually own a block; iteration kernels FAIL FAST if one
