@@ -1,0 +1,61 @@
+"""Quickstart: the full engine surface in one runnable script.
+
+    PYTHONPATH=. python examples/quickstart.py [sf_dir]
+
+Covers: SNAP ingest -> PageRank (golden graph), corpus -> derived repo
+graph -> LinkGraph algorithms, and the training-data pipeline ops over
+the synthetic documents/embeddings tables.
+"""
+
+import sys
+
+from pyspark.sql import functions as F
+
+from pagerank_spark import (
+    LinkGraph,
+    cosine_topk,
+    dedup_near,
+    get_spark,
+    language_id,
+    minhash_lsh_pairs,
+    pagerank,
+    quality_scores,
+    read_snap_edges,
+)
+from pagerank_spark.testing import synth_corpus
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main():
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+
+    # 1. the reference's own validation graph, golden semantics
+    edges, n, e = read_snap_edges(spark, "/root/reference/DEMO.txt")
+    res = pagerank(edges, n=n, dangling="leak")
+    print(f"DEMO PageRank ({res.iterations} iters):")
+    res.ranks.orderBy("id").show()
+
+    # 2. source-code corpus -> repo reference graph -> all algorithms
+    g = LinkGraph.from_corpus(synth_corpus(spark, n_repos=25, files_per_repo=5))
+    top = g.with_original_ids(g.pagerank().ranks).orderBy(F.desc("rank"))
+    print("Top referenced repos:")
+    top.select("orig_id", F.round("rank", 5).alias("rank")).show(5)
+    print("components:", g.connected_components().select("component").distinct().count())
+    print("triangles:", g.triangle_count().collect()[0]["triangles"])
+
+    # 3. training-data pipeline over the documents/embeddings tables
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    print("docs:", docs.count(), "-> after near-dedup:", dedup_near(docs, 0.8).count())
+    print("near-dup pairs:", minhash_lsh_pairs(docs, verify_threshold=0.8).count())
+    quality_scores(docs).orderBy(F.desc("quality_score")).show(3)
+    language_id(docs).groupBy("pred_lang").count().show()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    print("nearest neighbours of vec 0:")
+    cosine_topk(emb, list(q), k=5).show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
