@@ -219,7 +219,7 @@ def pagerank(
     # ONE combined columnar scan serves n-inference, id validation, and
     # the auto-mode size decision (explicit local mode skips it — the
     # collected arrays validate for free there).
-    if (n is None or mode != "local") and not resume_bd:
+    if n is None or (mode != "local" and not resume_bd):
         row = edges.agg(
             F.count(F.lit(1)).alias("cnt"),
             F.least(F.min("src"), F.min("dst")).alias("lo"),
