@@ -37,6 +37,25 @@ def token_count(col: Column) -> Column:
     )
 
 
+def hash64(col: Column, fn: str = "xxhash64") -> Column:
+    """64-bit string hash as a Spark long, in one of two modes:
+
+    - ``"xxhash64"`` (default): Spark's native JVM hash — the fast
+      production path, but Spark-specific (no DuckDB equivalent).
+    - ``"md5"``: the top 60 bits of md5 as a non-negative long —
+      portable: ``CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`` in
+      DuckDB yields the identical value, so fingerprint/MinHash/SimHash
+      pipelines built on it are value-checkable cross-engine. 15 hex
+      chars (not 16) keeps the value inside a SIGNED 64-bit int —
+      ANSI-safe in both engines.
+    """
+    if fn == "xxhash64":
+        return F.xxhash64(col)
+    if fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash fn {fn!r} (use 'xxhash64' or 'md5')")
+
+
 def shingles(col: Column, k: int) -> Column:
     """k-token shingles of a text column as ``array<string>``."""
     tokens = F.split(col, r"\s+")

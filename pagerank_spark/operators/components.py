@@ -65,6 +65,10 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["h"] or 0)
 
 
+def _count(e: DataFrame) -> int:
+    return int(e.agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"])
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
@@ -88,13 +92,42 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    sig = _signature(e)
+    # Convergence = edge set unchanged. Count-first detection: the
+    # contraction shrinks the edge set most rounds, so a bare count()
+    # (no per-row hash evaluation) usually proves "changed" on its own;
+    # the order-insensitive xxhash64 checksum runs only when counts of
+    # consecutive rounds agree. The previous round's hash is then
+    # computed lazily from its localCheckpoint (an in-memory scan), so
+    # the cheap path never costs an extra star round.
+    prev_count = _count(e)
+    prev_hash: int | None = None  # hash of e, filled only when needed
+    converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        new_sig = _signature(e)
-        if new_sig == sig:
-            break
-        sig = new_sig
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_count = _count(new_e)
+        if new_count == prev_count:
+            if prev_hash is None:
+                prev_hash = _signature(e)[1]
+            new_hash = _signature(new_e)[1]
+            if new_hash == prev_hash:
+                e = new_e
+                converged = True
+                break
+            prev_hash = new_hash
+        else:
+            prev_hash = None
+        prev_count = new_count
+        e = new_e
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: edge-set signature did not stabilize "
+            f"within max_iter={max_iter} rounds; labels may not be final "
+            "(a non-converged edge set is not a star forest)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # Converged edge set is a star forest: (u → component root). Roots
     # and isolated vertices label themselves via the left join.
     labels = vertices.join(

@@ -59,25 +59,41 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keep, id_col, "left_semi")
 
 
-def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, k: int):
-    """``(doc_id, hashes: array<long>)`` — k-token shingle hashes, all JVM-side."""
-    from pagerank_spark.functions.text import shingles
+def _shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str, k: int,
+    hash_fn: str = "xxhash64",
+):
+    """``(doc_id, hashes: array<long>)`` — k-token shingle hashes, all JVM-side.
+
+    ``hash_fn="md5"`` selects the portable 60-bit md5 hash (see
+    ``functions.text.hash64``) so the whole MinHash pipeline becomes
+    DuckDB-value-checkable; xxhash64 stays the production default.
+    """
+    from pagerank_spark.functions.text import hash64, shingles
 
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(
-            shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            shingles(F.col(text_col), k), lambda s: hash64(s, hash_fn)
         ).alias("hashes"),
     )
 
 
-def _minhash_kernel(num_perm: int, bands: int, seed: int):
-    rows_per_band = num_perm // bands
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) coefficients of the MinHash permutation family
+    ``h -> (h*a + b) mod 2^64``: 64-bit odd multipliers from a seeded
+    RandomState — adequate as a permutation family, and exposed so an
+    external oracle can recompute signatures (the map is plain modular
+    arithmetic, expressible in any 128-bit-capable SQL dialect)."""
     rng = np.random.RandomState(seed)
-    # (h*a + b) with uint64 wraparound: a fixed family of 64-bit odd
-    # multipliers — adequate as a MinHash permutation family.
     am = (rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     bm = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+    return am, bm
+
+
+def _minhash_kernel(num_perm: int, bands: int, seed: int):
+    rows_per_band = num_perm // bands
+    am, bm = minhash_params(num_perm, seed)
 
     def kernel(batches):
         for batch in batches:
@@ -105,11 +121,17 @@ def _minhash_kernel(num_perm: int, bands: int, seed: int):
                     hk = np.append(vals * am[k] + bm[k], sentinel)
                     sig[:, k] = np.minimum.reduceat(hk, starts)
             sig[counts == 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
-            # band hashes: fold each band's rows with a splitmix finalizer
-            band_sig = sig.reshape(nrows, bands, rows_per_band)
-            acc = np.zeros((nrows, bands), dtype=np.uint64)
-            for r in range(rows_per_band):
-                acc ^= band_sig[:, :, r] + np.uint64(0x9E3779B97F4A7C15) + (acc << np.uint64(6)) + (acc >> np.uint64(2))
+            if rows_per_band == 1:
+                # one row per band: the band hash IS the signature value
+                # (keeps the bands=num_perm configuration portable — an
+                # unmixed MinHash signature is SQL-recomputable)
+                acc = sig
+            else:
+                # band hashes: fold each band's rows with a splitmix finalizer
+                band_sig = sig.reshape(nrows, bands, rows_per_band)
+                acc = np.zeros((nrows, bands), dtype=np.uint64)
+                for r in range(rows_per_band):
+                    acc ^= band_sig[:, :, r] + np.uint64(0x9E3779B97F4A7C15) + (acc << np.uint64(6)) + (acc >> np.uint64(2))
             out_ids = np.repeat(ids, bands)
             out_band = np.tile(np.arange(bands, dtype=np.int32), nrows)
             out_hash = acc.reshape(-1).astype(np.int64)
@@ -129,11 +151,12 @@ def minhash_bands(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """``(doc_id, band, band_hash)`` — LSH bucket keys, bands rows per doc."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_k)
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_k, hash_fn)
     return sh.mapInArrow(
         _minhash_kernel(num_perm, bands, seed),
         "doc_id long, band int, band_hash long",
@@ -149,14 +172,27 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     verify_threshold: float | None = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(a, b, jaccard)`` with a < b.
 
     Pairs colliding in >=1 LSH band; when ``verify_threshold`` is set,
     candidates are verified with exact shingle-set Jaccard (JVM
     ``array_intersect``/``array_union``) and filtered.
+
+    The shingle-hash table feeds BOTH the signature kernel and the
+    verify join, so it is persisted and computed once — shingling +
+    hashing dominated the headline pair query when recomputed.
     """
-    bands_df = minhash_bands(docs, id_col, text_col, shingle_k, num_perm, bands, seed)
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    sh_base = _shingle_hashes(docs, id_col, text_col, shingle_k, hash_fn)
+    if verify_threshold is not None:
+        sh_base = sh_base.persist()
+    bands_df = sh_base.mapInArrow(
+        _minhash_kernel(num_perm, bands, seed),
+        "doc_id long, band int, band_hash long",
+    )
     left = bands_df.select(F.col("doc_id").alias("a"), "band", "band_hash")
     right = bands_df.select(F.col("doc_id").alias("b"), "band", "band_hash")
     cand = (
@@ -167,9 +203,7 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_k).select(
-        "doc_id", F.array_distinct("hashes").alias("hset")
-    )
+    sh = sh_base.select("doc_id", F.array_distinct("hashes").alias("hset"))
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("hset").alias("ha")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("hset").alias("hb")), "b")
@@ -222,13 +256,21 @@ def _simhash_kernel():
 
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """``(doc_id, simhash: long)`` — 64-bit SimHash over token hashes."""
+    """``(doc_id, simhash: long)`` — 64-bit SimHash over token hashes.
+
+    With ``hash_fn="md5"`` token hashes carry 60 bits (top 4 are zero),
+    so the fingerprint's bits 60..63 are always 0 — a 60-bit SimHash
+    whose bit-majority arithmetic an ANSI oracle can recompute exactly.
+    """
+    from pagerank_spark.functions.text import hash64
+
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     th = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(tokens, lambda t: F.xxhash64(t)).alias("hashes"),
+        F.transform(tokens, lambda t: hash64(t, hash_fn)).alias("hashes"),
     )
     return th.mapInArrow(_simhash_kernel(), "doc_id long, simhash long")
 
@@ -341,16 +383,30 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_bits: int = 0,
+    max_bruteforce_rows: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs, ``(a, b, jaccard)``.
 
     ``block_bits`` > 0 blocks the quadratic join by a cheap prefix key
-    (docs only compared within a block) — the scale knob; 0 means true
-    all-pairs (test scale only).
+    (docs only compared within a block) — the scale knob. 0 is TRUE
+    ALL-PAIRS and is gated: the table must have at most
+    ``max_bruteforce_rows`` rows (checked eagerly) so a
+    production-scale table can never silently become a cartesian
+    product — callers must either pass ``block_bits`` or explicitly
+    raise the ceiling for a deliberate small brute-force run.
     """
     sh = _shingle_hashes(docs, id_col, text_col, n).select(
         "doc_id", F.array_distinct("hashes").alias("hset")
     )
+    if block_bits <= 0:
+        n_docs = docs.count()
+        if n_docs > max_bruteforce_rows:
+            raise ValueError(
+                f"block_bits=0 is an all-pairs cross join and the table has "
+                f"{n_docs} rows (> max_bruteforce_rows={max_bruteforce_rows}); "
+                "pass block_bits>0 (LSH-style blocking) or raise "
+                "max_bruteforce_rows explicitly for a deliberate brute-force run"
+            )
     if block_bits > 0:
         sh = sh.withColumn(
             "block", F.pmod(F.xxhash64(F.element_at("hset", 1)), F.lit(1 << block_bits))

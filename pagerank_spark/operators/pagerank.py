@@ -72,6 +72,11 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pagerank_spark.plans.metrics import (
+    shuffle_delta as _shuffle_delta,
+    shuffle_totals as _shuffle_totals,
+)
+
 DAMPING = 0.85
 EPSILON = 1e-4
 
@@ -741,6 +746,7 @@ def _pagerank_broadcast(
     it = start_iter
     residual = float("inf")
     converged = False
+    shuffle_before = _shuffle_totals(spark)
     while True:
         t0 = time.monotonic()
         _atomic_np_save(rank_path, rank)
@@ -767,16 +773,21 @@ def _pagerank_broadcast(
         residual = float(np.abs(new - rank).sum())  # global L1
         rank = new
         it += 1
+        shuffle_after = _shuffle_totals(spark)
         metrics.append(
             {
                 "iteration": it,
                 "residual": residual,
                 "seconds": time.monotonic() - t0,
                 "edges_scanned": edge_count,
-                "shuffle_rows": 0,
+                # zero-shuffle iterations by design (blocks are mmapped
+                # executor-local Arrow files); the MEASURED bytes from
+                # the monitoring API prove it rather than assert it.
+                **_shuffle_delta(shuffle_before, shuffle_after),
                 "skew_ratio": skew_ratio,
             }
         )
+        shuffle_before = shuffle_after
         if checkpoint_dir:
             _save_checkpoint(checkpoint_dir, rank, it, metrics, lineage)
         if residual <= eps:  # do-while: >=1 iteration always ran
@@ -851,6 +862,7 @@ def _pagerank_join(
             metrics = manifest.get("metrics", [])
     start_iter = it
     lineage = {"num_partitions": P, "edge_count": edge_count, "mode": "join"}
+    shuffle_before = _shuffle_totals(spark)
     while True:
         t0 = time.monotonic()
         if dangling == "redistribute":
@@ -884,16 +896,21 @@ def _pagerank_join(
         )
         ranks = new_ranks
         it += 1
+        shuffle_after = _shuffle_totals(spark)
         metrics.append(
             {
                 "iteration": it,
                 "residual": residual,
                 "seconds": time.monotonic() - t0,
                 "edges_scanned": edge_count,
-                "shuffle_rows": n,
+                # measured per-iteration shuffle bytes (monitoring API):
+                # the rank-side shuffle is O(n) rows because edges_w is
+                # pre-partitioned by src — the numbers prove it.
+                **_shuffle_delta(shuffle_before, shuffle_after),
                 "skew_ratio": None,
             }
         )
+        shuffle_before = shuffle_after
         if checkpoint_dir:
             _save_checkpoint_df(checkpoint_dir, ranks, it, metrics, lineage)
         if residual <= eps:
@@ -928,6 +945,17 @@ def _save_checkpoint_df(ckpt_dir, ranks_df, iteration, metrics, lineage):
     path = os.path.join(ckpt_dir, f"rank_iter_{iteration:05d}.parquet")
     ranks_df.write.mode("overwrite").parquet(path)
     _write_manifest(ckpt_dir, iteration, metrics, lineage, path)
+    # The manifest now points at the new vector — superseded iteration
+    # parquets are dead weight; delete them so long join-mode runs keep
+    # O(1) checkpoint storage (mirrors the single-file overwrite the
+    # broadcast/local strategies use). A crash mid-delete is harmless:
+    # the manifest is already durable and names only the new path.
+    import glob as _glob
+    import shutil as _shutil
+
+    for old in _glob.glob(os.path.join(ckpt_dir, "rank_iter_*.parquet")):
+        if os.path.abspath(old) != os.path.abspath(path):
+            _shutil.rmtree(old, ignore_errors=True)
 
 
 def _write_manifest(ckpt_dir, iteration, metrics, lineage, rank_path):

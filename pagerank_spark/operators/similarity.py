@@ -19,6 +19,8 @@
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
@@ -40,10 +42,20 @@ def _norm(a):
 
 
 def cosine_similarity_col(vec_col, query: list[float]):
-    """Column expression: cosine(vec_col, literal query vector)."""
+    """Column expression: cosine(vec_col, literal query vector).
+
+    Zero-norm rows (or a zero query) get cosine 0.0, NOT NaN — Spark
+    orders NaN above every double, so an unguarded division would rank
+    degenerate vectors first in every descending top-k.
+    """
     q = F.array(*[F.lit(float(x)) for x in query])
     qn = float(np.linalg.norm(query))
-    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+    if qn == 0.0:
+        return F.lit(0.0)
+    n = _norm(vec_col)
+    return F.when(n > 0, _dot(vec_col, q) / (n * F.lit(qn))).otherwise(
+        F.lit(0.0)
+    )
 
 
 def cosine_topk(
@@ -166,7 +178,6 @@ def ivf_centroids(
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         raise ValueError("empty embeddings table")
-    dim = int(dim_row["d"])
     init = (
         embeddings.select(
             vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("h")
@@ -181,32 +192,24 @@ def ivf_centroids(
     src = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    dc = F.col(vec_col).cast("array<double>")
-    normalized = F.transform(dc, lambda e: e / _norm(dc))
     for _ in range(iters):
-        assigned = src.mapInArrow(
-            _assign_kernel(centroids), "vec_id long, centroid int"
-        )
-        sums = (
-            embeddings.join(
-                assigned, embeddings[id_col] == assigned["vec_id"]
-            )
-            .select("centroid", normalized.alias("nv"))
-            .groupBy("centroid")
-            .agg(
-                F.array(
-                    *[
-                        F.sum(F.col("nv").getItem(i)) for i in range(dim)
-                    ]
-                ).alias("vsum"),
-                F.count(F.lit(1)).alias("cnt"),
-            )
-            .collect()
-        )
+        # One pass per Lloyd round: the kernel assigns AND emits
+        # per-centroid (sum-vector, count) partials per Arrow batch —
+        # O(batches * k) skinny rows to the driver, independent of both
+        # dim (no per-dimension expressions in the plan) and row count.
+        partials = src.mapInArrow(
+            _lloyd_partial_kernel(centroids),
+            "centroid int, cnt long, vsum array<double>",
+        ).collect()
+        k, dim = centroids.shape
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in partials:
+            sums[r["centroid"]] += np.asarray(r["vsum"], dtype=np.float64)
+            cnts[r["centroid"]] += r["cnt"]
         new = centroids.copy()
-        for r in sums:
-            c = r["centroid"]
-            new[c] = np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
+        nonempty = cnts > 0
+        new[nonempty] = sums[nonempty] / cnts[nonempty, None]
         new = _unit_rows(new)
         if np.allclose(new, centroids, atol=1e-12):
             break
@@ -220,35 +223,132 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _norm_rows(batch, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, row-normalized matrix) from an Arrow batch of embeddings."""
+    n = batch.num_rows
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    col = batch.column("embedding")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    mat = (
+        arr.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(n, dim)
+    )
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def _lloyd_partial_kernel(centroids: np.ndarray):
+    """Assign + partial-aggregate in one pass: per batch, emit one row
+    per non-empty centroid with (count, sum of normalized vectors)."""
+    k, dim = centroids.shape
+
+    def kernel(batches):
+        cT = np.ascontiguousarray(centroids.T)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            _, unit = _norm_rows(batch, dim)
+            best = (unit @ cT).argmax(axis=1)
+            cnts = np.bincount(best, minlength=k)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, best, unit)
+            nz = np.flatnonzero(cnts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nz.astype(np.int32)),
+                    pa.array(cnts[nz].astype(np.int64)),
+                    pa.array(list(sums[nz])),
+                ],
+                ["centroid", "cnt", "vsum"],
+            )
+
+    return kernel
+
+
 def _assign_kernel(centroids: np.ndarray):
     k, dim = centroids.shape
 
     def kernel(batches):
         cT = np.ascontiguousarray(centroids.T)
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            col = batch.column("embedding")
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            mat = (
-                arr.flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                .reshape(n, dim)
-            )
             # spherical assignment: normalize rows, argmax cosine with
             # the unit centroids — magnitude must not influence routing
             # (the rerank metric is cosine)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            best = ((mat / norms) @ cT).argmax(axis=1).astype(np.int32)
+            ids, unit = _norm_rows(batch, dim)
+            best = (unit @ cT).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids), pa.array(best)], ["vec_id", "centroid"]
             )
 
     return kernel
+
+
+@dataclass
+class IvfIndex:
+    """A materialized IVF index: unit centroids + the cluster column.
+
+    ``assignments`` is ``(vec_id, centroid)``, computed ONCE at build
+    time. Probes filter it by centroid and semi-join — they never rerun
+    the assignment kernel over the table. With ``path`` set at build
+    time the assignment lives in a parquet directory PARTITIONED BY
+    centroid, so a probe's ``centroid IN (...)`` predicate is partition
+    pruning: it reads ~nprobe/n_centroids of the index files.
+    """
+
+    centroids: np.ndarray
+    assignments: DataFrame
+    path: str | None = None
+
+    def probe_ids(self, query: list[float], nprobe: int) -> list[int]:
+        """The ``nprobe`` centroid ids nearest (by cosine) to ``query``."""
+        q = np.asarray(query, dtype=np.float64)
+        qn = np.linalg.norm(q) or 1.0
+        # centroids are unit vectors: cosine order == dot-product order
+        order = np.argsort(-(self.centroids @ (q / qn)))
+        return [int(c) for c in order[:nprobe]]
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+    centroids: np.ndarray | None = None,
+) -> IvfIndex:
+    """Build the IVF index once; every subsequent ``ivf_topk`` probe
+    reuses it (the at-scale ANN path: assignment is paid once per
+    corpus, not once per query).
+
+    ``path=None`` keeps the assignment as a persisted DataFrame
+    (memory-and-disk); with ``path`` it is written as parquet
+    partitioned by ``centroid`` and read back, making probe pruning a
+    physical partition prune.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, iters, seed, id_col, vec_col
+        )
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    assigned = src.mapInArrow(
+        _assign_kernel(centroids), "vec_id long, centroid int"
+    )
+    if path is not None:
+        assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+        assigned = embeddings.sparkSession.read.parquet(path)
+    else:
+        assigned = assigned.persist()
+        assigned.count()  # materialize: probes must not re-assign
+    return IvfIndex(centroids=centroids, assignments=assigned, path=path)
 
 
 def ivf_topk(
@@ -262,26 +362,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine rerank within the ``nprobe``
-    centroids nearest to the query. At scale the index assignment is
-    a stored partition/cluster column, so the probe is a partition-
-    pruned read of ~nprobe/n_centroids of the data.
+    centroids nearest to the query.
+
+    Pass a prebuilt ``index`` (from ``ivf_index``) for repeated
+    lookups — the probe then prunes the stored cluster column instead
+    of scanning the table. Without one, a transient index is built
+    first (one assignment pass), so even the one-shot path never runs
+    the assignment kernel more than once.
     """
-    if centroids is None:
-        centroids = ivf_centroids(
-            embeddings, n_centroids, iters, seed, id_col, vec_col
+    if index is None:
+        index = ivf_index(
+            embeddings, n_centroids, iters, seed, id_col, vec_col,
+            centroids=centroids,
         )
-    q = np.asarray(query, dtype=np.float64)
-    qn = np.linalg.norm(q) or 1.0
-    # centroids are unit vectors: nearest-by-cosine probe order
-    probe = set(int(c) for c in np.argsort(-(centroids @ (q / qn)))[:nprobe])
-    src = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    )
-    assigned = src.mapInArrow(
-        _assign_kernel(centroids), "vec_id long, centroid int"
-    ).where(F.col("centroid").isin(list(probe)))
+    probe = index.probe_ids(query, nprobe)
+    assigned = index.assignments.where(F.col("centroid").isin(probe))
     cand = embeddings.join(
         assigned.select(F.col("vec_id").alias("__ivf_id")),
         embeddings[id_col] == F.col("__ivf_id"),
@@ -314,10 +412,12 @@ def embedding_near_duplicates(
     a = src.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
     b = src.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
     pairs = a.join(b, "bucket").where(F.col("a") < F.col("b"))
-    return pairs.select(
-        "a",
-        "b",
-        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
-            "cosine"
-        ),
-    ).where(F.col("cosine") >= threshold)
+    # zero-norm guard: degenerate vectors get cosine 0 (never NaN,
+    # which Spark sorts above all doubles and >= treats as true-ish)
+    denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    cos = F.when(
+        denom > 0, _dot(F.col("va"), F.col("vb")) / denom
+    ).otherwise(F.lit(0.0))
+    return pairs.select("a", "b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -123,16 +123,22 @@ def language_id(
 
 
 def fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = 8, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing-style document fingerprint: ``(doc_id, fingerprint)``.
 
-    Min xxhash64 over sliding ``window``-token shingles — a rolling-
-    hash content signature stable under reordering-free edits outside
-    the minimal window. JVM-side (transform + xxhash64 + array_min).
+    Min hash over sliding ``window``-token shingles — a rolling-hash
+    content signature stable under reordering-free edits outside the
+    minimal window. JVM-side (transform + hash + array_min).
+    ``hash_fn="md5"`` (functions.text.hash64) makes the fingerprint
+    ANSI-portable for cross-engine value checks; xxhash64 is the
+    production default.
     """
+    from pagerank_spark.functions.text import hash64
+
     hashed = F.transform(
-        _shingles(F.col(text_col), window), lambda s: F.xxhash64(s)
+        _shingles(F.col(text_col), window), lambda s: hash64(s, hash_fn)
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),

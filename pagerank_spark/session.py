@@ -46,7 +46,11 @@ def get_spark(
         # batches amortize Python/Arrow transfer overhead in the SpMV
         # and dedup kernels.
         "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
-        "spark.ui.enabled": os.environ.get("SPARK_UI", "false"),
+        # Spark's stock default; the monitoring REST API it serves is
+        # how pagerank records MEASURED shuffle bytes per iteration
+        # (plans/metrics.py). SPARK_UI=false opts out for minimal runs.
+        "spark.ui.enabled": os.environ.get("SPARK_UI", "true"),
+        "spark.ui.showConsoleProgress": "false",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
     }
     if extra_conf:
