@@ -4,11 +4,12 @@ Exposes the engine (``pagerank_spark``) over the driver's synthetic
 tables. ``queries()`` returns one callable per implemented operator
 from SURVEY.md §2 (+ §2.3 extensions and the training-data pipeline
 ops); ``oracle_sql()`` returns the DuckDB-equivalent SQL for every
-query whose semantics are ANSI-SQL-expressible. Iterative/LSH-seeded
-ops (converged PageRank, LPA beyond fixed rounds, MinHash/SimHash/
-xxhash fingerprints) have no oracle entry → driver records the
-weaker rows-only check; fixed-iteration PageRank and CC are oracled
-via unrolled CTE chains so the graph kernels ARE value-checked.
+query whose semantics are ANSI-SQL-expressible — including the
+converged flagship (CTE unrolled to the NumPy-computed iteration
+count), the corpus-derive path (arithmetic corpus), and md5-portable
+variants of the MinHash/SimHash/fingerprint pipelines. Only the
+xxhash64-seeded production variants stay rows-only (xxhash64 has no
+DuckDB equivalent); each has a value-checked md5 twin.
 
 Canonical test graph: edges derived from lineitem with pure integer
 arithmetic (portable to SQL verbatim):
@@ -152,6 +153,93 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(_edges(spark, sf_dir))
 
 
+def q_pagerank_fixed_join(spark, sf_dir):
+    """The co-partitioned join strategy (the n > 2^26 production path)
+    against the SAME unrolled-CTE oracle as the blocks/local path —
+    proves the two physical strategies are bit-interchangeable."""
+    e = _edges(spark, sf_dir)
+    res = pagerank(
+        e, n=_graph_n(e), dangling="leak", eps=0.0,
+        max_iter=PR_FIXED_ITERS, mode="join",
+    )
+    return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
+
+
+# The reference's own 4-node validation graph in its native SNAP text
+# format (FIXTURES.md F1 / DEMO.txt; converges in 12 iterations).
+SNAP_DEMO_ITERS = 12
+_SNAP_DEMO_TEXT = (
+    "# Directed graph DEMO (reference validation fixture)\n"
+    "# Nodes: 4 Edges: 8\n"
+    + "\n".join(
+        f"{s}\t{t}"
+        for s, t in [(0, 1), (0, 3), (0, 2), (1, 2), (1, 3), (2, 0), (3, 2), (3, 0)]
+    )
+)
+
+
+def q_snap_demo_pagerank(spark, sf_dir):
+    """O1-O3 gate: header scan + edge-list scan + id handling through
+    the reference's native input format, then converged PageRank (leak
+    mode, i.e. bit-compatible with Page_Rank_SERIAL.c)."""
+    import shutil
+    import tempfile
+
+    from pagerank_spark.sources.snap import read_snap_edges
+
+    d = tempfile.mkdtemp(prefix="snap_demo_")
+    try:
+        path = f"{d}/demo.txt"
+        with open(path, "w") as fh:
+            fh.write(_SNAP_DEMO_TEXT)
+        edges, n, _e = read_snap_edges(spark, path)
+        res = pagerank(edges, n=n, dangling="leak")  # eps=1e-4 default
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
+
+
+# Corpus-derivation gate (north-star input path): the corpus is pure
+# integer arithmetic (testing.synth_corpus_arith) so DuckDB regenerates
+# the expected edge set without parsing content — the Spark side runs
+# the REAL extraction (regexp_extract_all + broadcast module resolution,
+# operators/derive.py:60-111).
+CORPUS_REPOS = 40
+CORPUS_FILES = 6
+REPO_PR_ITERS = 6
+
+
+def _arith_corpus(spark):
+    from pagerank_spark.testing import synth_corpus_arith
+
+    return synth_corpus_arith(spark, CORPUS_REPOS, CORPUS_FILES)
+
+
+def q_derive_repo_edges(spark, sf_dir):
+    from pagerank_spark.operators.derive import derive_edges
+
+    return derive_edges(_arith_corpus(spark)).orderBy("src", "dst")
+
+
+def q_repo_pagerank(spark, sf_dir):
+    """North-star composition end-to-end: corpus -> derive_edges ->
+    WEIGHTED PageRank over the repo graph (weight = reference count,
+    the reference's duplicate-edge multiplicity semantics generalized,
+    Page_Rank_SERIAL.c:131-143)."""
+    from pagerank_spark.operators.derive import derive_edges
+
+    edges = derive_edges(_arith_corpus(spark)).select(
+        F.split("src", "-").getItem(1).cast("long").alias("src"),
+        F.split("dst", "-").getItem(1).cast("long").alias("dst"),
+        "weight",
+    )
+    res = pagerank(
+        edges, n=CORPUS_REPOS, dangling="leak", eps=0.0,
+        max_iter=REPO_PR_ITERS, weight_col="weight",
+    )
+    return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -236,6 +324,66 @@ def q_simhash_near_pairs(spark, sf_dir):
 
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
         "a", "b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable-hash (md5) variants — the SAME pipelines with hash_fn="md5"
+# (functions.text.hash64), which DuckDB reproduces bit-for-bit, so the
+# MinHash/SimHash/fingerprint paths get full value checks. xxhash64
+# stays the production default (faster, JVM-native).
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprints_md5(spark, sf_dir):
+    return fingerprints(_docs(spark, sf_dir), hash_fn="md5").orderBy("doc_id")
+
+
+def q_simhash_md5(spark, sf_dir):
+    return simhash_fingerprints(_docs(spark, sf_dir), hash_fn="md5").orderBy(
+        "doc_id"
+    )
+
+
+def q_minhash_bands_md5(spark, sf_dir):
+    # bands == num_perm: each band hash IS one MinHash signature value
+    # (unmixed), which plain modular arithmetic recomputes in SQL
+    return minhash_bands(
+        _docs(spark, sf_dir), num_perm=16, bands=16, hash_fn="md5"
+    ).orderBy("doc_id", "band")
+
+
+def q_minhash_pairs_md5(spark, sf_dir):
+    return (
+        minhash_lsh_pairs(
+            _docs(spark, sf_dir), num_perm=16, bands=16,
+            verify_threshold=0.6, hash_fn="md5",
+        )
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def q_simhash_near_pairs_md5(spark, sf_dir):
+    """Pigeonhole-banded Hamming<=3 pairs. The banding has NO false
+    negatives (any pair within distance k agrees on >=1 of k+1 chunks),
+    so the brute-force all-pairs oracle is the exact expected output."""
+    from pagerank_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=3, hash_fn="md5"
+    ).orderBy("a", "b")
+
+
+def q_dedup_near_docs_md5(spark, sf_dir):
+    from pagerank_spark.operators.dedup import dedup_near
+
+    return (
+        dedup_near(
+            _docs(spark, sf_dir), threshold=0.8, num_perm=16, bands=16,
+            hash_fn="md5",
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 
@@ -356,11 +504,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "edge_weights": q_edge_weights,
         "pagerank_fixed10": q_pagerank_fixed,
+        "pagerank_fixed10_join": q_pagerank_fixed_join,
         "pagerank_converged": q_pagerank_converged,
         "pagerank_topk": q_pagerank_topk,
+        "snap_demo_pagerank": q_snap_demo_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
+        # north-star corpus path
+        "derive_repo_edges": q_derive_repo_edges,
+        "repo_pagerank": q_repo_pagerank,
         # training-data pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
         "token_counts": q_token_counts,
@@ -375,6 +528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dedup_near_docs": q_dedup_near_docs,
+        # portable-hash (md5) variants: same pipelines, value-checked
+        "doc_fingerprints_md5": q_doc_fingerprints_md5,
+        "simhash_md5": q_simhash_md5,
+        "minhash_bands_md5": q_minhash_bands_md5,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
+        "simhash_near_pairs_md5": q_simhash_near_pairs_md5,
+        "dedup_near_docs_md5": q_dedup_near_docs_md5,
         # relational delegation demos
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -390,27 +550,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-def _pagerank_fixed_sql() -> str:
-    """Unrolled power iteration: r0..r{K} as a chained CTE (leak mode)."""
+def _pr_cte_sql(
+    edges_sql: str,
+    iters: int,
+    dangling: str = "leak",
+    weighted: bool = False,
+    final: str | None = None,
+) -> str:
+    """Unrolled power iteration r0..r{iters} as a chained CTE.
+
+    One machinery value-checks the fixed-k, converged (redistribute
+    dangling mode: ``+ d * dangling_mass / n`` per level, dangling ids
+    via NOT EXISTS on the out-edge set), weighted (per-edge
+    ``d * weight / strength(src)``), SNAP-demo and top-k queries.
+    """
     parts = [
-        f"WITH eg AS ({_EDGES_SQL}),",
+        f"WITH eg AS ({edges_sql}),",
         "nn AS (SELECT CAST(1 + max(greatest(src, dst)) AS DOUBLE) AS n FROM eg),",
-        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM eg GROUP BY src),",
-        "w AS (SELECT e.src, e.dst, 0.85 / od.odeg AS w FROM eg e JOIN od ON e.src = od.src),",
-        "v AS (SELECT CAST(unnest(range(0, (SELECT CAST(n AS BIGINT) FROM nn))) AS BIGINT) AS id),",
-        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),",
     ]
-    for k in range(1, PR_FIXED_ITERS + 1):
+    if weighted:
+        parts += [
+            "st AS (SELECT src, CAST(sum(weight) AS DOUBLE) AS s FROM eg GROUP BY src),",
+            "w AS (SELECT e.src, e.dst, 0.85 * e.weight / st.s AS w "
+            "FROM eg e JOIN st ON e.src = st.src),",
+        ]
+    else:
+        parts += [
+            "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM eg GROUP BY src),",
+            "w AS (SELECT e.src, e.dst, 0.85 / od.odeg AS w FROM eg e JOIN od ON e.src = od.src),",
+        ]
+    parts.append(
+        "v AS (SELECT CAST(unnest(range(0, (SELECT CAST(n AS BIGINT) FROM nn))) AS BIGINT) AS id),"
+    )
+    if dangling == "redistribute":
         parts.append(
-            f"r{k} AS (SELECT v.id, 0.15 / (SELECT n FROM nn) + coalesce(s.s, 0) AS rank "
+            "dang AS (SELECT v.id FROM v WHERE NOT EXISTS "
+            "(SELECT 1 FROM w WHERE w.src = v.id)),"
+        )
+    parts.append("r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),")
+    for k in range(1, iters + 1):
+        base = "0.15 / (SELECT n FROM nn)"
+        if dangling == "redistribute":
+            base += (
+                f" + 0.85 * (SELECT coalesce(sum(r.rank), 0) FROM r{k-1} r "
+                f"JOIN dang ON r.id = dang.id) / (SELECT n FROM nn)"
+            )
+        parts.append(
+            f"r{k} AS (SELECT v.id, {base} + coalesce(s.s, 0) AS rank "
             f"FROM v LEFT JOIN (SELECT w.dst AS id, sum(w.w * r.rank) AS s "
             f"FROM w JOIN r{k-1} r ON w.src = r.id GROUP BY w.dst) s USING (id)),"
         )
     parts[-1] = parts[-1].rstrip(",")
     parts.append(
-        f"SELECT id, round(rank, 7) AS rank FROM r{PR_FIXED_ITERS} ORDER BY id"
+        final or f"SELECT id, round(rank, 7) AS rank FROM r{iters} ORDER BY id"
     )
     return "\n".join(parts)
+
+
+def _pagerank_fixed_sql() -> str:
+    """Unrolled power iteration: r0..r{K} as a chained CTE (leak mode)."""
+    return _pr_cte_sql(_EDGES_SQL, PR_FIXED_ITERS)
+
+
+# The converged-PageRank oracle: the iteration count to eps=1e-4 is a
+# deterministic property of the sf0.01 graph (the driver's comparison
+# scale), computed by an independent driver-side NumPy power iteration;
+# the CTE is then unrolled to exactly that depth.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_CONV_ITERS_CACHE: dict[str, int] = {}
+
+
+def _converged_iters(sf_dir: str = ORACLE_SF_DIR) -> int:
+    if sf_dir not in _CONV_ITERS_CACHE:
+        import duckdb
+        import numpy as np
+
+        con = duckdb.connect()
+        tbl = con.execute(
+            f"SELECT l_partkey % {N_MOD} AS src, "
+            f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        ).fetchnumpy()
+        con.close()
+        src = tbl["src"].astype(np.int64)
+        dst = tbl["dst"].astype(np.int64)
+        n = int(max(src.max(), dst.max())) + 1
+        out = np.bincount(src, minlength=n).astype(np.float64)
+        dang = out == 0
+        safe = np.where(dang, 1.0, out)
+        w = 0.85 / safe[src]
+        r = np.full(n, 1.0 / n)
+        k = 0
+        while True:
+            base = 0.15 / n + 0.85 * float(r[dang].sum()) / n
+            new = np.bincount(dst, weights=w * r[src], minlength=n) + base
+            resid = float(np.abs(new - r).sum())
+            r = new
+            k += 1
+            if resid <= 1e-4:
+                break
+            if k > 10_000:
+                raise RuntimeError("power iteration failed to converge")
+        _CONV_ITERS_CACHE[sf_dir] = k
+    return _CONV_ITERS_CACHE[sf_dir]
 
 
 def _cc_sql() -> str:
@@ -455,6 +697,127 @@ def _lpa_sql() -> str:
         )
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id, label FROM l{LPA_ROUNDS} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _corpus_edges_sql(as_ids: bool = False) -> str:
+    """DuckDB regeneration of synth_corpus_arith's reference graph —
+    closed-form arithmetic, no content parsing (see testing.py)."""
+    R, FPR = CORPUS_REPOS, CORPUS_FILES
+    src = "i" if as_ids else "'org/name-' || CAST(i AS VARCHAR)"
+    dst = "j" if as_ids else "'org/name-' || CAST(j AS VARCHAR)"
+    return (
+        f"WITH cf AS (SELECT CAST(unnest(range(0, {R * FPR})) AS BIGINT) AS fid), "
+        f"px AS (SELECT fid // {FPR} AS i, fid % {FPR} AS f FROM cf), "
+        f"refs AS (SELECT i, (i*7 + f*3 + 1) % {R} AS j FROM px "
+        f"UNION ALL SELECT i, (i*13 + f*5 + 2) % {R} AS j FROM px) "
+        f"SELECT {src} AS src, {dst} AS dst, count(*) AS weight "
+        f"FROM refs WHERE i <> j GROUP BY 1, 2"
+    )
+
+
+_SNAP_DEMO_EDGES_SQL = (
+    "SELECT * FROM (VALUES (0, 1), (0, 3), (0, 2), (1, 2), (1, 3), "
+    "(2, 0), (3, 2), (3, 0)) AS t(src, dst)"
+)
+
+# portable 60-bit md5 hash — bit-identical to functions.text.hash64's
+# md5 mode (Spark: conv(substring(md5(s),1,15),16,10) cast long)
+_MD5H = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_U64 = 1 << 64
+_I64_MAX1 = 1 << 63
+
+
+def _md5_shingle_sql(k: int) -> str:
+    """``(doc_id, hl: BIGINT[])`` — k-token shingle md5-60bit hashes,
+    mirroring dedup._shingle_hashes with hash_fn='md5'."""
+    h = _MD5H.format(x=f"array_to_string(l[i:i+{k - 1}], ' ')")
+    return (
+        f"SELECT doc_id, [{h} FOR i IN range(1, greatest(len(l) - {k - 1}, 1) + 1)] AS hl "
+        "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents)"
+    )
+
+
+def _simhash_md5_sum(hs: str = "hs") -> str:
+    """The 60-bit SimHash bit-majority fold: bit b set iff more than
+    half the token hashes have bit b set (sum of +-1 > 0)."""
+    return " + ".join(
+        f"CASE WHEN 2 * len(list_filter({hs}, x -> ((x >> {b}) & 1) = 1)) "
+        f"> len({hs}) THEN {1 << b} ELSE 0 END"
+        for b in range(60)
+    )
+
+
+def _minhash_md5_sig_sql(k: int, am, bm) -> str:
+    """Signature k: min over shingle hashes of (h*a_k + b_k) mod 2^64,
+    re-expressed through HUGEINT and converted to the signed int64 view
+    the Arrow kernel emits."""
+    a, b = int(am[k]), int(bm[k])
+    u = (
+        f"list_min([(CAST(x AS HUGEINT) * {a} + {b}) % {_U64} FOR x IN hl])"
+    )
+    return (
+        f"CAST(CASE WHEN {u} >= {_I64_MAX1} THEN {u} - {_U64} ELSE {u} END "
+        "AS BIGINT)"
+    )
+
+
+def _minhash_md5_bands_sql(num_perm: int = 16, seed: int = 42) -> str:
+    """UNION-ALL of the per-permutation signatures over the ``sh`` CTE
+    (one row per (doc, band); band == permutation when bands==num_perm)."""
+    from pagerank_spark.operators.dedup import minhash_params
+
+    am, bm = minhash_params(num_perm, seed)
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, {_minhash_md5_sig_sql(k, am, bm)} AS band_hash FROM sh"
+        for k in range(num_perm)
+    )
+
+
+def _minhash_md5_pairs_core() -> str:
+    """Shared CTE prefix: shingles -> 16 signatures -> candidate pairs
+    -> exact-Jaccard verification (mirrors minhash_lsh_pairs md5 mode)."""
+    return (
+        f"WITH sh AS ({_md5_shingle_sql(3)}), "
+        f"bnd AS ({_minhash_md5_bands_sql()}), "
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bnd x "
+        "JOIN bnd y ON x.band = y.band AND x.band_hash = y.band_hash "
+        "AND x.doc_id < y.doc_id), "
+        "ds AS (SELECT doc_id, list_distinct(hl) AS hset FROM sh), "
+        "jac AS (SELECT c.a, c.b, "
+        "CAST(len(list_intersect(da.hset, db.hset)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(da.hset, db.hset))) AS j "
+        "FROM cand c JOIN ds da ON c.a = da.doc_id "
+        "JOIN ds db ON c.b = db.doc_id)"
+    )
+
+
+def _dedup_near_md5_sql(threshold: float = 0.8, rounds: int = 10) -> str:
+    """Near-dup removal oracle: verified pair graph -> min-label
+    propagation to components -> drop non-minimum members."""
+    # MATERIALIZED: each level references the previous one twice; an
+    # inlined CTE chain would duplicate the whole upstream pipeline
+    # (and its parquet scans) 2^rounds times.
+    parts = [
+        _minhash_md5_pairs_core() + ",",
+        f"pg AS MATERIALIZED (SELECT a, b FROM jac WHERE j >= {threshold}),",
+        "vs AS (SELECT DISTINCT id FROM (SELECT a AS id FROM pg "
+        "UNION ALL SELECT b FROM pg)),",
+        "sym AS MATERIALIZED (SELECT a, b FROM pg "
+        "UNION ALL SELECT b AS a, a AS b FROM pg),",
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM vs),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, least(l.lab, coalesce(m.ml, l.lab)) AS lab "
+            f"FROM l{k-1} l LEFT JOIN (SELECT s.a AS id, min(x.lab) AS ml "
+            f"FROM sym s JOIN l{k-1} x ON s.b = x.id GROUP BY s.a) m USING (id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        f"(SELECT id FROM l{rounds} WHERE lab <> id) ORDER BY doc_id"
+    )
     return "\n".join(parts)
 
 
@@ -536,6 +899,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM m JOIN od ON m.src = od.src ORDER BY m.src, m.dst"
         ),
         "pagerank_fixed10": _pagerank_fixed_sql(),
+        "pagerank_fixed10_join": _pagerank_fixed_sql(),
+        "snap_demo_pagerank": _pr_cte_sql(
+            _SNAP_DEMO_EDGES_SQL, SNAP_DEMO_ITERS
+        ),
+        "derive_repo_edges": _corpus_edges_sql() + " ORDER BY src, dst",
+        "repo_pagerank": _pr_cte_sql(
+            _corpus_edges_sql(as_ids=True), REPO_PR_ITERS, weighted=True
+        ),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "triangle_count": (
@@ -654,6 +1025,68 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM orders "
             "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') "
             "ORDER BY c_custkey"
+        ),
+        # --- portable-hash (md5) pipeline oracles -------------------------
+        "doc_fingerprints_md5": (
+            f"SELECT doc_id, list_min(hl) AS fingerprint "
+            f"FROM ({_md5_shingle_sql(8)}) ORDER BY doc_id"
+        ),
+        "simhash_md5": (
+            "WITH t AS (SELECT doc_id, ["
+            + _MD5H.format(x="x")
+            + " FOR x IN string_split_regex(trim(text), '\\s+')] AS hs "
+            "FROM documents) "
+            f"SELECT doc_id, CAST({_simhash_md5_sum()} AS BIGINT) AS simhash "
+            "FROM t ORDER BY doc_id"
+        ),
+        "minhash_bands_md5": (
+            f"WITH sh AS ({_md5_shingle_sql(3)}) "
+            f"SELECT doc_id, CAST(band AS INTEGER) AS band, band_hash "
+            f"FROM ({_minhash_md5_bands_sql()}) ORDER BY doc_id, band"
+        ),
+        "minhash_pairs_md5": (
+            _minhash_md5_pairs_core()
+            + " SELECT a, b, round(j, 6) AS jaccard FROM jac "
+            "WHERE j >= 0.6 ORDER BY a, b"
+        ),
+        "simhash_near_pairs_md5": (
+            # pigeonhole banding has no false negatives, so brute-force
+            # all-pairs Hamming<=3 IS the expected banded output
+            "WITH t AS (SELECT doc_id, ["
+            + _MD5H.format(x="x")
+            + " FOR x IN string_split_regex(trim(text), '\\s+')] AS hs "
+            "FROM documents), "
+            f"s AS (SELECT doc_id, CAST({_simhash_md5_sum()} AS BIGINT) AS sh "
+            "FROM t) "
+            "SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming "
+            "FROM s x JOIN s y ON x.doc_id < y.doc_id "
+            "WHERE bit_count(xor(x.sh, y.sh)) <= 3 ORDER BY a, b"
+        ),
+        "dedup_near_docs_md5": _dedup_near_md5_sql(),
+        **_converged_oracles(),
+    }
+
+
+def _converged_oracles() -> dict[str, str]:
+    """Value-check the flagship converged queries when the comparison
+    tables are reachable (they always are in the driver's gate); on any
+    failure fall back to omitting the entries (rows-only check) rather
+    than poisoning the whole oracle set."""
+    try:
+        k = _converged_iters()
+    except Exception:
+        return {}
+    return {
+        "pagerank_converged": _pr_cte_sql(
+            _EDGES_SQL, k, dangling="redistribute"
+        ),
+        "pagerank_topk": _pr_cte_sql(
+            _EDGES_SQL, k, dangling="redistribute",
+            final=(
+                f"SELECT id, round(rank, 7) AS rank FROM r{k} "
+                "ORDER BY round(rank, 7) DESC, id LIMIT 20"
+            ),
         ),
     }
 

@@ -299,6 +299,7 @@ def dedup_near(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Remove near-duplicates, keeping one canonical doc per cluster.
 
@@ -313,7 +314,7 @@ def dedup_near(
 
     pairs = minhash_lsh_pairs(
         docs, id_col, text_col, shingle_k, num_perm, bands, seed,
-        verify_threshold=threshold,
+        verify_threshold=threshold, hash_fn=hash_fn,
     )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     labels = connected_components(edges)
@@ -328,6 +329,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= ``max_hamming``:
     ``(a, b, hamming)``.
@@ -341,7 +343,7 @@ def simhash_near_pairs(
     chunks = max_hamming + 1
     bits = 64 // chunks
     mask = (1 << bits) - 1
-    fp = simhash_fingerprints(docs, id_col, text_col)
+    fp = simhash_fingerprints(docs, id_col, text_col, hash_fn)
     keys = fp.select(
         "doc_id",
         "simhash",

@@ -56,6 +56,65 @@ def synth_edges(
     )
 
 
+def synth_corpus_arith(
+    spark: SparkSession, n_repos: int = 40, files_per_repo: int = 6
+) -> DataFrame:
+    """Corpus whose reference graph is PURE INTEGER ARITHMETIC.
+
+    Unlike ``synth_corpus`` (sha256-driven, Python-only), every file's
+    imports are a closed-form function of (repo i, file f):
+
+        j1 = (i*7  + f*3 + 1) % n_repos
+        j2 = (i*13 + f*5 + 2) % n_repos
+
+    so an external SQL engine can regenerate the expected edge set
+    without parsing any content — which makes the whole derive stage
+    (regex extraction + module resolution + weighting) value-checkable
+    end-to-end. Content is built distributed with JVM string
+    expressions; it includes noise lines and unresolvable imports
+    (``os``, ``java.util``, ``fs``, ``<stdio.h>``) the extractor must
+    ignore. Every repo has >=1 non-self outgoing reference: j1 == i
+    would need 6i+3f+1 ≡ 0 (mod n_repos), impossible for even
+    n_repos since the LHS is odd — so the id range is always covered.
+    """
+    if n_repos % 2:
+        raise ValueError("n_repos must be even (guarantees full id coverage)")
+    R, FPR = n_repos, files_per_repo
+    i = F.expr(f"id DIV {FPR}")
+    f_ = F.col("id") % FPR
+    j1 = (i * 7 + f_ * 3 + 1) % R
+    j2 = (i * 13 + f_ * 5 + 2) % R
+    m1 = F.concat(F.lit("org_name_"), j1.cast("string"))
+    m2 = F.concat(F.lit("org_name_"), j2.cast("string"))
+    lang_idx = (f_ % 4).cast("int")
+    langs = ["python", "c", "java", "js"]
+    exts = ["py", "c", "java", "js"]
+    content = (
+        F.when(lang_idx == 0, F.concat(
+            F.lit("import os\nimport "), m1,
+            F.lit("\nfrom "), m2, F.lit(" import api\nx = 1\n")))
+        .when(lang_idx == 1, F.concat(
+            F.lit('#include <stdio.h>\n#include "'), m1,
+            F.lit('/a.h"\n#include "'), m2, F.lit('/b.h"\nint x;\n')))
+        .when(lang_idx == 2, F.concat(
+            F.lit("import java.util.List;\nimport "), m1,
+            F.lit(".Api;\nimport "), m2, F.lit(".Impl;\nclass X {}\n")))
+        .otherwise(F.concat(
+            F.lit("const fs = require('fs')\nconst a = require('"), m1,
+            F.lit("')\nconst b = require('"), m2, F.lit("')\n")))
+    )
+    lang = F.element_at(F.array(*[F.lit(x) for x in langs]), lang_idx + 1)
+    ext = F.element_at(F.array(*[F.lit(x) for x in exts]), lang_idx + 1)
+    return spark.range(R * FPR).select(
+        F.concat(F.lit("org/name-"), i.cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), f_.cast("string"), F.lit("."), ext).alias("path"),
+        F.concat(F.lit("commit-"), F.col("id").cast("string")).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+        F.sha2(content, 256).alias("content_sha256"),
+    )
+
+
 def synth_corpus(
     spark: SparkSession,
     n_repos: int = 50,
