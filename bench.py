@@ -46,6 +46,7 @@ HEADLINE = [
     "triangle_count",
     "minhash_dup_pairs",
     "ann_cosine_topk",
+    "ivf_cosine_topk",
     "dedup_exact_groups",
     "quality_scores",
     "pricing_summary",

@@ -23,10 +23,11 @@ from pyspark.sql import SparkSession
 
 
 def shuffle_totals(spark: SparkSession) -> dict | None:
-    """Cumulative shuffle bytes over all stages of this application.
-
-    Returns ``{"shuffle_read_bytes": int, "shuffle_write_bytes": int}``
-    or ``None`` when the UI/REST endpoint is unavailable.
+    """Per-stage shuffle-byte snapshot: ``{(stageId, attemptId):
+    (read_bytes, write_bytes)}``, or ``None`` when the UI/REST endpoint
+    is unavailable. Keyed per stage (not summed) so a later delta is
+    immune to the UI's retained-stage eviction — a cumulative total
+    would DROP whenever old stages rotate out of the store.
     """
     sc = spark.sparkContext
     url = sc.uiWebUrl
@@ -40,22 +41,28 @@ def shuffle_totals(spark: SparkSession) -> dict | None:
     except Exception:
         return None
     return {
-        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
-        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        (s["stageId"], s.get("attemptId", 0)): (
+            s.get("shuffleReadBytes", 0),
+            s.get("shuffleWriteBytes", 0),
+        )
+        for s in stages
     }
 
 
 def shuffle_delta(before: dict | None, after: dict | None) -> dict:
-    """Per-step measured shuffle bytes (``None`` fields when unmeasured).
+    """Measured shuffle bytes between two snapshots (``None`` fields
+    when unmeasured).
 
-    Note: totals are summed over *completed* stages, so a delta
-    attributes a stage to the step in which it completed.
+    Sums only stages present in ``after``: new stages count in full,
+    stages seen in both count their growth, and stages evicted from the
+    store between snapshots (present only in ``before``) are ignored —
+    they finished before the window anyway.
     """
     if before is None or after is None:
         return {"shuffle_read_bytes": None, "shuffle_write_bytes": None}
-    return {
-        "shuffle_read_bytes": after["shuffle_read_bytes"]
-        - before["shuffle_read_bytes"],
-        "shuffle_write_bytes": after["shuffle_write_bytes"]
-        - before["shuffle_write_bytes"],
-    }
+    read = write = 0
+    for key, (r, w) in after.items():
+        r0, w0 = before.get(key, (0, 0))
+        read += max(r - r0, 0)
+        write += max(w - w0, 0)
+    return {"shuffle_read_bytes": read, "shuffle_write_bytes": write}

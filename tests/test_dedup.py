@@ -123,3 +123,45 @@ def test_ngram_jaccard_bruteforce(spark, docs):
         assert pairs[(i, i + 100000)] == pytest.approx(1.0)
     for i in range(5, 8):
         assert 0.4 <= pairs[(i, i + 200000)] <= 1.0
+
+
+def test_md5_hash_mode_matches_python_oracle(spark, docs):
+    """functions.text.hash64 md5 mode == top-60-bits of hashlib md5 —
+    the contract the DuckDB oracles rely on."""
+    import hashlib
+
+    from pagerank_spark.functions.text import hash64
+
+    sample = docs.limit(5).select(
+        "doc_id", hash64(F.col("text"), "md5").alias("h"), "text"
+    ).collect()
+    for r in sample:
+        expect = int(hashlib.md5(r["text"].encode()).hexdigest()[:15], 16)
+        assert r["h"] == expect
+
+
+def test_minhash_md5_pairs_match_xxhash_pairs(spark, docs):
+    """Same docs, same bands: the portable-hash variant must find the
+    same duplicate PAIR SET (hash family differs, but exact-duplicate
+    collisions and the verified exact-Jaccard values are hash-free)."""
+    kw = dict(num_perm=16, bands=16, verify_threshold=0.99)
+    px = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, **kw).collect()}
+    pm = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs, hash_fn="md5", **kw).collect()
+    }
+    # exact duplicates (jaccard 1.0) must be found by both
+    assert {(a, b) for a, b in px if a < 5} == {(a, b) for a, b in pm if a < 5}
+
+
+def test_simhash_md5_top_bits_zero(spark, docs):
+    fp = simhash_fingerprints(docs, hash_fn="md5").limit(50).collect()
+    for r in fp:
+        assert 0 <= r["simhash"] < (1 << 60)
+
+
+def test_ngram_bruteforce_guard(spark, docs):
+    with pytest.raises(ValueError, match="block_bits"):
+        ngram_jaccard_pairs(docs, max_bruteforce_rows=10).count()
+    # blocked path is exempt from the ceiling
+    ngram_jaccard_pairs(docs.limit(20), block_bits=2, max_bruteforce_rows=10)

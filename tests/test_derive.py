@@ -65,3 +65,40 @@ def test_derive_edges_weighted_and_ranked(spark):
     assert res.converged
     total = res.ranks.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_synth_corpus_arith_matches_closed_form(spark):
+    """derive_edges over the arithmetic corpus == the closed-form edge
+    set (the same arithmetic the DuckDB gate oracle replays)."""
+    from collections import Counter
+
+    from pagerank_spark.operators.derive import derive_edges
+    from pagerank_spark.testing import synth_corpus_arith
+
+    R, FPR = 20, 5
+    corpus = synth_corpus_arith(spark, R, FPR)
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in derive_edges(corpus).collect()
+    }
+    expect = Counter()
+    for i in range(R):
+        for f in range(FPR):
+            for j in ((i * 7 + f * 3 + 1) % R, (i * 13 + f * 5 + 2) % R):
+                if j != i:
+                    expect[(f"org/name-{i}", f"org/name-{j}")] += 1
+    assert got == dict(expect)
+
+
+def test_synth_corpus_arith_covers_all_repos_and_langs(spark):
+    from pagerank_spark.testing import synth_corpus_arith
+
+    corpus = synth_corpus_arith(spark, 12, 4).cache()
+    assert corpus.select("repo").distinct().count() == 12
+    assert {r["lang"] for r in corpus.select("lang").distinct().collect()} == {
+        "python", "c", "java", "js"
+    }
+    # sha256 invariant holds at synthesis
+    from pagerank_spark.operators.derive import verify_sha
+
+    assert verify_sha(corpus) == 0

@@ -168,3 +168,39 @@ def test_lpa_random_matches_oracle(spark):
     }
     assert got == lpa_oracle(pairs, max_iter=6)
     e.unpersist()
+
+
+def test_cc_warns_when_max_iter_exhausted(spark):
+    import warnings
+
+    # a long path graph cannot converge in 1 round
+    path_edges = edges_df(spark, [(i, i + 1) for i in range(30)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(path_edges, max_iter=1).collect()
+    assert any("did not stabilize" in str(x.message) for x in w)
+
+
+def test_cc_count_first_detection_same_labels(spark):
+    """The cheaper convergence detection must not change labels."""
+    e = synth_edges(spark, 200, 600, seed=7)
+    labels = {
+        r["id"]: r["component"] for r in connected_components(e).collect()
+    }
+    # oracle: union-find over the collected edge list
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    seen = set()
+    for r in e.collect():
+        seen.update((r["src"], r["dst"]))
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    expect = {v: find(v) for v in seen}
+    assert labels == expect

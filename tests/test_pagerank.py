@@ -17,6 +17,7 @@ from pagerank_spark.testing import (
     DEMODISPARI_GOLDEN,
     DEMODISPARI_N,
     edges_df,
+    synth_edges,
 )
 
 
@@ -283,3 +284,34 @@ def test_permutation_invariance(spark):
     r1 = ranks_vec(pagerank(edges_df(spark, edges), n=4, dangling="leak"), 4)
     r2 = ranks_vec(pagerank(edges_df(spark, permuted), n=4, dangling="leak"), 4)
     np.testing.assert_allclose([r2[perm[i]] for i in range(4)], r1, atol=1e-12)
+
+
+def test_measured_shuffle_metrics(spark):
+    """Blocks iterations measure ZERO shuffle bytes (the design claim);
+    join iterations measure a real positive number."""
+    big = synth_edges(spark, 500, 3000, seed=3)
+    blocks = pagerank(big, n=500, mode="broadcast", max_iter=2)
+    joinres = pagerank(big, n=500, mode="join", max_iter=2)
+    for m in blocks.metrics:
+        assert m["shuffle_read_bytes"] == 0
+        assert m["shuffle_write_bytes"] == 0
+    assert all(m["shuffle_read_bytes"] > 0 for m in joinres.metrics)
+
+
+def test_join_checkpoint_keeps_single_rank_parquet(spark, tmp_path):
+    import glob
+
+    big = synth_edges(spark, 300, 2000, seed=5)
+    ckpt = str(tmp_path / "jck")
+    pagerank(big, n=300, mode="join", max_iter=4, checkpoint_dir=ckpt)
+    survivors = glob.glob(f"{ckpt}/rank_iter_*.parquet")
+    assert len(survivors) == 1  # superseded iteration parquets deleted
+    # and the manifest points at the survivor
+    import json
+
+    with open(f"{ckpt}/manifest.json") as f:
+        man = json.load(f)
+    assert man["rank_path"] == survivors[0]
+    assert man["metrics"][-1]["shuffle_read_bytes"] is None or (
+        man["metrics"][-1]["shuffle_read_bytes"] >= 0
+    )

@@ -164,3 +164,53 @@ def test_fingerprints_stable_and_dup_sensitive(spark, docs):
     vals = {r["doc_id"]: r["fingerprint"] for r in both.collect()}
     for r in docs.limit(3).collect():
         assert vals[r["doc_id"]] == vals[r["doc_id"] + 7000]
+
+
+def test_zero_norm_vectors_never_rank(spark, emb, emb_np):
+    """A zero embedding must get cosine 0.0, not NaN (NaN sorts above
+    every double in Spark and would top every descending top-k)."""
+    ids, mat = emb_np
+    dim = mat.shape[1]
+    withzero = emb.select("vec_id", "embedding").union(
+        spark.createDataFrame(
+            [(999999, [0.0] * dim)], "vec_id long, embedding array<float>"
+        )
+    )
+    top = cosine_topk(withzero, [float(x) for x in mat[0]], k=5).collect()
+    assert all(r["vec_id"] != 999999 for r in top)
+    assert all(not np.isnan(r["cosine"]) for r in top)
+
+
+def test_ivf_index_probe_prunes_partitions(spark, emb, emb_np, tmp_path):
+    """A parquet-backed IVF index probe must be a partition-pruned scan:
+    no Python kernel in the plan, and a centroid partition filter."""
+    from pagerank_spark.operators.similarity import ivf_index, ivf_topk
+    from pagerank_spark.plans.inspect import explain_summary
+
+    ids, mat = emb_np
+    q = [float(x) for x in mat[0]]
+    idx = ivf_index(emb, n_centroids=8, path=str(tmp_path / "ivf"))
+    probe = ivf_topk(emb, q, k=10, nprobe=2, index=idx)
+    plan = explain_summary(probe, mode="simple")
+    assert "MapInArrow" not in plan  # assignment is NOT recomputed
+    assert "PartitionFilters: [centroid" in plan  # probe prunes
+    # exhaustive probe over the stored index == exact scan
+    full = ivf_topk(emb, q, k=10, nprobe=8, index=idx)
+    exact = cosine_topk(emb, q, k=10)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+
+
+def test_ivf_index_reuse_two_queries(spark, emb, emb_np):
+    from pagerank_spark.operators.similarity import ivf_index, ivf_topk
+
+    ids, mat = emb_np
+    idx = ivf_index(emb, n_centroids=8)
+    for qi in (0, 7):
+        got = ivf_topk(
+            emb, [float(x) for x in mat[qi]], k=5, nprobe=8, index=idx
+        ).collect()
+        exact = cosine_topk(emb, [float(x) for x in mat[qi]], k=5).collect()
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    idx.assignments.unpersist()
