@@ -456,6 +456,26 @@ def q_user_top_events(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Batch sessionization (30-min gap) — the batch twin of the
+    streaming stateful sessionizer, pure window functions."""
+    from pagerank_spark.operators.sessionize import sessionize_batch
+
+    s = sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_seq")
+
+
 def q_pricing_rollup(spark, sf_dir):
     """Grouping-set/rollup delegation demo (subtotals + grand total)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -540,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "user_top_events": q_user_top_events,
+        "user_sessions": q_user_sessions,
         "pricing_rollup": q_pricing_rollup,
         "urgent_not_big_spenders": q_urgent_not_big_spenders,
         "customers_without_orders": q_customers_without_orders,
@@ -1006,6 +1027,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, value, "
             "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn "
             "FROM events) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "user_sessions": (
+            "WITH o AS (SELECT user_id, event_id, ts, value, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "f AS (SELECT *, CASE WHEN pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS brk "
+            "FROM o), "
+            "s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS session_seq FROM f) "
+            "SELECT user_id, session_seq, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value "
+            "FROM s GROUP BY user_id, session_seq "
+            "ORDER BY user_id, session_seq"
         ),
         "pricing_rollup": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "

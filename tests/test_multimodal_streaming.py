@@ -232,3 +232,37 @@ def test_streaming_degrees_memory_sink(spark, tmp_path):
         for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert got == want
+
+
+def test_sessionize_batch_matches_streaming_semantics(spark):
+    """The window-function batch sessionizer and the stateful streaming
+    sessionizer implement ONE gap rule: the batch closed-session set
+    (all but each user's final session, which streaming keeps open in
+    state) must equal the python oracle's closed set."""
+    from pagerank_spark.operators.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = sessionize_batch(ev, gap_minutes=30).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r["user_id"]] = max(
+            last_seq.get(r["user_id"], 0), r["session_seq"]
+        )
+    got_closed = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in batch
+        if r["session_seq"] != last_seq[r["user_id"]]  # open tail excluded
+    }
+    want = sessions_oracle(ev.collect(), gap_minutes=30)
+    assert got_closed == want
+    # session_seq numbers each user's sessions 1..k in time order
+    per_user = {}
+    for r in sorted(batch, key=lambda r: (r["user_id"], r["session_start"])):
+        per_user.setdefault(r["user_id"], []).append(r["session_seq"])
+    assert all(v == list(range(1, len(v) + 1)) for v in per_user.values())
