@@ -221,6 +221,28 @@ def q_derive_repo_edges(spark, sf_dir):
     return derive_edges(_arith_corpus(spark)).orderBy("src", "dst")
 
 
+def q_derive_file_edges(spark, sf_dir):
+    """File-granularity derive: src = repo:path (bipartite file->repo
+    reference graph, the finer-grained ranking input)."""
+    from pagerank_spark.operators.derive import derive_edges
+
+    return derive_edges(_arith_corpus(spark), granularity="file").orderBy(
+        "src", "dst"
+    )
+
+
+def q_densify_mapping(spark, sf_dir):
+    """O3 generalized: arbitrary (string) vertex ids -> dense 0..n-1.
+    Deterministic (sorted distinct ids + zipWithIndex), so the mapping
+    itself is value-checkable against a SQL row_number oracle."""
+    from pagerank_spark.operators.densify import densify_ids
+    from pagerank_spark.operators.derive import derive_edges
+
+    edges = derive_edges(_arith_corpus(spark))
+    _dense, mapping = densify_ids(edges)
+    return mapping.orderBy("id")
+
+
 def q_repo_pagerank(spark, sf_dir):
     """North-star composition end-to-end: corpus -> derive_edges ->
     WEIGHTED PageRank over the repo graph (weight = reference count,
@@ -533,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
+        "derive_file_edges": q_derive_file_edges,
+        "densify_mapping": q_densify_mapping,
         "repo_pagerank": q_repo_pagerank,
         # training-data pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -925,6 +949,23 @@ def oracle_sql() -> dict[str, str]:
             _SNAP_DEMO_EDGES_SQL, SNAP_DEMO_ITERS
         ),
         "derive_repo_edges": _corpus_edges_sql() + " ORDER BY src, dst",
+        "derive_file_edges": (
+            f"WITH cf AS (SELECT CAST(unnest(range(0, {CORPUS_REPOS * CORPUS_FILES})) AS BIGINT) AS fid), "
+            f"px AS (SELECT fid // {CORPUS_FILES} AS i, fid % {CORPUS_FILES} AS f FROM cf), "
+            f"refs AS (SELECT i, f, (i*7 + f*3 + 1) % {CORPUS_REPOS} AS j FROM px "
+            f"UNION ALL SELECT i, f, (i*13 + f*5 + 2) % {CORPUS_REPOS} AS j FROM px) "
+            "SELECT 'org/name-' || CAST(i AS VARCHAR) || ':src/f' || CAST(f AS VARCHAR) "
+            "|| '.' || (['py', 'c', 'java', 'js'])[CAST(f % 4 AS INTEGER) + 1] AS src, "
+            "'org/name-' || CAST(j AS VARCHAR) AS dst, count(*) AS weight "
+            "FROM refs WHERE i <> j GROUP BY 1, 2 ORDER BY src, dst"
+        ),
+        "densify_mapping": (
+            f"WITH eg AS ({_corpus_edges_sql()}), "
+            "ids AS (SELECT DISTINCT orig_id FROM "
+            "(SELECT src AS orig_id FROM eg UNION ALL SELECT dst FROM eg)) "
+            "SELECT orig_id, CAST(row_number() OVER (ORDER BY orig_id) - 1 "
+            "AS BIGINT) AS id FROM ids ORDER BY id"
+        ),
         "repo_pagerank": _pr_cte_sql(
             _corpus_edges_sql(as_ids=True), REPO_PR_ITERS, weighted=True
         ),

@@ -51,35 +51,42 @@ def sessionize_batch(
         prev_ts.isNull() | (us(F.col(ts_col)) - us(prev_ts) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
-    # two selects: a window expression cannot nest inside another
-    # window aggregate — both still run in ONE window exchange/sort
-    # (same partitioning + ordering)
+    # Two selects: a window expression cannot nest inside another
+    # window aggregate. Keeping the ORIGINAL column names through both
+    # windows lets Catalyst see the orderings as identical, so the plan
+    # is ONE exchange + ONE sort feeding both Window operators; the
+    # final group-by is clustering-satisfied by the same user_col
+    # partitioning (grouping keys are a superset) — one shuffle total.
     flagged = events.select(
-        F.col(user_col).alias("user_id"),
-        F.col(ts_col).alias("ts"),
-        F.col(value_col).alias("value"),
-        F.col(order_col).alias("__ord"),
-        brk.alias("__brk"),
+        user_col, ts_col, value_col, order_col, brk.alias("__brk")
     )
     w2 = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "__ord")
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         flagged.select(
-            "user_id",
-            "ts",
-            "value",
+            user_col,
+            ts_col,
+            value_col,
             F.sum("__brk").over(w2).cast("long").alias("session_seq"),
         )
-        .groupBy("user_id", "session_seq")
+        .groupBy(user_col, "session_seq")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(20,2)"))
+            F.sum(F.col(value_col).cast("decimal(20,2)"))
             .cast("double")
             .alias("total_value"),
+        )
+        .select(
+            F.col(user_col).alias("user_id"),
+            "session_seq",
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
         )
     )
