@@ -28,7 +28,17 @@ from pyspark.sql import functions as F
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
+    """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u}).
+
+    ``nbrs`` feeds two consumers (the min-aggregate and the join) and
+    is deliberately NOT persisted/pre-partitioned: measured at 10M
+    edges, recomputing it into each consumer's own compressed shuffle
+    is ~25% faster than building a columnar cache of it per round
+    (exchange reuse can't merge the two shuffles — the join branch
+    gets IsNotNull pushed beneath its exchange, so the subtrees are
+    unequal). LPA's edge table IS persisted — but that one is
+    loop-invariant, paying its cache build once, not per round.
+    """
     nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = nbrs.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")

@@ -7,10 +7,15 @@ neighbors, ties broken by the MINIMUM label — the deterministic
 tie-break that makes "labels match exactly" well-defined across
 partitionings and runs (north_rule).
 
-Each round is two bounded shuffles: message groupBy(dst, label) with
-map-side partial counts, then the argmax picked with a single
-``max(struct(count, -label))`` aggregate — no window function, no
-per-row Python. Lineage truncated per round with ``localCheckpoint``.
+The edge table is hash-partitioned by ``src`` ONCE before the loop
+(the same loop-invariant motion the PageRank paths use): the per-round
+labels join then moves only the O(n) label side — with a shuffle-hash
+hint so Spark never re-sorts the cached fat side either. The only
+O(E)-row movement per round is the message delivery itself
+(groupBy(dst, label) with map-side partial counts), and the argmax is
+a single ``max(struct(count, -label))`` aggregate — no window
+function, no per-row Python. Lineage truncated per round with
+``localCheckpoint``.
 """
 
 from __future__ import annotations
@@ -20,19 +25,31 @@ from pyspark.sql import functions as F
 
 
 def label_propagation(
-    edges: DataFrame, max_iter: int = 10, directed: bool = False
+    edges: DataFrame,
+    max_iter: int = 10,
+    directed: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``DataFrame[id: long, label: long]`` after synchronous LPA.
 
     Stops early when no label changes in a round. Isolated endpoints
     (only self-loop neighbors) keep their current label.
     """
+    P = (
+        num_partitions
+        or edges.sparkSession.sparkContext.defaultParallelism
+    )
     sym = edges.where(F.col("src") != F.col("dst"))
     if not directed:
         sym = sym.union(
             sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    sym = sym.localCheckpoint()
+    # persist, NOT localCheckpoint: the cached InMemoryRelation reports
+    # its hashpartitioning(src) to the planner so the per-round join
+    # skips the fat-side exchange; a checkpoint's LogicalRDD drops the
+    # partitioning and would re-shuffle all E rows every round. sym is
+    # loop-invariant, so lineage truncation isn't needed here.
+    sym = sym.repartition(P, "src").persist()
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -41,9 +58,9 @@ def label_propagation(
     )
     labels = vertices.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
-        msgs = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), "label"
-        )
+        msgs = sym.join(
+            labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+        ).select(F.col("dst").alias("id"), "label")
         counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
         # argmax by (count, -label): most frequent label, ties -> min label.
         picked = counts.groupBy("id").agg(
@@ -60,4 +77,5 @@ def label_propagation(
         labels = staged.select("id", "label")
         if changed == 0:
             break
+    sym.unpersist()  # labels is checkpointed — safe to drop the cache
     return labels
