@@ -165,6 +165,54 @@ def q_pagerank_fixed_join(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
 
+def q_pagerank_sink_roundtrip(spark, sf_dir):
+    """O21 result sink: write the fixed-10 ranks to parquet, read them
+    back, and prove the round-trip is lossless against the same oracle
+    the in-memory result matches (Page_Rank_MPI.c:623-625's stdout sink
+    re-expressed as a durable columnar write)."""
+    e = _edges(spark, sf_dir)
+    res = pagerank(
+        e, n=_graph_n(e), dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS
+    )
+    path = "/tmp/pagerank_spark_gate_sink.parquet"
+    res.ranks.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .select("id", F.round("rank", 7).alias("rank"))
+        .orderBy("id")
+    )
+
+
+def q_pagerank_residuals(spark, sf_dir):
+    """O13/O14/O22: the per-iteration L1 residual series from the
+    engine's instrumentation, value-checked against residuals computed
+    independently by the unrolled CTE (sum |r_k - r_{k-1}|)."""
+    e = _edges(spark, sf_dir)
+    res = pagerank(
+        e, n=_graph_n(e), dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS
+    )
+    rows = [
+        (int(m["iteration"]), round(float(m["residual"]), 7))
+        for m in res.metrics
+    ]
+    return spark.createDataFrame(rows, "iteration long, residual double")
+
+
+def q_pagerank_two_phase(spark, sf_dir):
+    """O18 two-phase relaxation (Page_Rank_improved.c): coarse global
+    sync then communication-free block-Jacobi sub-iterations. A
+    deliberate approximation — no SQL oracle exists, so this is a
+    rows-only gate; exactness bounds are pinned by pytest
+    (test_two_phase_matches_exact)."""
+    from pagerank_spark.operators.pagerank import pagerank_two_phase
+
+    e = _edges(spark, sf_dir)
+    res = pagerank_two_phase(e, n=_graph_n(e), coarse_eps=1e-3, eps=1e-4)
+    return res.ranks.select(
+        "id", F.round("rank", 7).alias("rank")
+    ).orderBy("id")
+
+
 # The reference's own 4-node validation graph in its native SNAP text
 # format (FIXTURES.md F1 / DEMO.txt; converges in 12 iterations).
 SNAP_DEMO_ITERS = 12
@@ -549,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10_join": q_pagerank_fixed_join,
         "pagerank_converged": q_pagerank_converged,
         "pagerank_topk": q_pagerank_topk,
+        "pagerank_sink_roundtrip": q_pagerank_sink_roundtrip,
+        "pagerank_residuals": q_pagerank_residuals,
+        "pagerank_two_phase": q_pagerank_two_phase,
         "snap_demo_pagerank": q_snap_demo_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
@@ -945,6 +996,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_fixed10": _pagerank_fixed_sql(),
         "pagerank_fixed10_join": _pagerank_fixed_sql(),
+        "pagerank_sink_roundtrip": _pagerank_fixed_sql(),
+        "pagerank_residuals": _pr_cte_sql(
+            _EDGES_SQL, PR_FIXED_ITERS,
+            final=" UNION ALL ".join(
+                f"SELECT {k} AS iteration, "
+                f"round((SELECT sum(abs(a.rank - b.rank)) "
+                f"FROM r{k} a JOIN r{k-1} b USING (id)), 7) AS residual"
+                for k in range(1, PR_FIXED_ITERS + 1)
+            ),
+        ),
         "snap_demo_pagerank": _pr_cte_sql(
             _SNAP_DEMO_EDGES_SQL, SNAP_DEMO_ITERS
         ),
