@@ -56,10 +56,17 @@ def label_propagation(
         .distinct()
         .localCheckpoint()
     )
+    # Label-side join strategy by measured n: broadcast while the label
+    # table replicates cheaply (no exchange at all per round), else
+    # shuffle-hash — which still moves only the O(n) label side and
+    # never sorts the cached fat side. Either way the edge table's one
+    # prepare-time shuffle is the only O(E) movement besides messages.
+    n = vertices.count()
+    join_hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
     labels = vertices.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
         msgs = sym.join(
-            labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            labels.withColumnRenamed("id", "src").hint(join_hint), "src"
         ).select(F.col("dst").alias("id"), "label")
         counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
         # argmax by (count, -label): most frequent label, ties -> min label.
