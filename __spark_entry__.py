@@ -170,11 +170,16 @@ def q_pagerank_sink_roundtrip(spark, sf_dir):
     back, and prove the round-trip is lossless against the same oracle
     the in-memory result matches (Page_Rank_MPI.c:623-625's stdout sink
     re-expressed as a durable columnar write)."""
+    import tempfile
+
     e = _edges(spark, sf_dir)
     res = pagerank(
         e, n=_graph_n(e), dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS
     )
-    path = "/tmp/pagerank_spark_gate_sink.parquet"
+    # per-run temp dir: concurrent gate/bench processes must not race
+    # on one fixed path (read-back is lazy, so the dir must outlive the
+    # query — /tmp cleanup owns it)
+    path = tempfile.mkdtemp(prefix="pr_gate_sink_") + "/ranks.parquet"
     res.ranks.write.mode("overwrite").parquet(path)
     return (
         spark.read.parquet(path)
@@ -709,14 +714,23 @@ def _pagerank_fixed_sql() -> str:
 
 
 # The converged-PageRank oracle: the iteration count to eps=1e-4 is a
-# deterministic property of the sf0.01 graph (the driver's comparison
-# scale), computed by an independent driver-side NumPy power iteration;
-# the CTE is then unrolled to exactly that depth.
+# deterministic property of the comparison-scale graph, computed by an
+# independent driver-side NumPy power iteration; the CTE is then
+# unrolled to exactly that depth. The driver compares at sf0.01;
+# harnesses running another scale must export SPARK_GRAFT_ORACLE_SF_DIR
+# so the unroll depth matches the graph actually being compared
+# (scripts/check_correctness.py does).
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 _CONV_ITERS_CACHE: dict[str, int] = {}
 
 
-def _converged_iters(sf_dir: str = ORACLE_SF_DIR) -> int:
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", ORACLE_SF_DIR)
+
+
+def _converged_iters(sf_dir: str) -> int:
     if sf_dir not in _CONV_ITERS_CACHE:
         import duckdb
         import numpy as np
@@ -1215,7 +1229,7 @@ def _converged_oracles() -> dict[str, str]:
     failure fall back to omitting the entries (rows-only check) rather
     than poisoning the whole oracle set."""
     try:
-        k = _converged_iters()
+        k = _converged_iters(_oracle_sf_dir())
     except Exception:
         return {}
     return {

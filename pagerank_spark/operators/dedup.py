@@ -154,9 +154,17 @@ def minhash_bands(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """``(doc_id, band, band_hash)`` — LSH bucket keys, bands rows per doc."""
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_k, hash_fn)
+    return _bands_from_hashes(sh, num_perm, bands, seed)
+
+
+def _bands_from_hashes(
+    sh: DataFrame, num_perm: int, bands: int, seed: int
+) -> DataFrame:
+    """Signature kernel over a prepared ``(doc_id, hashes)`` frame —
+    the single implementation behind minhash_bands and the pair join."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_k, hash_fn)
     return sh.mapInArrow(
         _minhash_kernel(num_perm, bands, seed),
         "doc_id long, band int, band_hash long",
@@ -181,18 +189,17 @@ def minhash_lsh_pairs(
     ``array_intersect``/``array_union``) and filtered.
 
     The shingle-hash table feeds BOTH the signature kernel and the
-    verify join, so it is persisted and computed once — shingling +
-    hashing dominated the headline pair query when recomputed.
+    verify join, so it is materialized once via ``localCheckpoint``
+    (shingling + hashing dominated the headline pair query when
+    recomputed). Checkpoint, not ``persist``: the blocks are released
+    by Spark's ContextCleaner when the result is garbage-collected,
+    instead of leaking one registered cache entry per call. This makes
+    the verified path eager (one job runs at call time).
     """
-    if num_perm % bands:
-        raise ValueError("num_perm must be divisible by bands")
     sh_base = _shingle_hashes(docs, id_col, text_col, shingle_k, hash_fn)
     if verify_threshold is not None:
-        sh_base = sh_base.persist()
-    bands_df = sh_base.mapInArrow(
-        _minhash_kernel(num_perm, bands, seed),
-        "doc_id long, band int, band_hash long",
-    )
+        sh_base = sh_base.localCheckpoint()
+    bands_df = _bands_from_hashes(sh_base, num_perm, bands, seed)
     left = bands_df.select(F.col("doc_id").alias("a"), "band", "band_hash")
     right = bands_df.select(F.col("doc_id").alias("b"), "band", "band_hash")
     cand = (

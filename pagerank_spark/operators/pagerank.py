@@ -75,6 +75,7 @@ from pyspark.sql import functions as F
 from pagerank_spark.plans.metrics import (
     shuffle_delta as _shuffle_delta,
     shuffle_totals as _shuffle_totals,
+    shuffle_totals_settled as _shuffle_totals_settled,
 )
 
 DAMPING = 0.85
@@ -746,7 +747,10 @@ def _pagerank_broadcast(
     it = start_iter
     residual = float("inf")
     converged = False
-    shuffle_before = _shuffle_totals(spark)
+    # settled: the status store is fed asynchronously — an unsettled
+    # baseline could attribute late-posted PREPARE stages to iteration 1
+    # and break the measured zero-shuffle-per-iteration claim
+    shuffle_before = _shuffle_totals_settled(spark)
     while True:
         t0 = time.monotonic()
         _atomic_np_save(rank_path, rank)
@@ -862,7 +866,10 @@ def _pagerank_join(
             metrics = manifest.get("metrics", [])
     start_iter = it
     lineage = {"num_partitions": P, "edge_count": edge_count, "mode": "join"}
-    shuffle_before = _shuffle_totals(spark)
+    # settled baseline (see broadcast path); per-iteration deltas may
+    # still attribute a stage to the following iteration under listener
+    # lag — totals across the run remain exact
+    shuffle_before = _shuffle_totals_settled(spark)
     while True:
         t0 = time.monotonic()
         if dangling == "redistribute":

@@ -346,8 +346,10 @@ def ivf_index(
         assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
         assigned = embeddings.sparkSession.read.parquet(path)
     else:
-        assigned = assigned.persist()
-        assigned.count()  # materialize: probes must not re-assign
+        # materialize so probes never re-assign; localCheckpoint (not
+        # persist) so transient indexes are freed by the ContextCleaner
+        # on GC rather than leaking a registered cache per ivf_topk call
+        assigned = assigned.localCheckpoint()
     return IvfIndex(centroids=centroids, assignments=assigned, path=path)
 
 

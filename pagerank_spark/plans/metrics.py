@@ -22,6 +22,30 @@ import urllib.request
 from pyspark.sql import SparkSession
 
 
+def shuffle_totals_settled(
+    spark: SparkSession, tries: int = 20, pause_s: float = 0.05
+) -> dict | None:
+    """A snapshot taken after the status store quiesces (two identical
+    consecutive reads). The store is fed by an async listener bus, so a
+    snapshot taken right after an action can miss stages still in
+    flight; use this for BASELINE snapshots whose later deltas must not
+    absorb earlier work (e.g. prepare-phase shuffles leaking into
+    iteration 1). Falls back to the last read if the bus stays busy.
+    """
+    import time
+
+    prev = shuffle_totals(spark)
+    if prev is None:
+        return None
+    for _ in range(tries):
+        time.sleep(pause_s)
+        cur = shuffle_totals(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def shuffle_totals(spark: SparkSession) -> dict | None:
     """Per-stage shuffle-byte snapshot: ``{(stageId, attemptId):
     (read_bytes, write_bytes)}``, or ``None`` when the UI/REST endpoint

@@ -73,12 +73,16 @@ def synth_corpus_arith(
     end-to-end. Content is built distributed with JVM string
     expressions; it includes noise lines and unresolvable imports
     (``os``, ``java.util``, ``fs``, ``<stdio.h>``) the extractor must
-    ignore. Every repo has >=1 non-self outgoing reference: j1 == i
-    would need 6i+3f+1 ≡ 0 (mod n_repos), impossible for even
-    n_repos since the LHS is odd — so the id range is always covered.
+    ignore. Every repo has >=1 non-self OUTGOING reference (so every
+    id appears in the edge set): across files f=0 and f=1, j1 moves by
+    3 mod n_repos, so the two values are distinct (n_repos > 3) and at
+    most one of them can equal i — hence files_per_repo >= 2 suffices.
     """
-    if n_repos % 2:
-        raise ValueError("n_repos must be even (guarantees full id coverage)")
+    if n_repos <= 3 or files_per_repo < 2:
+        raise ValueError(
+            "need n_repos > 3 and files_per_repo >= 2 (guarantees every "
+            "repo at least one non-self outgoing reference)"
+        )
     R, FPR = n_repos, files_per_repo
     i = F.expr(f"id DIV {FPR}")
     f_ = F.col("id") % FPR

@@ -9,6 +9,7 @@ exact for non-floats, 1e-9 for floats). Prints a per-query verdict.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -66,6 +67,9 @@ def values_match(a, b):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # scale-dependent oracles (converged-PageRank unroll depth) must be
+    # built for the SAME graph the comparison runs on
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = sys.argv[2:] if len(sys.argv) > 2 else None
     spark = get_spark(
         master="local[8]", shuffle_partitions=8,

@@ -213,4 +213,4 @@ def test_ivf_index_reuse_two_queries(spark, emb, emb_np):
         ).collect()
         exact = cosine_topk(emb, [float(x) for x in mat[qi]], k=5).collect()
         assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
-    idx.assignments.unpersist()
+    # transient index blocks are ContextCleaner-managed — no unpersist needed
