@@ -177,3 +177,42 @@ def test_triangles_no_cartesian_product(spark):
     from pagerank_spark.plans import explain_summary
 
     assert "CartesianProduct" not in explain_summary(t)
+
+
+def test_driver_contract_key_consistency():
+    """Every oracle belongs to a query; key typos would silently turn a
+    value-checked query into rows-only (or crash the driver's gate)."""
+    import __spark_entry__ as m
+
+    q = set(m.queries())
+    o = set(m.oracle_sql())
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
+    # the engine's contract: only hash-seeded production variants and
+    # documented approximations may lack an oracle
+    allowed_rows_only = {
+        "doc_fingerprints", "minhash_bands", "minhash_dup_pairs",
+        "simhash", "simhash_near_pairs", "dedup_near_docs",
+        "pagerank_two_phase",
+    }
+    assert q - o == allowed_rows_only
+
+
+def test_all_oracles_parse_in_duckdb():
+    """EXPLAIN every oracle against sf0.001 views: a DuckDB syntax or
+    binding regression fails here in seconds, without Spark."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    for name, sql in m.oracle_sql().items():
+        try:
+            con.execute("EXPLAIN " + sql)
+        except Exception as ex:
+            raise AssertionError(f"oracle {name!r} failed to plan: {ex}")
