@@ -110,30 +110,29 @@ def q_edge_weights(spark, sf_dir):
     )
 
 
-def _graph_n(e: DataFrame) -> int:
-    return int(e.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]) + 1
+# n is left to pagerank()'s own combined scan (n = 1 + max id), which is
+# exactly how every oracle CTE infers it (nn = 1 + max(greatest(src,dst)))
+# — one less pass over the edge table per query.
 
 
 def q_pagerank_fixed(spark, sf_dir):
     """Exactly PR_FIXED_ITERS iterations, leak mode — value-checked vs
     the unrolled DuckDB CTE chain (same semantics as the C reference)."""
     e = _edges(spark, sf_dir)
-    res = pagerank(
-        e, n=_graph_n(e), dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS,
-    )
+    res = pagerank(e, dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS)
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
 
 def q_pagerank_converged(spark, sf_dir):
     """Flagship: converged (eps=1e-4) redistribute-mode PageRank."""
     e = _edges(spark, sf_dir)
-    res = pagerank(e, n=_graph_n(e), dangling="redistribute")
+    res = pagerank(e, dangling="redistribute")
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
 
 def q_pagerank_topk(spark, sf_dir):
     e = _edges(spark, sf_dir)
-    res = pagerank(e, n=_graph_n(e), dangling="redistribute")
+    res = pagerank(e, dangling="redistribute")
     return (
         res.ranks.select("id", F.round("rank", 7).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
@@ -159,8 +158,7 @@ def q_pagerank_fixed_join(spark, sf_dir):
     proves the two physical strategies are bit-interchangeable."""
     e = _edges(spark, sf_dir)
     res = pagerank(
-        e, n=_graph_n(e), dangling="leak", eps=0.0,
-        max_iter=PR_FIXED_ITERS, mode="join",
+        e, dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS, mode="join"
     )
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
@@ -173,9 +171,7 @@ def q_pagerank_sink_roundtrip(spark, sf_dir):
     import tempfile
 
     e = _edges(spark, sf_dir)
-    res = pagerank(
-        e, n=_graph_n(e), dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS
-    )
+    res = pagerank(e, dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS)
     # per-run temp dir: concurrent gate/bench processes must not race
     # on one fixed path (read-back is lazy, so the dir must outlive the
     # query — /tmp cleanup owns it)
@@ -193,9 +189,7 @@ def q_pagerank_residuals(spark, sf_dir):
     engine's instrumentation, value-checked against residuals computed
     independently by the unrolled CTE (sum |r_k - r_{k-1}|)."""
     e = _edges(spark, sf_dir)
-    res = pagerank(
-        e, n=_graph_n(e), dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS
-    )
+    res = pagerank(e, dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS)
     rows = [
         (int(m["iteration"]), round(float(m["residual"]), 7))
         for m in res.metrics
@@ -212,7 +206,7 @@ def q_pagerank_two_phase(spark, sf_dir):
     from pagerank_spark.operators.pagerank import pagerank_two_phase
 
     e = _edges(spark, sf_dir)
-    res = pagerank_two_phase(e, n=_graph_n(e), coarse_eps=1e-3, eps=1e-4)
+    res = pagerank_two_phase(e, coarse_eps=1e-3, eps=1e-4)
     return res.ranks.select(
         "id", F.round("rank", 7).alias("rank")
     ).orderBy("id")
