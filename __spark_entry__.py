@@ -545,6 +545,57 @@ def q_user_sessions(spark, sf_dir):
     ).orderBy("user_id", "session_seq")
 
 
+def q_events_hourly_stream(spark, sf_dir):
+    """Structured Streaming gate: the events parquet replayed as a
+    bounded file-source stream (availableNow), through the watermarked
+    tumbling-window operator, drained in complete mode — the final
+    result must equal the batch aggregation, which the DuckDB oracle
+    computes directly."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.events import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_gate_")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/events", dirs_exist_ok=True)
+        src_dir = f"{d}/events"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    agg = windowed_event_counts(read_events_stream(spark, src_dir))
+    name = "gate_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")  # all windows emitted, none withheld
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="stream_gate_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 def q_pricing_rollup(spark, sf_dir):
     """Grouping-set/rollup delegation demo (subtotals + grand total)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -635,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "user_top_events": q_user_top_events,
         "user_sessions": q_user_sessions,
+        "events_hourly_stream": q_events_hourly_stream,
         "pricing_rollup": q_pricing_rollup,
         "urgent_not_big_spenders": q_urgent_not_big_spenders,
         "customers_without_orders": q_customers_without_orders,
@@ -1137,6 +1189,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, value, "
             "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn "
             "FROM events) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "events_hourly_stream": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 6) AS total_value "
+            "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
         ),
         "user_sessions": (
             "WITH o AS (SELECT user_id, event_id, ts, value, "

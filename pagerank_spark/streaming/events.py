@@ -41,7 +41,11 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # decimal-exact sum (order-independent) then one rounding
+            # point: deterministic across partitionings AND engines
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,2)")).cast("double"), 6
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
