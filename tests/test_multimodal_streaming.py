@@ -266,3 +266,72 @@ def test_sessionize_batch_matches_streaming_semantics(spark):
     for r in sorted(batch, key=lambda r: (r["user_id"], r["session_start"])):
         per_user.setdefault(r["user_id"], []).append(r["session_seq"])
     assert all(v == list(range(1, len(v) + 1)) for v in per_user.values())
+
+
+def test_sessionize_batch_gap_boundary_and_random(spark):
+    """Gap EXACTLY equal to the threshold continues the session (rule is
+    strictly-greater, matching the streaming operator); plus a seeded
+    random-events property check against a python fold."""
+    import datetime as dt
+    import random
+
+    from pagerank_spark.operators.sessionize import sessionize_batch
+
+    base = dt.datetime(2026, 1, 1)
+    gap_min = 30
+    # user 1: gaps of exactly 30min -> ONE session; user 2: 30min+1s -> N sessions
+    rows = []
+    for i in range(4):
+        rows.append((100 + i, base + dt.timedelta(minutes=30 * i), 1, 1.0))
+        rows.append(
+            (200 + i, base + dt.timedelta(seconds=(1801) * i), 2, 1.0)
+        )
+    rng = random.Random(7)
+    for i in range(200):  # random user-3/4 events, seeded
+        rows.append(
+            (
+                300 + i,
+                base + dt.timedelta(seconds=rng.randrange(0, 400_000)),
+                3 + (i % 2),
+                round(rng.uniform(0, 9), 2),
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = sessionize_batch(ev, gap_minutes=gap_min).collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 1 and per_user[1][0]["n_events"] == 4
+    assert len(per_user[2]) == 4  # strictly-greater gap splits
+
+    # python fold oracle over users 3/4
+    def fold(evs):
+        evs = sorted(evs)
+        out, cur = [], None
+        for ts, v in evs:
+            if cur and (ts - cur[1]).total_seconds() <= gap_min * 60:
+                cur = [cur[0], ts, cur[2] + 1, cur[3] + v]
+            else:
+                if cur:
+                    out.append(tuple(cur))
+                cur = [ts, ts, 1, v]
+        out.append(tuple(cur))
+        return out
+
+    for uid in (3, 4):
+        evs = [(r[1], r[3]) for r in rows if r[2] == uid]
+        want = fold(evs)
+        have = sorted(
+            (
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                round(r["total_value"], 6),
+            )
+            for r in per_user[uid]
+        )
+        assert have == [
+            (a, b, n, round(t, 6)) for a, b, n, t in sorted(want)
+        ]
