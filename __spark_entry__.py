@@ -170,18 +170,27 @@ def q_pagerank_sink_roundtrip(spark, sf_dir):
     re-expressed as a durable columnar write)."""
     import tempfile
 
+    import shutil
+
     e = _edges(spark, sf_dir)
     res = pagerank(e, dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS)
     # per-run temp dir: concurrent gate/bench processes must not race
-    # on one fixed path (read-back is lazy, so the dir must outlive the
-    # query — /tmp cleanup owns it)
-    path = tempfile.mkdtemp(prefix="pr_gate_sink_") + "/ranks.parquet"
-    res.ranks.write.mode("overwrite").parquet(path)
-    return (
-        spark.read.parquet(path)
-        .select("id", F.round("rank", 7).alias("rank"))
-        .orderBy("id")
-    )
+    # on one fixed path
+    d = tempfile.mkdtemp(prefix="pr_gate_sink_")
+    try:
+        path = d + "/ranks.parquet"
+        res.ranks.write.mode("overwrite").parquet(path)
+        # localCheckpoint materializes the read-back EAGERLY so the temp
+        # dir can be removed now instead of accumulating one data-sized
+        # /tmp directory per gate/bench run
+        return (
+            spark.read.parquet(path)
+            .select("id", F.round("rank", 7).alias("rank"))
+            .orderBy("id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_pagerank_residuals(spark, sf_dir):
@@ -562,6 +571,7 @@ def q_events_hourly_stream(spark, sf_dir):
     )
 
     d = tempfile.mkdtemp(prefix="stream_gate_")
+    ck = tempfile.mkdtemp(prefix="stream_gate_ck_")
     src = f"{sf_dir}/events.parquet"
     if os.path.isdir(src):
         shutil.copytree(src, f"{d}/events", dirs_exist_ok=True)
@@ -575,13 +585,16 @@ def q_events_hourly_stream(spark, sf_dir):
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")  # all windows emitted, none withheld
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="stream_gate_ck_")
-        )
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # the memory sink holds the rows in the driver — the source copy and
+    # the streaming checkpoint are removable immediately (repeated
+    # gate/bench runs must not accumulate data-sized /tmp directories)
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
     return (
         spark.table(name)
         .select(
@@ -797,16 +810,33 @@ def _converged_iters(sf_dir: str) -> int:
         w = 0.85 / safe[src]
         r = np.full(n, 1.0 / n)
         k = 0
+        eps = 1e-4
         while True:
             base = 0.15 / n + 0.85 * float(r[dang].sum()) / n
             new = np.bincount(dst, weights=w * r[src], minlength=n) + base
             resid = float(np.abs(new - r).sum())
             r = new
             k += 1
-            if resid <= 1e-4:
+            if resid <= eps:
                 break
+            # FP-noise guard: the engine sums the residual in a different
+            # order (Spark agg / per-partition Arrow partials), so if any
+            # residual lands within noise of eps the two replays could
+            # stop at different depths. Refuse the unroll (callers fall
+            # back to a rows-only check) instead of risking a value
+            # mismatch that is really an iteration-count mismatch.
+            if resid <= eps * (1.0 + 1e-9):
+                raise RuntimeError(
+                    f"residual {resid} within FP noise of eps={eps} at "
+                    f"iteration {k} — unroll depth is scale-ambiguous"
+                )
             if k > 10_000:
                 raise RuntimeError("power iteration failed to converge")
+        if resid > eps * (1.0 - 1e-9):
+            raise RuntimeError(
+                f"final residual {resid} within FP noise of eps={eps} — "
+                "unroll depth is scale-ambiguous"
+            )
         _CONV_ITERS_CACHE[sf_dir] = k
     return _CONV_ITERS_CACHE[sf_dir]
 

@@ -321,9 +321,14 @@ def _pagerank_local(
         rank = new
         it += 1
         metrics.append(
+            # Same metric keys as the distributed strategies (a resumed
+            # checkpoint may interleave modes in one metrics list, so
+            # consumers can index a fixed schema): local mode provably
+            # moves zero shuffle bytes — the loop runs on the driver.
             {"iteration": it, "residual": residual,
              "seconds": time.monotonic() - t0, "edges_scanned": len(src),
-             "shuffle_rows": 0, "skew_ratio": 1.0}
+             "shuffle_read_bytes": 0, "shuffle_write_bytes": 0,
+             "skew_ratio": 1.0}
         )
         if checkpoint_dir:
             _save_checkpoint(checkpoint_dir, rank, it, metrics, lineage)

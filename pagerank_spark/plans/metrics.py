@@ -11,7 +11,12 @@ metrics") instead of a static estimate.
 
 Requires the UI server (``spark.ui.enabled=true`` — Spark's stock
 default, and the engine session's default). When the UI is disabled
-the helpers return ``None`` and callers degrade gracefully.
+(e.g. ``SPARK_UI=false`` in the session env) or the REST endpoint is
+unreachable, the helpers return ``None`` and callers degrade
+gracefully: the checkpoint-manifest metric fields
+``shuffle_read_bytes`` / ``shuffle_write_bytes`` are then ``None``
+(meaning UNMEASURED, not zero) — manifest consumers must treat
+``None`` as "no measurement available", never as "no shuffle".
 """
 
 from __future__ import annotations
