@@ -465,6 +465,54 @@ def q_dedup_near_docs_md5(spark, sf_dir):
     )
 
 
+# sign-LSH portable-plane gates: ±1 hyperplanes derived from md5 parity
+# (operators/similarity.md5_planes) make the whole bucketing / bucketed
+# top-k / near-dup surface value-checkable; gaussian planes + the Arrow
+# BLAS kernel stay the production default (pytest pins the two physical
+# paths bucket-identical).
+EMB_DIM = 64
+LSH_NBITS_BUCKETS = 8
+LSH_NBITS_PAIRS = 4
+EMB_NEAR_THRESHOLD = 0.35  # the synthetic embeddings have no planted
+# near-dups (max off-diagonal cosine ≈ 0.51), so the gate threshold
+# sits where the bucketed join provably produces non-trivial output
+
+
+def q_lsh_buckets_md5(spark, sf_dir):
+    from pagerank_spark.operators.similarity import lsh_cosine_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_buckets(
+        emb, EMB_DIM, nbits=LSH_NBITS_BUCKETS, planes="md5"
+    ).orderBy("vec_id")
+
+
+def q_lsh_topk_md5(spark, sf_dir):
+    """Bucketed ANN: exact cosine rerank restricted to the query's sign
+    bucket — approximate BY CONSTRUCTION, so the oracle replays the
+    same bucketing (bit-reproducible with md5 planes), not a full scan."""
+    from pagerank_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = cosine_topk_lsh(
+        emb, [float(x) for x in qv], k=10, nbits=LSH_NBITS_PAIRS, planes="md5"
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_near_dups_md5(spark, sf_dir):
+    from pagerank_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(
+        emb, threshold=EMB_NEAR_THRESHOLD, nbits=LSH_NBITS_PAIRS, planes="md5"
+    )
+    return out.select(
+        "a", "b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("a", "b")
+
+
 # ---------------------------------------------------------------------------
 # relational delegation demos (generic SQL is Spark SQL itself)
 # ---------------------------------------------------------------------------
@@ -693,6 +741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_near_pairs_md5": q_simhash_near_pairs_md5,
         "dedup_near_docs_md5": q_dedup_near_docs_md5,
+        "lsh_buckets_md5": q_lsh_buckets_md5,
+        "lsh_topk_md5": q_lsh_topk_md5,
+        "embedding_near_dups_md5": q_embedding_near_dups_md5,
         # relational delegation demos
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1007,6 +1058,31 @@ def _dedup_near_md5_sql(threshold: float = 0.8, rounds: int = 10) -> str:
     return "\n".join(parts)
 
 
+def _lsh_bucket_sql(col: str, nbits: int) -> str:
+    """The sign-LSH bucket id over ``col`` (an embedding array column),
+    with the md5-derived ±1 planes inlined as an explicitly
+    parenthesized LEFT-ASSOCIATED sum — the exact IEEE evaluation order
+    of the engine's codegen'd fold (similarity._bucket_expr), so the
+    bucket matches bit-for-bit by construction, not by luck."""
+    from pagerank_spark.operators.similarity import md5_planes
+
+    plane_m = md5_planes(nbits, EMB_DIM)
+    terms = []
+    for p in range(nbits):
+        proj = "0.0"
+        for j in range(EMB_DIM):
+            op = "+" if plane_m[p, j] > 0 else "-"
+            proj = f"({proj} {op} CAST({col}[{j + 1}] AS DOUBLE))"
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_COS_SQL = (
+    "list_dot_product(x.v, y.v) / "
+    "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+)
+
+
 def _word_count_sql(w: str) -> str:
     """Exact whole-word count, mirroring functions.text.word_occurrences
     (lambda filter over whitespace tokens — identical in both dialects)."""
@@ -1301,6 +1377,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(x.sh, y.sh)) <= 3 ORDER BY a, b"
         ),
         "dedup_near_docs_md5": _dedup_near_md5_sql(),
+        "lsh_buckets_md5": (
+            f"SELECT vec_id, {_lsh_bucket_sql('embedding', LSH_NBITS_BUCKETS)} "
+            "AS bucket FROM embeddings ORDER BY vec_id"
+        ),
+        "lsh_topk_md5": (
+            f"WITH b AS (SELECT vec_id, "
+            f"{_lsh_bucket_sql('embedding', LSH_NBITS_PAIRS)} AS bucket, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0), "
+            "s AS (SELECT vec_id, list_dot_product(b.v, q.qv) / "
+            "(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos "
+            "FROM b, q WHERE b.bucket = q.qb) "
+            "SELECT vec_id, round(cos, 6) AS cosine FROM s "
+            "ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        "embedding_near_dups_md5": (
+            f"WITH b AS (SELECT vec_id, "
+            f"{_lsh_bucket_sql('embedding', LSH_NBITS_PAIRS)} AS bucket, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            f"SELECT x.vec_id AS a, y.vec_id AS b, round({_COS_SQL}, 6) AS cosine "
+            "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
+            f"WHERE {_COS_SQL} >= {EMB_NEAR_THRESHOLD} ORDER BY a, b"
+        ),
         **_converged_oracles(),
     }
 

@@ -81,6 +81,72 @@ def cosine_topk(
     )
 
 
+def md5_planes(nbits: int, dim: int, seed: int = 42) -> np.ndarray:
+    """±1 hyperplanes from md5 parity — the portable twin of the
+    gaussian planes (same strategy as the MinHash/SimHash md5 twins).
+
+    Entry (p, j) is +1 iff the 60-bit md5 hash of ``"{seed}:{p}:{j}"``
+    (``functions.text.hash64`` md5 mode) is even — an expression any
+    ANSI engine recomputes, so the whole sign-LSH bucketing becomes
+    value-checkable cross-engine. For sign-LSH, Rademacher (±1) planes
+    are a standard drop-in for gaussians (Achlioptas-style sparse/signed
+    random projections preserve the angle-based collision analysis);
+    gaussian stays the production default.
+    """
+    import hashlib
+
+    m = np.empty((nbits, dim), dtype=np.float64)
+    for p in range(nbits):
+        for j in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:15], 16
+            )
+            m[p, j] = 1.0 if h % 2 == 0 else -1.0
+    return m
+
+
+def _plane_matrix(nbits: int, dim: int, seed: int, planes) -> np.ndarray:
+    if isinstance(planes, np.ndarray):
+        return planes
+    if planes == "gaussian":
+        rng = np.random.RandomState(seed)
+        return rng.normal(size=(nbits, dim))
+    if planes == "md5":
+        return md5_planes(nbits, dim, seed)
+    raise ValueError(f"planes must be 'gaussian', 'md5' or an array: {planes!r}")
+
+
+def _bucket_expr(vec_col, plane_m: np.ndarray):
+    """Whole-stage-codegen bucket id: Σ_p 2^p · (v · plane_p > 0).
+
+    The projection is a sequential left fold ``((0 + v0·s0) + v1·s1)…``
+    — the exact IEEE evaluation order of an explicitly parenthesized
+    SQL sum, so with ±1 planes the bucket is PROVABLY bit-identical to
+    the DuckDB oracle (multiplying by ±1.0 is exact; float addition in
+    the same order is deterministic).
+    """
+    total = F.lit(0)
+    for p in range(plane_m.shape[0]):
+        plane = F.array(*[F.lit(float(s)) for s in plane_m[p]])
+        proj = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        total = total + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total.cast("long")
+
+
+def _seq_dot(q, signs) -> float:
+    """Driver-side projection with the SAME left-fold order as
+    ``_bucket_expr`` / the SQL oracle (a BLAS dot may sum in a
+    different order and could disagree on a sign at FP-noise scale)."""
+    acc = 0.0
+    for x, s in zip(q, signs):
+        acc += float(x) * float(s)
+    return acc
+
+
 def _hyperplane_kernel(planes: np.ndarray):
     nbits, dim = planes.shape
 
@@ -114,14 +180,37 @@ def lsh_cosine_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes="gaussian",
+    method: str | None = None,
 ) -> DataFrame:
-    """``(vec_id, bucket)`` — random-hyperplane sign buckets (2^nbits)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(nbits, dim))
+    """``(vec_id, bucket)`` — random-hyperplane sign buckets (2^nbits).
+
+    ``planes="md5"`` selects the portable ±1 hyperplanes (value-
+    checkable cross-engine); an explicit ndarray is used as-is.
+    ``method`` picks the physical path: ``"kernel"`` (one BLAS matmul
+    per Arrow batch — the production scale path) or ``"expr"`` (pure
+    whole-stage-codegen fold, bit-reproducible in ANSI SQL). Default:
+    expr for md5 planes (exactness), kernel otherwise (throughput);
+    a pytest pins the two paths bucket-identical on the test corpus.
+    """
+    plane_m = _plane_matrix(nbits, dim, seed, planes)
+    if method is None:
+        method = "expr" if (isinstance(planes, str) and planes == "md5") else "kernel"
     src = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    return src.mapInArrow(_hyperplane_kernel(planes), "vec_id long, bucket long")
+    if method == "expr":
+        return src.select(
+            "vec_id",
+            _bucket_expr(F.col("embedding").cast("array<double>"), plane_m).alias(
+                "bucket"
+            ),
+        )
+    if method == "kernel":
+        return src.mapInArrow(
+            _hyperplane_kernel(plane_m), "vec_id long, bucket long"
+        )
+    raise ValueError(f"method must be 'kernel' or 'expr': {method!r}")
 
 
 def cosine_topk_lsh(
@@ -132,6 +221,7 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes="gaussian",
 ) -> DataFrame:
     """Approximate top-k: exact rerank inside the query's LSH bucket.
 
@@ -140,11 +230,17 @@ def cosine_topk_lsh(
     recall with lower nbits or by multi-probing neighbor buckets.
     """
     dim = len(query)
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(nbits, dim))
-    qbits = (planes @ np.asarray(query, dtype=np.float64) > 0).astype(np.uint64)
-    qbucket = int((qbits << np.arange(nbits, dtype=np.uint64)).sum())
-    buckets = lsh_cosine_buckets(embeddings, dim, nbits, seed, id_col, vec_col)
+    plane_m = _plane_matrix(nbits, dim, seed, planes)
+    # sequential fold, NOT a BLAS dot: the query's bucket must follow
+    # the exact same FP order as the table-side buckets / SQL oracle
+    qbucket = sum(
+        (1 << p) for p in range(nbits) if _seq_dot(query, plane_m[p]) > 0
+    )
+    buckets = lsh_cosine_buckets(
+        embeddings, dim, nbits, seed, id_col, vec_col, planes=plane_m
+        if not isinstance(planes, str)
+        else planes,
+    )
     in_bucket = buckets.where(F.col("bucket") == qbucket).select(
         F.col("vec_id").alias("__bucket_id")
     )
@@ -397,6 +493,7 @@ def embedding_near_duplicates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes="gaussian",
 ) -> DataFrame:
     """Pairs ``(a, b, cosine)`` with cosine >= threshold, LSH-blocked.
 
@@ -407,7 +504,9 @@ def embedding_near_duplicates(
     if dim_row is None:
         raise ValueError("empty embeddings table")
     dim = int(dim_row["d"])
-    buckets = lsh_cosine_buckets(embeddings, dim, nbits, seed, id_col, vec_col)
+    buckets = lsh_cosine_buckets(
+        embeddings, dim, nbits, seed, id_col, vec_col, planes=planes
+    )
     src = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).join(buckets, "vec_id")

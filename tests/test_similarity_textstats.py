@@ -214,3 +214,68 @@ def test_ivf_index_reuse_two_queries(spark, emb, emb_np):
         exact = cosine_topk(emb, [float(x) for x in mat[qi]], k=5).collect()
         assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
     # transient index blocks are ContextCleaner-managed — no unpersist needed
+
+
+def test_md5_planes_kernel_and_expr_paths_agree(spark, emb):
+    """The Arrow BLAS kernel (production) and the codegen'd fold (the
+    portable oracle path) must assign identical buckets — FP summation
+    order differs, so this pins that no projection sits at sign-flip
+    noise on the test corpus, for both plane families."""
+    from pagerank_spark.operators.similarity import md5_planes
+
+    for planes in (md5_planes(8, 64), "md5"):
+        a = lsh_cosine_buckets(emb, 64, nbits=8, planes=planes, method="kernel")
+        b = lsh_cosine_buckets(emb, 64, nbits=8, planes=planes, method="expr")
+        diff = (
+            a.withColumnRenamed("bucket", "ka")
+            .join(b.withColumnRenamed("bucket", "kb"), "vec_id")
+            .where(F.col("ka") != F.col("kb"))
+            .count()
+        )
+        assert diff == 0
+
+
+def test_md5_planes_deterministic_and_signed(spark):
+    from pagerank_spark.operators.similarity import md5_planes
+
+    m1 = md5_planes(4, 16, seed=42)
+    m2 = md5_planes(4, 16, seed=42)
+    assert (m1 == m2).all()
+    assert set(np.unique(m1)) <= {-1.0, 1.0}
+    # a different seed gives different planes
+    assert (md5_planes(4, 16, seed=7) != m1).any()
+
+
+def test_lsh_md5_topk_matches_bucket_rerank(spark, emb, emb_np):
+    """cosine_topk_lsh(planes='md5') == brute-force rerank restricted to
+    the query's bucket, computed independently in NumPy."""
+    from pagerank_spark.operators.similarity import md5_planes
+
+    ids, mat = emb_np
+    q = mat[0]
+    planes = md5_planes(4, 64)
+    # sequential fold to mirror the engine's expr path exactly
+    def bucket(v):
+        b = 0
+        for p in range(4):
+            acc = 0.0
+            for x, s in zip(v, planes[p]):
+                acc += float(x) * float(s)
+            if acc > 0:
+                b |= 1 << p
+        return b
+
+    buckets = np.array([bucket(v) for v in mat])
+    qb = bucket(q)
+    in_b = buckets == qb
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    sims = np.where(in_b, sims, -np.inf)
+    order = np.lexsort((ids, -sims))[:10]
+    want = [int(i) for i in ids[order] if np.isfinite(sims[list(ids).index(i)])]
+    got = [
+        r["vec_id"]
+        for r in cosine_topk_lsh(
+            emb, [float(x) for x in q], k=10, nbits=4, planes="md5"
+        ).collect()
+    ]
+    assert got == want[: len(got)]
