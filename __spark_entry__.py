@@ -657,6 +657,59 @@ def q_events_hourly_stream(spark, sf_dir):
     )
 
 
+def q_user_sessions_stream(spark, sf_dir):
+    """Stateful-streaming gate: the events parquet replayed as a bounded
+    stream through the ``applyInPandasWithState`` sessionizer. The
+    memory sink collects CLOSED sessions; each user's final session
+    stays open in the state store, so the oracle is the batch
+    sessionization minus every user's last session."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.events import read_events_stream
+    from pagerank_spark.streaming.sessions import sessionize
+
+    d = tempfile.mkdtemp(prefix="sess_gate_")
+    ck = tempfile.mkdtemp(prefix="sess_gate_ck_")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/events", dirs_exist_ok=True)
+        src_dir = f"{d}/events"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    sess = sessionize(read_events_stream(spark, src_dir), gap_minutes=30)
+    name = "gate_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_pricing_rollup(spark, sf_dir):
     """Grouping-set/rollup delegation demo (subtotals + grand total)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -751,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_events": q_user_top_events,
         "user_sessions": q_user_sessions,
         "events_hourly_stream": q_events_hourly_stream,
+        "user_sessions_stream": q_user_sessions_stream,
         "pricing_rollup": q_pricing_rollup,
         "urgent_not_big_spenders": q_urgent_not_big_spenders,
         "customers_without_orders": q_customers_without_orders,
@@ -1319,6 +1373,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value "
             "FROM s GROUP BY user_id, session_seq "
             "ORDER BY user_id, session_seq"
+        ),
+        "user_sessions_stream": (
+            # batch sessionization minus each user's LAST session (the
+            # open tail the streaming operator is still holding in state)
+            "WITH o AS (SELECT user_id, event_id, ts, value, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "f AS (SELECT *, CASE WHEN pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS brk "
+            "FROM o), "
+            "s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS session_seq FROM f), "
+            "agg AS (SELECT user_id, session_seq, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, "
+            "count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 6) "
+            "AS total_value "
+            "FROM s GROUP BY user_id, session_seq) "
+            "SELECT user_id, session_start, session_end, n_events, total_value "
+            "FROM agg "
+            "QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id) "
+            "ORDER BY user_id, session_start"
         ),
         "pricing_rollup": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
