@@ -452,6 +452,19 @@ def q_simhash_near_pairs_md5(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_simhash_dedup_md5(spark, sf_dir):
+    """SimHash near-dup REMOVAL (linear-output cluster form): min doc id
+    survives per connected component of the distinct-fingerprint
+    Hamming<=3 graph."""
+    from pagerank_spark.operators.dedup import simhash_dedup_near
+
+    return (
+        simhash_dedup_near(_docs(spark, sf_dir), max_hamming=3, hash_fn="md5")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_near_docs_md5(spark, sf_dir):
     from pagerank_spark.operators.dedup import dedup_near
 
@@ -793,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands_md5": q_minhash_bands_md5,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_near_pairs_md5": q_simhash_near_pairs_md5,
+        "simhash_dedup_md5": q_simhash_dedup_md5,
         "dedup_near_docs_md5": q_dedup_near_docs_md5,
         "lsh_buckets_md5": q_lsh_buckets_md5,
         "lsh_topk_md5": q_lsh_topk_md5,
@@ -1137,6 +1151,42 @@ _COS_SQL = (
 )
 
 
+def _simhash_dedup_md5_sql(max_hamming: int = 3, rounds: int = 12) -> str:
+    """SimHash near-dup removal oracle: brute-force Hamming<=k pairs
+    over DISTINCT fingerprints (the banding has no false negatives, so
+    brute force IS the banded graph) -> unrolled min-label components
+    -> keep min doc id per cluster."""
+    parts = [
+        "WITH t AS (SELECT doc_id, ["
+        + _MD5H.format(x="x")
+        + " FOR x IN string_split_regex(trim(text), '\\s+')] AS hs "
+        "FROM documents),",
+        f"s AS MATERIALIZED (SELECT doc_id, CAST({_simhash_md5_sum()} AS BIGINT) AS sh FROM t),",
+        "d AS (SELECT DISTINCT sh FROM s),",
+        "pg AS MATERIALIZED (SELECT x.sh AS a, y.sh AS b FROM d x JOIN d y "
+        f"ON x.sh < y.sh WHERE bit_count(xor(x.sh, y.sh)) <= {max_hamming}),",
+        "vs AS (SELECT DISTINCT id FROM (SELECT a AS id FROM pg "
+        "UNION ALL SELECT b FROM pg)),",
+        "sym AS MATERIALIZED (SELECT a, b FROM pg "
+        "UNION ALL SELECT b AS a, a AS b FROM pg),",
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM vs),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, least(l.lab, coalesce(m.ml, l.lab)) AS lab "
+            f"FROM l{k-1} l LEFT JOIN (SELECT s.a AS id, min(x.lab) AS ml "
+            f"FROM sym s JOIN l{k-1} x ON s.b = x.id GROUP BY s.a) m USING (id)),"
+        )
+    parts.append(
+        f"lab AS (SELECT s.doc_id, coalesce(l.lab, s.sh) AS cluster "
+        f"FROM s LEFT JOIN l{rounds} l ON s.sh = l.id)"
+    )
+    parts.append(
+        "SELECT min(doc_id) AS doc_id FROM lab GROUP BY cluster ORDER BY doc_id"
+    )
+    return "\n".join(parts)
+
+
 def _word_count_sql(w: str) -> str:
     """Exact whole-word count, mirroring functions.text.word_occurrences
     (lambda filter over whitespace tokens — identical in both dialects)."""
@@ -1455,6 +1505,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(x.sh, y.sh)) <= 3 ORDER BY a, b"
         ),
         "dedup_near_docs_md5": _dedup_near_md5_sql(),
+        "simhash_dedup_md5": _simhash_dedup_md5_sql(),
         "lsh_buckets_md5": (
             f"SELECT vec_id, {_lsh_bucket_sql('embedding', LSH_NBITS_BUCKETS)} "
             "AS bucket FROM embeddings ORDER BY vec_id"

@@ -331,28 +331,23 @@ def dedup_near(
     return docs.join(drop, id_col, "left_anti")
 
 
-def simhash_near_pairs(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hash_fn: str = "xxhash64",
+def _simhash_near_fp_pairs(
+    fp_distinct: DataFrame, max_hamming: int
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance <= ``max_hamming``:
-    ``(a, b, hamming)``.
+    """``(ha, hb, hamming)`` with ha < hb over DISTINCT fingerprints.
 
     Pigeonhole blocking: split the 64-bit fingerprint into
     ``max_hamming + 1`` chunks — any pair within distance k must agree
     on at least one chunk — then verify candidates exactly with
-    ``bit_count(a XOR b)``. All JVM-side; the quadratic join runs only
-    within chunk-value buckets.
+    ``bit_count(a XOR b)``. Joining distinct fingerprints (not docs) is
+    the degenerate-bucket guard: a corpus with millions of identical
+    near-empty documents contributes ONE row per chunk bucket here,
+    instead of a quadratic within-bucket doc join.
     """
     chunks = max_hamming + 1
     bits = 64 // chunks
     mask = (1 << bits) - 1
-    fp = simhash_fingerprints(docs, id_col, text_col, hash_fn)
-    keys = fp.select(
-        "doc_id",
+    keys = fp_distinct.select(
         "simhash",
         F.posexplode(
             F.array(
@@ -363,26 +358,98 @@ def simhash_near_pairs(
             )
         ).alias("chunk", "key"),
     )
-    a = keys.select(
-        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "chunk", "key"
-    )
-    b = keys.select(
-        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "chunk", "key"
-    )
+    a = keys.select(F.col("simhash").alias("ha"), "chunk", "key")
+    b = keys.select(F.col("simhash").alias("hb"), "chunk", "key")
     cand = (
         a.join(b, ["chunk", "key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
+        .where(F.col("ha") < F.col("hb"))
+        .select("ha", "hb")
         .distinct()
     )
-    return (
-        cand.select(
-            "a",
-            "b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    return cand.select(
+        "ha",
+        "hb",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= ``max_hamming``:
+    ``(a, b, hamming)``.
+
+    Two-level structure: the banded candidate join runs at DISTINCT-
+    fingerprint granularity (``_simhash_near_fp_pairs``), then doc
+    pairs are expanded by joining each side's doc list back; identical-
+    fingerprint pairs (Hamming 0) bypass the candidate machinery
+    entirely (one equi-self-join on the fingerprint). The candidate
+    stage therefore never blows up on degenerate buckets — if the PAIR
+    OUTPUT itself is quadratic (a million identical empty docs), that
+    is inherent to the pairs contract; use ``simhash_dedup_near`` for
+    the linear-output cluster form.
+    """
+    fp = simhash_fingerprints(docs, id_col, text_col, hash_fn).localCheckpoint()
+    near_fp = _simhash_near_fp_pairs(fp.select("simhash").distinct(), max_hamming)
+    cross = (
+        near_fp.join(
+            fp.select(F.col("simhash").alias("ha"), F.col("doc_id").alias("da")),
+            "ha",
         )
-        .where(F.col("hamming") <= max_hamming)
+        .join(
+            fp.select(F.col("simhash").alias("hb"), F.col("doc_id").alias("db")),
+            "hb",
+        )
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            "hamming",
+        )
     )
+    eq = (
+        fp.select(F.col("doc_id").alias("a"), "simhash")
+        .join(fp.select(F.col("doc_id").alias("b"), "simhash"), "simhash")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).alias("hamming"))
+    )
+    return eq.unionByName(cross)
+
+
+def simhash_dedup_near(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate removal by SimHash: keep one doc per Hamming-
+    <=k cluster (min doc id survives). LINEAR output — the shape to use
+    at 100 TB where identical-fingerprint groups (empty/boilerplate
+    docs) would make the pairs form quadratic: clusters are connected
+    components of the DISTINCT-fingerprint near graph, so a million
+    identical docs cost one graph vertex and one group-by, never a
+    pair expansion.
+    """
+    from pagerank_spark.operators.components import connected_components
+
+    fp = simhash_fingerprints(docs, id_col, text_col, hash_fn).localCheckpoint()
+    near_fp = _simhash_near_fp_pairs(fp.select("simhash").distinct(), max_hamming)
+    labels = connected_components(
+        near_fp.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+    )
+    doc_clusters = fp.join(
+        labels.withColumnRenamed("id", "simhash"), "simhash", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "simhash").alias("cluster")
+    )
+    keep = doc_clusters.groupBy("cluster").agg(
+        F.min("doc_id").alias(id_col)
+    ).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
 
 
 def ngram_jaccard_pairs(

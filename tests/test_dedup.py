@@ -165,3 +165,66 @@ def test_ngram_bruteforce_guard(spark, docs):
         ngram_jaccard_pairs(docs, max_bruteforce_rows=10).count()
     # blocked path is exempt from the ceiling
     ngram_jaccard_pairs(docs.limit(20), block_bits=2, max_bruteforce_rows=10)
+
+
+def test_simhash_dedup_near_degenerate_bucket_is_linear(spark):
+    """10k identical (empty-ish) docs — the 100 TB norm for boilerplate —
+    must dedup through ONE graph vertex, never a quadratic pair
+    expansion: the candidate join runs on DISTINCT fingerprints."""
+    import time
+
+    from pagerank_spark.operators.dedup import simhash_dedup_near
+
+    n = 10_000
+    degenerate = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("  ").alias("text")
+    )
+    distinct = spark.createDataFrame(
+        [(n + i, f"unique document number {i} with words {i * 7}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs = degenerate.union(distinct)
+    t0 = time.monotonic()
+    survivors = simhash_dedup_near(docs, max_hamming=3).select("doc_id").collect()
+    elapsed = time.monotonic() - t0
+    ids = {r["doc_id"] for r in survivors}
+    # exactly one survivor (min id) of the 10k-doc identical cluster
+    assert 0 in ids
+    assert not any(0 < i < n for i in ids)
+    # distinct docs survive unless they near-collide with each other
+    assert sum(1 for i in ids if i >= n) >= 1
+    # linearity proxy: finishes in seconds, not the minutes a 5*10^7-row
+    # pair expansion (plus distinct) would take
+    assert elapsed < 60
+
+
+def test_simhash_near_pairs_split_paths_match_bruteforce(spark):
+    """The restructured pairs operator (equal-fp fast path + distinct-fp
+    banded join) must still equal the brute-force Hamming<=k pair set."""
+    from pagerank_spark.operators.dedup import simhash_near_pairs
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(80)
+    # clone a handful of docs so equal-fp pairs exist
+    docs = base.union(
+        base.where(F.col("doc_id") < 6).select(
+            (F.col("doc_id") + 500).alias("doc_id"), "text"
+        )
+    )
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs).collect()
+    }
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want
