@@ -73,6 +73,25 @@ _EDGES_SQL = (
 )
 
 
+def _edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical graph with a small integer edge weight (1..3) —
+    exercises weighted strength/dangling handling with arithmetic both
+    engines replay exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_partkey") % N_MOD).alias("src"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias("dst"),
+        (F.lit(1) + F.col("l_partkey") % 3).cast("double").alias("weight"),
+    )
+
+
+_W_EDGES_SQL = (
+    f"SELECT l_partkey % {N_MOD} AS src, "
+    f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst, "
+    f"CAST(1 + l_partkey % 3 AS DOUBLE) AS weight FROM lineitem"
+)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -130,6 +149,16 @@ def q_pagerank_converged(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
 
+def q_pagerank_weighted_converged(spark, sf_dir):
+    """Converged WEIGHTED PageRank (redistribute): a weighted edge
+    behaves like that many duplicate rows generalized to positive
+    weights — the reference's multiplicity semantics
+    (Page_Rank_SERIAL.c:131-143) on a converged run."""
+    e = _edges_weighted(spark, sf_dir)
+    res = pagerank(e, dangling="redistribute", weight_col="weight")
+    return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
+
+
 def q_pagerank_topk(spark, sf_dir):
     e = _edges(spark, sf_dir)
     res = pagerank(e, dangling="redistribute")
@@ -150,6 +179,11 @@ def q_label_propagation(spark, sf_dir):
 
 def q_triangle_count(spark, sf_dir):
     return triangle_count(_edges(spark, sf_dir))
+
+
+def q_triangle_count_vertex(spark, sf_dir):
+    """Per-vertex corner counts (vertices in >=1 triangle)."""
+    return triangle_count(_edges(spark, sf_dir), per_vertex=True).orderBy("id")
 
 
 def q_pagerank_fixed_join(spark, sf_dir):
@@ -384,6 +418,32 @@ def q_ivf_cosine_topk(spark, sf_dir):
         emb, [float(x) for x in qv], k=10, n_centroids=8, nprobe=8
     )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ivf_topk_indexed(spark, sf_dir):
+    """IVF probe against a MATERIALIZED index (parquet partitioned by
+    centroid): the probe's ``centroid IN (...)`` is a physical partition
+    prune over the index files (pytest asserts PartitionFilters), and an
+    exhaustive probe must still equal the exact scan."""
+    import shutil
+    import tempfile
+
+    from pagerank_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    d = tempfile.mkdtemp(prefix="ivf_gate_idx_")
+    try:
+        idx = ivf_index(emb, n_centroids=8, path=f"{d}/ivf_index")
+        out = ivf_topk(
+            emb, [float(x) for x in qv], k=10, nprobe=8, index=idx
+        )
+        # eager: the temp index dir is removed on return
+        return out.select(
+            "vec_id", F.round("cosine", 6).alias("cosine")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_dedup_near_docs(spark, sf_dir):
@@ -670,6 +730,45 @@ def q_events_hourly_stream(spark, sf_dir):
     )
 
 
+def q_user_degrees_stream(spark, sf_dir):
+    """Streaming incremental degrees: running per-user event counts
+    maintained by the state store; the drained complete-mode table must
+    equal the batch group-by."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.events import (
+        read_events_stream,
+        streaming_edge_degrees,
+    )
+
+    d = tempfile.mkdtemp(prefix="deg_gate_")
+    ck = tempfile.mkdtemp(prefix="deg_gate_ck_")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/events", dirs_exist_ok=True)
+        src_dir = f"{d}/events"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    agg = streaming_edge_degrees(read_events_stream(spark, src_dir))
+    name = "gate_degrees_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).orderBy("src")
+
+
 def q_user_sessions_stream(spark, sf_dir):
     """Stateful-streaming gate: the events parquet replayed as a bounded
     stream through the ``applyInPandasWithState`` sessionizer. The
@@ -773,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10": q_pagerank_fixed,
         "pagerank_fixed10_join": q_pagerank_fixed_join,
         "pagerank_converged": q_pagerank_converged,
+        "pagerank_weighted_converged": q_pagerank_weighted_converged,
         "pagerank_topk": q_pagerank_topk,
         "pagerank_sink_roundtrip": q_pagerank_sink_roundtrip,
         "pagerank_residuals": q_pagerank_residuals,
@@ -781,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
+        "triangle_count_vertex": q_triangle_count_vertex,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -798,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dedup_near_docs": q_dedup_near_docs,
         # portable-hash (md5) variants: same pipelines, value-checked
@@ -819,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "events_hourly_stream": q_events_hourly_stream,
         "user_sessions_stream": q_user_sessions_stream,
+        "user_degrees_stream": q_user_degrees_stream,
         "pricing_rollup": q_pricing_rollup,
         "urgent_not_big_spenders": q_urgent_not_big_spenders,
         "customers_without_orders": q_customers_without_orders,
@@ -908,25 +1011,28 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", ORACLE_SF_DIR)
 
 
-def _converged_iters(sf_dir: str) -> int:
-    if sf_dir not in _CONV_ITERS_CACHE:
+def _converged_iters(sf_dir: str, weighted: bool = False) -> int:
+    key = f"{sf_dir}|w={weighted}"
+    if key not in _CONV_ITERS_CACHE:
         import duckdb
         import numpy as np
 
         con = duckdb.connect()
         tbl = con.execute(
             f"SELECT l_partkey % {N_MOD} AS src, "
-            f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst "
+            f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst, "
+            f"CAST(1 + l_partkey % 3 AS DOUBLE) AS wt "
             f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
         ).fetchnumpy()
         con.close()
         src = tbl["src"].astype(np.int64)
         dst = tbl["dst"].astype(np.int64)
+        wt = tbl["wt"].astype(np.float64) if weighted else np.ones(len(src))
         n = int(max(src.max(), dst.max())) + 1
-        out = np.bincount(src, minlength=n).astype(np.float64)
+        out = np.bincount(src, weights=wt, minlength=n).astype(np.float64)
         dang = out == 0
         safe = np.where(dang, 1.0, out)
-        w = 0.85 / safe[src]
+        w = 0.85 * wt / safe[src]
         r = np.full(n, 1.0 / n)
         k = 0
         eps = 1e-4
@@ -956,8 +1062,8 @@ def _converged_iters(sf_dir: str) -> int:
                 f"final residual {resid} within FP noise of eps={eps} — "
                 "unroll depth is scale-ambiguous"
             )
-        _CONV_ITERS_CACHE[sf_dir] = k
-    return _CONV_ITERS_CACHE[sf_dir]
+        _CONV_ITERS_CACHE[key] = k
+    return _CONV_ITERS_CACHE[key]
 
 
 def _cc_sql() -> str:
@@ -1314,6 +1420,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS triangles FROM o e1 JOIN o e2 ON e1.v = e2.u "
             "JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v"
         ),
+        "triangle_count_vertex": (
+            f"WITH eg AS ({eg}), "
+            "simple AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "FROM eg WHERE src <> dst), "
+            "deg AS (SELECT id, count(*) AS d FROM (SELECT a AS id FROM simple "
+            "UNION ALL SELECT b FROM simple) GROUP BY id), "
+            "o AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b) THEN s.a ELSE s.b END AS u, "
+            "CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b) THEN s.b ELSE s.a END AS v "
+            "FROM simple s JOIN deg da ON s.a = da.id JOIN deg db ON s.b = db.id), "
+            "tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM o e1 "
+            "JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v) "
+            "SELECT id, count(*) AS triangles FROM (SELECT x AS id FROM tr "
+            "UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr) "
+            "GROUP BY id ORDER BY id"
+        ),
         "dedup_exact_groups": (
             "SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id "
             "FROM documents GROUP BY md5(text) ORDER BY content_hash"
@@ -1375,6 +1496,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(cos, 6) AS cosine FROM s "
             "ORDER BY cos DESC, vec_id LIMIT 10"
         ),
+        "ivf_topk_indexed": (
+            # exhaustive probe over the materialized partitioned index
+            # must equal the exact scan
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), "
+            "s AS (SELECT vec_id, "
+            "list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) / "
+            "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(q.qv, q.qv))) AS cos FROM embeddings, q) "
+            "SELECT vec_id, round(cos, 6) AS cosine FROM s "
+            "ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
@@ -1423,6 +1555,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value "
             "FROM s GROUP BY user_id, session_seq "
             "ORDER BY user_id, session_seq"
+        ),
+        "user_degrees_stream": (
+            "SELECT user_id AS src, count(*) AS out_deg FROM events "
+            "GROUP BY user_id ORDER BY src"
         ),
         "user_sessions_stream": (
             # batch sessionization minus each user's LAST session (the
@@ -1538,22 +1674,29 @@ def _converged_oracles() -> dict[str, str]:
     tables are reachable (they always are in the driver's gate); on any
     failure fall back to omitting the entries (rows-only check) rather
     than poisoning the whole oracle set."""
+    out: dict[str, str] = {}
     try:
         k = _converged_iters(_oracle_sf_dir())
-    except Exception:
-        return {}
-    return {
-        "pagerank_converged": _pr_cte_sql(
+        out["pagerank_converged"] = _pr_cte_sql(
             _EDGES_SQL, k, dangling="redistribute"
-        ),
-        "pagerank_topk": _pr_cte_sql(
+        )
+        out["pagerank_topk"] = _pr_cte_sql(
             _EDGES_SQL, k, dangling="redistribute",
             final=(
                 f"SELECT id, round(rank, 7) AS rank FROM r{k} "
                 "ORDER BY round(rank, 7) DESC, id LIMIT 20"
             ),
-        ),
-    }
+        )
+    except Exception:
+        pass
+    try:
+        kw = _converged_iters(_oracle_sf_dir(), weighted=True)
+        out["pagerank_weighted_converged"] = _pr_cte_sql(
+            _W_EDGES_SQL, kw, dangling="redistribute", weighted=True
+        )
+    except Exception:
+        pass
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
