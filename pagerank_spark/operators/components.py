@@ -109,35 +109,35 @@ def connected_components(
     # consecutive rounds agree. The previous round's hash is then
     # computed lazily from its localCheckpoint (an in-memory scan), so
     # the cheap path never costs an extra star round.
-    prev_count = _count(e)
-    prev_hash: int | None = None  # hash of e, filled only when needed
-    converged = False
-    for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
-        new_count = _count(new_e)
-        if new_count == prev_count:
-            if prev_hash is None:
-                prev_hash = _signature(e)[1]
-            new_hash = _signature(new_e)[1]
-            if new_hash == prev_hash:
-                e = new_e
-                converged = True
-                break
-            prev_hash = new_hash
-        else:
-            prev_hash = None
-        prev_count = new_count
-        e = new_e
-    if not converged:
-        import warnings
+    from pagerank_spark.plans.iterate import iterate
 
-        warnings.warn(
+    ctx = {"count": _count(e), "hash": None}
+
+    def _converged(prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        new_count = _count(new)
+        if new_count == ctx["count"]:
+            if ctx["hash"] is None:
+                ctx["hash"] = _signature(prev)[1]
+            new_hash = _signature(new)[1]
+            if new_hash == ctx["hash"]:
+                return True
+            ctx["hash"] = new_hash
+        else:
+            ctx["hash"] = None
+        ctx["count"] = new_count
+        return False
+
+    e, _rounds, _done = iterate(
+        e,
+        lambda s, _r: _small_star(_large_star(s)),
+        _converged,
+        max_iter,
+        warn=(
             f"connected_components: edge-set signature did not stabilize "
             f"within max_iter={max_iter} rounds; labels may not be final "
-            "(a non-converged edge set is not a star forest)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+            "(a non-converged edge set is not a star forest)"
+        ),
+    )
     # Converged edge set is a star forest: (u → component root). Roots
     # and isolated vertices label themselves via the left join.
     labels = vertices.join(

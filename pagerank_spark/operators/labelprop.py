@@ -63,8 +63,9 @@ def label_propagation(
     # prepare-time shuffle is the only O(E) movement besides messages.
     n = vertices.count()
     join_hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
-    labels = vertices.select("id", F.col("id").alias("label"))
-    for _ in range(max_iter):
+    from pagerank_spark.plans.iterate import iterate
+
+    def _step(labels: DataFrame, _round: int) -> DataFrame:
         msgs = sym.join(
             labels.withColumnRenamed("id", "src").hint(join_hint), "src"
         ).select(F.col("dst").alias("id"), "label")
@@ -75,14 +76,18 @@ def label_propagation(
         ).select("id", (-F.col("top.neg")).alias("new_label"))
         # carry old + new in one frame: the change count needs no extra
         # join, just a filter over the already-checkpointed result
-        staged = labels.join(picked, "id", "left").select(
+        return labels.join(picked, "id", "left").select(
             "id",
             F.coalesce("new_label", "label").alias("label"),
             (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
-        ).localCheckpoint()
-        changed = staged.where(F.col("_chg")).count()
-        labels = staged.select("id", "label")
-        if changed == 0:
-            break
+        )
+
+    labels, _rounds, _done = iterate(
+        vertices.select("id", F.col("id").alias("label")),
+        _step,
+        lambda _prev, new, _r: new.where(F.col("_chg")).count() == 0,
+        max_iter,
+        # no warn: max_iter is the contract (fixed-round LPA is a thing)
+    )
     sym.unpersist()  # labels is checkpointed — safe to drop the cache
-    return labels
+    return labels.select("id", "label")

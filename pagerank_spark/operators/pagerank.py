@@ -871,14 +871,21 @@ def _pagerank_join(
             metrics = manifest.get("metrics", [])
     start_iter = it
     lineage = {"num_partitions": P, "edge_count": edge_count, "mode": "join"}
+    from pagerank_spark.plans.iterate import iterate
+
     # settled baseline (see broadcast path); per-iteration deltas may
     # still attribute a stage to the following iteration under listener
     # lag — totals across the run remain exact
-    shuffle_before = _shuffle_totals_settled(spark)
-    while True:
-        t0 = time.monotonic()
+    loop = {
+        "t0": time.monotonic(),
+        "residual": float("inf"),
+        "shuffle_before": _shuffle_totals_settled(spark),
+    }
+
+    def _step(prev: DataFrame, _round: int) -> DataFrame:
+        loop["t0"] = time.monotonic()
         if dangling == "redistribute":
-            dm_row = ranks.join(dangling_ids, "id", "left_semi").agg(
+            dm_row = prev.join(dangling_ids, "id", "left_semi").agg(
                 F.sum("rank").alias("dm")
             ).collect()[0]
             dm = float(dm_row["dm"] or 0.0)
@@ -886,53 +893,58 @@ def _pagerank_join(
             dm = 0.0
         base = teleport + d * dm / n
         contrib = (
-            edges_w.join(ranks.withColumnRenamed("id", "src"), "src")
+            edges_w.join(prev.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
         )
         # Right-outer completion: vertices with no in-edges get base only
         # (Page_Rank_SERIAL.c:228-244; SURVEY.md §1.3.4).
-        new_ranks = (
-            vertices.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(base)).alias("rank"),
-            )
-            .localCheckpoint()  # truncate lineage: plan stays O(1) per iter
+        return vertices.join(
+            contrib.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(base)).alias("rank"),
         )
+
+    def _converged(prev: DataFrame, new: DataFrame, rounds: int) -> bool:
         residual = float(
-            new_ranks.withColumnRenamed("rank", "nr")
-            .join(ranks, "id")
+            new.withColumnRenamed("rank", "nr")
+            .join(prev, "id")
             .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("res"))
             .collect()[0]["res"]
         )
-        ranks = new_ranks
-        it += 1
+        loop["residual"] = residual
         shuffle_after = _shuffle_totals(spark)
         metrics.append(
             {
-                "iteration": it,
+                "iteration": start_iter + rounds,
                 "residual": residual,
-                "seconds": time.monotonic() - t0,
+                "seconds": time.monotonic() - loop["t0"],
                 "edges_scanned": edge_count,
                 # measured per-iteration shuffle bytes (monitoring API):
                 # the rank-side shuffle is O(n) rows because edges_w is
                 # pre-partitioned by src — the numbers prove it.
-                **_shuffle_delta(shuffle_before, shuffle_after),
+                **_shuffle_delta(loop["shuffle_before"], shuffle_after),
                 "skew_ratio": None,
             }
         )
-        shuffle_before = shuffle_after
+        loop["shuffle_before"] = shuffle_after
         if checkpoint_dir:
-            _save_checkpoint_df(checkpoint_dir, ranks, it, metrics, lineage)
-        if residual <= eps:
-            converged = True
-            break
-        if max_iter is not None and it - start_iter >= max_iter:
-            break
+            _save_checkpoint_df(
+                checkpoint_dir, new, start_iter + rounds, metrics, lineage
+            )
+        return residual <= eps
+
+    ranks, rounds, converged = iterate(
+        ranks, _step, _converged,
+        max_iter if max_iter is not None else (1 << 31),
+    )
+    it = start_iter + rounds
     edges_w.unpersist()
     dangling_ids.unpersist()
-    return PageRankResult(ranks, it, converged, residual, metrics, lineage)
+    return PageRankResult(
+        ranks, it, converged, loop["residual"], metrics, lineage
+    )
 
 
 # --------------------------------------------------------------------------

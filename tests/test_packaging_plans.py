@@ -216,3 +216,47 @@ def test_all_oracles_parse_in_duckdb():
             con.execute("EXPLAIN " + sql)
         except Exception as ex:
             raise AssertionError(f"oracle {name!r} failed to plan: {ex}")
+
+
+def test_iterate_harness_semantics(spark):
+    """Do-while, checkpointed rounds, convergence short-circuit, and the
+    max_iter warning of the generic BSP driver."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.plans.iterate import iterate
+
+    s0 = spark.range(10).select(F.col("id"), F.lit(0).alias("v"))
+
+    # converges when every v reaches 3
+    out, rounds, done = iterate(
+        s0,
+        lambda s, r: s.select("id", (F.col("v") + 1).alias("v")),
+        lambda prev, new, r: new.agg(F.min("v")).collect()[0][0] >= 3,
+        max_iter=10,
+    )
+    assert (rounds, done) == (3, True)
+    assert out.agg(F.max("v")).collect()[0][0] == 3
+
+    # max_iter exhaustion warns when asked
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _out, rounds, done = iterate(
+            s0,
+            lambda s, r: s.select("id", (F.col("v") + 1).alias("v")),
+            lambda prev, new, r: False,
+            max_iter=2,
+            warn="stalled",
+        )
+    assert (rounds, done) == (2, False)
+    assert any("stalled" in str(x.message) for x in w)
+
+    # plans stay O(1): a checkpointed state's plan does not grow
+    _out2, _, _ = iterate(
+        s0,
+        lambda s, r: s.select("id", (F.col("v") + 1).alias("v")),
+        lambda prev, new, r: False,
+        max_iter=8,
+    )
+    assert len(_out2._jdf.queryExecution().optimizedPlan().toString()) < 2000
