@@ -58,26 +58,38 @@ def _decode_features(payload: bytes) -> np.ndarray:
     return (raw % 10_000).astype(np.float32) / 10_000.0
 
 
+def _decode_unavailable(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real media decode requires image/audio codecs (Pillow/ffmpeg) "
+        "not present in this environment; inject decode_fn= here"
+    )
+
+
 def extract_features(
-    assets: DataFrame, decode_stub: bool = True, batch_note: bool = False
+    assets: DataFrame, decode_stub: bool = True, decode_fn=None
 ) -> DataFrame:
     """``(asset_id, kind, n_bytes, feature: array<float>)`` via mapInPandas.
 
     Real pipeline shape: one Arrow batch in, vectorized work, one batch
-    out — the codec call is the only per-asset step, exactly as a real
-    Pillow/ffmpeg decode would be.
+    out. ``decode_fn`` is the codec adapter — ``bytes -> feature
+    vector``, called EXACTLY ONCE per asset (the only per-asset step;
+    byte counts and frame assembly stay vectorized). Plug Pillow/ffmpeg
+    in by injecting it; the default is the deterministic stub
+    (``decode_stub=True``) or the honest ``NotImplementedError`` seam
+    (``decode_stub=False``).
     """
+    if decode_fn is None:
+        decode_fn = _decode_features if decode_stub else _decode_unavailable
 
     def kernel(batches):
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio codecs "
-                    "(Pillow/ffmpeg) not present in this environment; "
-                    "plug the codec in here"
-                )
             payloads = pdf["payload"]
-            feats = [_decode_features(bytes(p)).tolist() for p in payloads]
+            # the injected codec call is inherently per-asset; keep it —
+            # and ONLY it — inside the comprehension
+            feats = [
+                np.asarray(decode_fn(bytes(p)), dtype=np.float32).tolist()
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -335,3 +335,22 @@ def test_sessionize_batch_gap_boundary_and_random(spark):
         assert have == [
             (a, b, n, round(t, 6)) for a, b, n, t in sorted(want)
         ]
+
+
+def test_extract_features_injected_codec_called_once_per_asset(spark, assets):
+    """The codec adapter seam: an injected decode_fn is invoked exactly
+    once per asset (counted with an accumulator across executors), its
+    output lands in the schema-typed feature column, and the vectorized
+    surround (n_bytes) is untouched by the injection."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_codec(payload: bytes):
+        acc.add(1)
+        return [float(len(payload))] * 4
+
+    out = extract_features(assets, decode_fn=counting_codec).collect()
+    n = assets.count()
+    assert acc.value == n
+    assert len(out) == n
+    for r in out:
+        assert r["feature"] == [float(r["n_bytes"])] * 4
