@@ -186,6 +186,27 @@ def q_triangle_count_vertex(spark, sf_dir):
     return triangle_count(_edges(spark, sf_dir), per_vertex=True).orderBy("id")
 
 
+SSSP_SQL_ROUNDS = 10
+
+
+def q_shortest_paths_bfs(spark, sf_dir):
+    """BFS hop levels from vertex 0 over the directed graph — the first
+    iterate-harness consumer beyond CC/LPA/join-PR; reached vertices
+    only."""
+    from pagerank_spark.operators.paths import shortest_paths
+
+    return shortest_paths(_edges(spark, sf_dir), sources=[0]).orderBy("id")
+
+
+def q_shortest_paths_weighted(spark, sf_dir):
+    """Bellman-Ford over positive integer weights (1..3)."""
+    from pagerank_spark.operators.paths import shortest_paths
+
+    return shortest_paths(
+        _edges_weighted(spark, sf_dir), sources=[0], weight_col="weight"
+    ).orderBy("id")
+
+
 def q_pagerank_fixed_join(spark, sf_dir):
     """The co-partitioned join strategy (the n > 2^26 production path)
     against the SAME unrolled-CTE oracle as the blocks/local path —
@@ -882,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
         "triangle_count_vertex": q_triangle_count_vertex,
+        "shortest_paths_bfs": q_shortest_paths_bfs,
+        "shortest_paths_weighted": q_shortest_paths_weighted,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -1064,6 +1087,29 @@ def _converged_iters(sf_dir: str, weighted: bool = False) -> int:
             )
         _CONV_ITERS_CACHE[key] = k
     return _CONV_ITERS_CACHE[key]
+
+
+def _sssp_sql(edges_sql: str, weighted: bool = False) -> str:
+    """Unrolled min-distance relaxation from vertex 0 (reached only)."""
+    if weighted:
+        step, z = "x.dist + e.weight", "CAST(0.0 AS DOUBLE)"
+    else:
+        step, z = "x.dist + 1", "CAST(0 AS BIGINT)"
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        f"d0 AS (SELECT CAST(0 AS BIGINT) AS id, {z} AS dist),",
+    ]
+    for k in range(1, SSSP_SQL_ROUNDS + 1):
+        # MATERIALIZED: each level is read twice (carry + relax branch)
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{k-1} UNION ALL "
+            f"SELECT e.dst AS id, {step} AS dist "
+            f"FROM eg e JOIN d{k-1} x ON e.src = x.id) GROUP BY id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, dist FROM d{SSSP_SQL_ROUNDS} ORDER BY id")
+    return "\n".join(parts)
 
 
 def _cc_sql() -> str:
@@ -1408,6 +1454,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
+        "shortest_paths_bfs": _sssp_sql(_EDGES_SQL),
+        "shortest_paths_weighted": _sssp_sql(_W_EDGES_SQL, weighted=True),
         "triangle_count": (
             f"WITH eg AS ({eg}), "
             "simple AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "

@@ -27,6 +27,7 @@ from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
 from pagerank_spark.operators.triangles import triangle_count
+from pagerank_spark.operators.paths import shortest_paths
 from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.dedup import (
     dedup_exact,
@@ -66,6 +67,7 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_count",
+    "shortest_paths",
     "derive_edges",
     "dedup_exact",
     "dedup_near",

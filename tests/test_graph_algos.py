@@ -204,3 +204,34 @@ def test_cc_count_first_detection_same_labels(spark):
             parent[max(a, b)] = min(a, b)
     expect = {v: find(v) for v in seen}
     assert labels == expect
+
+
+def test_shortest_paths_bfs_and_weighted(spark):
+    """Hand-built graph with a known distance structure, both metrics."""
+    from pagerank_spark.operators.paths import shortest_paths
+
+    #    0 -> 1 -> 2 -> 3     0 -> 4 (long hop, heavy weight)
+    #    4 -> 3 (shortcut for hops, expensive by weight)
+    rows = [
+        (0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 4, 10.0), (4, 3, 1.0),
+        (9, 0, 1.0),  # edge INTO the source: must not create dist for 9
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+
+    hops = {r["id"]: r["dist"] for r in shortest_paths(e, [0]).collect()}
+    assert hops == {0: 0, 1: 1, 2: 2, 4: 1, 3: 2}  # 3 via 4 in 2 hops
+
+    wd = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(e, [0], weight_col="weight").collect()
+    }
+    assert wd == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 10.0}  # 3 via chain
+
+    # multi-source: nearest source wins
+    ms = {r["id"]: r["dist"] for r in shortest_paths(e, [0, 3]).collect()}
+    assert ms[3] == 0 and ms[0] == 0 and ms[1] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shortest_paths(e, [])
