@@ -149,6 +149,31 @@ def q_pagerank_converged(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
 
+PPR_SOURCES = [0, 7, 42]
+
+
+def q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank: teleport (and redistributed dangling mass)
+    restricted to a 3-vertex source set; fixed-10 so the CTE unrolls."""
+    e = _edges(spark, sf_dir)
+    res = pagerank(
+        e, dangling="redistribute", eps=0.0, max_iter=PR_FIXED_ITERS,
+        personalize=PPR_SOURCES,
+    )
+    return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
+
+
+def q_pagerank_personalized_join(spark, sf_dir):
+    """The same personalized run through the co-partitioned join
+    strategy — mode interchangeability for PPR."""
+    e = _edges(spark, sf_dir)
+    res = pagerank(
+        e, dangling="redistribute", eps=0.0, max_iter=PR_FIXED_ITERS,
+        personalize=PPR_SOURCES, mode="join",
+    )
+    return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
+
+
 def q_pagerank_weighted_converged(spark, sf_dir):
     """Converged WEIGHTED PageRank (redistribute): a weighted edge
     behaves like that many duplicate rows generalized to positive
@@ -893,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10": q_pagerank_fixed,
         "pagerank_fixed10_join": q_pagerank_fixed_join,
         "pagerank_converged": q_pagerank_converged,
+        "pagerank_personalized": q_pagerank_personalized,
+        "pagerank_personalized_join": q_pagerank_personalized_join,
         "pagerank_weighted_converged": q_pagerank_weighted_converged,
         "pagerank_topk": q_pagerank_topk,
         "pagerank_sink_roundtrip": q_pagerank_sink_roundtrip,
@@ -961,13 +988,16 @@ def _pr_cte_sql(
     dangling: str = "leak",
     weighted: bool = False,
     final: str | None = None,
+    personalize: list[int] | None = None,
 ) -> str:
     """Unrolled power iteration r0..r{iters} as a chained CTE.
 
     One machinery value-checks the fixed-k, converged (redistribute
     dangling mode: ``+ d * dangling_mass / n`` per level, dangling ids
     via NOT EXISTS on the out-edge set), weighted (per-edge
-    ``d * weight / strength(src)``), SNAP-demo and top-k queries.
+    ``d * weight / strength(src)``), personalized (teleport and
+    dangling mass land only on the source set), SNAP-demo and top-k
+    queries.
     """
     parts = [
         f"WITH eg AS ({edges_sql}),",
@@ -992,16 +1022,42 @@ def _pr_cte_sql(
             "dang AS (SELECT v.id FROM v WHERE NOT EXISTS "
             "(SELECT 1 FROM w WHERE w.src = v.id)),"
         )
-    parts.append("r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),")
-    for k in range(1, iters + 1):
-        base = "0.15 / (SELECT n FROM nn)"
-        if dangling == "redistribute":
-            base += (
-                f" + 0.85 * (SELECT coalesce(sum(r.rank), 0) FROM r{k-1} r "
-                f"JOIN dang ON r.id = dang.id) / (SELECT n FROM nn)"
-            )
+    if personalize is None:
         parts.append(
-            f"r{k} AS (SELECT v.id, {base} + coalesce(s.s, 0) AS rank "
+            "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),"
+        )
+    else:
+        ids = ", ".join(str(int(s)) for s in personalize)
+        s_cnt = len(personalize)
+        parts.append(
+            f"r0 AS (SELECT id, CASE WHEN id IN ({ids}) THEN 1.0 / {s_cnt} "
+            "ELSE 0.0 END AS rank FROM v),"
+        )
+    for k in range(1, iters + 1):
+        if personalize is None:
+            base = "0.15 / (SELECT n FROM nn)"
+            if dangling == "redistribute":
+                base += (
+                    f" + 0.85 * (SELECT coalesce(sum(r.rank), 0) FROM r{k-1} r "
+                    f"JOIN dang ON r.id = dang.id) / (SELECT n FROM nn)"
+                )
+        else:
+            ids = ", ".join(str(int(s)) for s in personalize)
+            s_cnt = len(personalize)
+            inner = f"0.15 / {s_cnt}"
+            if dangling == "redistribute":
+                # dangling mass hoisted into its own per-level CTE: a
+                # scalar subquery INSIDE the per-row CASE defeats
+                # DuckDB's hoisting and explodes the inlined chain
+                parts.append(
+                    f"dm{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0) AS m "
+                    f"FROM r{k-1} r JOIN dang ON r.id = dang.id),"
+                )
+                inner += f" + 0.85 * (SELECT m FROM dm{k}) / {s_cnt}"
+            base = f"CASE WHEN v.id IN ({ids}) THEN {inner} ELSE 0.0 END"
+        mat = " MATERIALIZED" if personalize is not None else ""
+        parts.append(
+            f"r{k} AS{mat} (SELECT v.id, {base} + coalesce(s.s, 0) AS rank "
             f"FROM v LEFT JOIN (SELECT w.dst AS id, sum(w.w * r.rank) AS s "
             f"FROM w JOIN r{k-1} r ON w.src = r.id GROUP BY w.dst) s USING (id)),"
         )
@@ -1417,6 +1473,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM m JOIN od ON m.src = od.src ORDER BY m.src, m.dst"
         ),
         "pagerank_fixed10": _pagerank_fixed_sql(),
+        "pagerank_personalized": _pr_cte_sql(
+            _EDGES_SQL, PR_FIXED_ITERS, dangling="redistribute",
+            personalize=PPR_SOURCES,
+        ),
+        "pagerank_personalized_join": _pr_cte_sql(
+            _EDGES_SQL, PR_FIXED_ITERS, dangling="redistribute",
+            personalize=PPR_SOURCES,
+        ),
         "pagerank_fixed10_join": _pagerank_fixed_sql(),
         "pagerank_sink_roundtrip": _pagerank_fixed_sql(),
         "pagerank_residuals": _pr_cte_sql(

@@ -179,8 +179,17 @@ def pagerank(
     salt_threshold: int | None = None,
     weight_col: str | None = None,
     local_iters: int = 1,
+    personalize: list[int] | None = None,
 ) -> PageRankResult:
     """Compute PageRank over ``DataFrame[src: long, dst: long]``.
+
+    ``personalize`` restricts the teleport distribution to a source
+    set S (personalized PageRank): rank initializes uniform over S,
+    the (1-d) teleport mass lands only on S, and in redistribute mode
+    dangling mass returns to S as well — the random surfer restarts at
+    S instead of everywhere. Supported by every mode except the
+    block-Jacobi sub-iteration knob (``local_iters > 1``), whose local
+    relaxation bakes a scalar base into the kernel.
 
     Ids must be dense ``0..n-1`` (use ``densify_ids`` first for
     arbitrary id spaces). ``n`` defaults to ``1 + max(id)`` — pass it
@@ -200,6 +209,14 @@ def pagerank(
         raise ValueError("dangling must be 'redistribute' or 'leak'")
     if local_iters < 1:
         raise ValueError("local_iters must be >= 1")
+    if personalize is not None:
+        if len(personalize) == 0:
+            raise ValueError("personalize must be a non-empty id list")
+        if local_iters > 1:
+            raise ValueError(
+                "personalize is not supported with local_iters > 1 "
+                "(block-Jacobi bakes a scalar teleport base into the kernel)"
+            )
     if local_iters > 1 and mode not in ("auto", "broadcast", "blocks"):
         raise ValueError("local_iters > 1 requires the blocks strategy")
     # Resuming from an existing block store: n/edge_count come from the
@@ -254,21 +271,28 @@ def pagerank(
             mode = "local"
         else:
             mode = "broadcast" if n <= BROADCAST_MAX_N else "join"
+    if personalize is not None:
+        pz = sorted(set(int(s) for s in personalize))
+        if pz[0] < 0 or pz[-1] >= n:
+            raise ValueError(
+                f"personalize ids must be dense vertex ids in [0, n={n})"
+            )
+        personalize = pz
     if mode == "local":
         return _pagerank_local(
             edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume,
-            weight_col,
+            weight_col, personalize,
         )
     if mode in ("broadcast", "blocks"):
         return _pagerank_broadcast(
             edges, n, d, eps, dangling, max_iter, num_partitions,
             checkpoint_dir, resume, block_dir, salt_threshold, weight_col,
-            local_iters, e_count,
+            local_iters, e_count, personalize,
         )
     if mode == "join":
         return _pagerank_join(
             edges, n, d, eps, dangling, max_iter, num_partitions,
-            checkpoint_dir, resume, weight_col,
+            checkpoint_dir, resume, weight_col, personalize,
         )
     raise ValueError(f"unknown mode {mode!r}")
 
@@ -277,8 +301,26 @@ def pagerank(
 # driver-local strategy (tiny graphs: one collect, NumPy loop)
 # --------------------------------------------------------------------------
 
+def _init_rank(n: int, personalize) -> np.ndarray:
+    if personalize is None:
+        return np.full(n, 1.0 / n, dtype=np.float64)
+    rank = np.zeros(n, dtype=np.float64)
+    rank[np.asarray(personalize, dtype=np.int64)] = 1.0 / len(personalize)
+    return rank
+
+
+def _base_vec(n, d, dm, personalize) -> np.ndarray:
+    """Per-iteration teleport (+ redistributed dangling) base vector for
+    the personalized case: mass lands only on the source set."""
+    s = len(personalize)
+    base = np.zeros(n, dtype=np.float64)
+    base[np.asarray(personalize, dtype=np.int64)] = (1.0 - d) / s + d * dm / s
+    return base
+
+
 def _pagerank_local(
-    edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume, weight_col=None
+    edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume,
+    weight_col=None, personalize=None,
 ):
     spark = edges.sparkSession
     cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
@@ -301,7 +343,7 @@ def _pagerank_local(
     with np.errstate(divide="ignore", invalid="ignore"):
         w_edge = d * ew / strength[src]  # defined: strength[src] > 0 per edge
 
-    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    rank = _init_rank(n, personalize)
     start_iter = 0
     metrics: list[dict] = []
     if resume and checkpoint_dir:
@@ -315,8 +357,11 @@ def _pagerank_local(
     while True:
         t0 = time.monotonic()
         dm = float(rank[dangling_mask].sum()) if dangling == "redistribute" else 0.0
-        new = np.full(n, teleport + d * dm / n, dtype=np.float64)
-        np.add.at(new, dst, w_edge * rank[src])
+        if personalize is None:
+            new = np.full(n, teleport + d * dm / n, dtype=np.float64)
+        else:
+            new = _base_vec(n, d, dm, personalize)
+        np.add.at(new, dst, w_edge * rank[src])  # gather-sum (O10)
         residual = float(np.abs(new - rank).sum())
         rank = new
         it += 1
@@ -571,7 +616,7 @@ def _block_spmv_kernel(
 def _pagerank_broadcast(
     edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume,
     block_dir=None, salt_threshold=None, weight_col=None, local_iters=1,
-    e_count=None,
+    e_count=None, personalize=None,
 ):
     """Block-partitioned broadcast-rank strategy (the scale path).
 
@@ -740,7 +785,7 @@ def _pagerank_broadcast(
     )
     pids.count()
 
-    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    rank = _init_rank(n, personalize)
     start_iter = 0
     metrics: list[dict] = []
     if resume and checkpoint_dir:
@@ -770,7 +815,12 @@ def _pagerank_broadcast(
                 block_dir, rank_path, it + 1, expected_pids
             )
         parts = pids.mapInArrow(kern, "dst long, s double").toPandas()
-        new = np.full(n, base, dtype=np.float64)
+        if personalize is None:
+            new = np.full(n, base, dtype=np.float64)
+        else:
+            # SpMV kernels emit pure contribution partials, so the
+            # personalized teleport base is applied driver-side at O(|S|)
+            new = _base_vec(n, d, dm, personalize)
         if len(parts):
             if local_iters > 1:
                 # values, complete per dst (unsalted) — plain assignment
@@ -831,7 +881,7 @@ def _pagerank_broadcast(
 
 def _pagerank_join(
     edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume,
-    weight_col=None,
+    weight_col=None, personalize=None,
 ):
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -858,7 +908,13 @@ def _pagerank_join(
         out_deg.select(F.col("src").alias("id")), "id", "left_anti"
     ).persist()
 
-    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    if personalize is None:
+        init_rank = F.lit(1.0 / n)
+    else:
+        init_rank = F.when(
+            F.col("id").isin(personalize), F.lit(1.0 / len(personalize))
+        ).otherwise(F.lit(0.0))
+    ranks = vertices.select("id", init_rank.alias("rank")).localCheckpoint()
     it, residual, converged = 0, float("inf"), False
     metrics: list[dict] = []
     if resume and checkpoint_dir:
@@ -891,7 +947,14 @@ def _pagerank_join(
             dm = float(dm_row["dm"] or 0.0)
         else:
             dm = 0.0
-        base = teleport + d * dm / n
+        if personalize is None:
+            base_col = F.lit(teleport + d * dm / n)
+        else:
+            s_cnt = len(personalize)
+            base_col = F.when(
+                F.col("id").isin(personalize),
+                F.lit((1.0 - d) / s_cnt + d * dm / s_cnt),
+            ).otherwise(F.lit(0.0))
         contrib = (
             edges_w.join(prev.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
@@ -903,7 +966,7 @@ def _pagerank_join(
             contrib.withColumnRenamed("dst", "id"), "id", "left"
         ).select(
             "id",
-            (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(base)).alias("rank"),
+            (F.coalesce(F.col("s"), F.lit(0.0)) + base_col).alias("rank"),
         )
 
     def _converged(prev: DataFrame, new: DataFrame, rounds: int) -> bool:

@@ -322,3 +322,41 @@ def test_join_checkpoint_keeps_single_rank_parquet(spark, tmp_path):
     assert man["metrics"][-1]["shuffle_read_bytes"] is None or (
         man["metrics"][-1]["shuffle_read_bytes"] >= 0
     )
+
+
+def test_personalized_pagerank_modes_and_semantics(spark):
+    """PPR: teleport mass restricted to the source set; local, blocks
+    and join strategies agree; redistribute keeps sum(rank) == 1."""
+    e = synth_edges(spark, 300, 2500, seed=11).cache()
+    S = [3, 77]
+    res = {
+        m: pagerank(
+            e, n=300, dangling="redistribute", eps=0.0, max_iter=8,
+            personalize=S, mode=m,
+        )
+        for m in ("local", "broadcast", "join")
+    }
+    vecs = {m: ranks_vec(r, 300) for m, r in res.items()}
+    np.testing.assert_allclose(vecs["broadcast"], vecs["local"], atol=1e-12)
+    np.testing.assert_allclose(vecs["join"], vecs["local"], atol=1e-12)
+    v = vecs["local"]
+    assert abs(v.sum() - 1.0) < 1e-9  # mass conserved (teleport -> S)
+    # a vertex with no in-edges and not in S holds exactly zero rank
+    import pandas as pd
+
+    pdf = e.toPandas()
+    no_in = set(range(300)) - set(pdf["dst"]) - set(S)
+    if no_in:
+        assert all(v[i] == 0.0 for i in no_in)
+    # sources dominate their own restart mass
+    assert v[S].sum() > 0.15 * 0.9
+    e.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(e, n=300, personalize=[])
+    with _pytest.raises(ValueError):
+        pagerank(e, n=300, personalize=[500])
+    with _pytest.raises(ValueError):
+        pagerank(e, n=300, personalize=[0], local_iters=4)
