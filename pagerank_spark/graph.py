@@ -7,9 +7,11 @@ this engine's extensions) provide:
     g = LinkGraph.from_snap(spark, "RETE.txt", first_node=1)
     g = LinkGraph.from_corpus(corpus_df)          # repo reference graph
     g.pagerank(dangling="redistribute").ranks
+    g.personalized_pagerank([seed_id]).ranks
     g.connected_components()
     g.label_propagation(max_iter=10)
     g.triangle_count()
+    g.shortest_paths([source_id])
     g.degrees()
 """
 
@@ -96,6 +98,20 @@ class LinkGraph:
 
     def triangle_count(self, per_vertex: bool = False) -> DataFrame:
         return triangle_count(self.edges, per_vertex=per_vertex)
+
+    def shortest_paths(
+        self, sources: list[int], weighted: bool = False, max_iter: int = 50
+    ) -> DataFrame:
+        from pagerank_spark.operators.paths import shortest_paths
+
+        return shortest_paths(
+            self.edges, sources,
+            weight_col=self.weight_col if weighted else None,
+            max_iter=max_iter,
+        )
+
+    def personalized_pagerank(self, sources: list[int], **kwargs) -> PageRankResult:
+        return self.pagerank(personalize=sources, **kwargs)
 
     def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
         """Join a dense-id result back to original ids (post-densify)."""

@@ -30,3 +30,16 @@ def test_linkgraph_from_corpus_weighted(spark):
     named = g.with_original_ids(res.ranks)
     assert "orig_id" in named.columns
     assert named.count() == g.n
+
+
+def test_linkgraph_sssp_and_ppr(spark):
+    from pagerank_spark.testing import DEMO_EDGES, DEMO_N, edges_df
+
+    g = LinkGraph(edges=edges_df(spark, DEMO_EDGES), n=DEMO_N)
+    # DEMO: 0->{1,2,3}, 1->{2,3}, 2->0, 3->{0,2}
+    d = {r["id"]: r["dist"] for r in g.shortest_paths([0]).collect()}
+    assert d == {0: 0, 1: 1, 2: 1, 3: 1}
+    ppr = g.personalized_pagerank([0], dangling="redistribute")
+    v = {r["id"]: r["rank"] for r in ppr.ranks.collect()}
+    assert abs(sum(v.values()) - 1.0) < 1e-9
+    assert v[0] == max(v.values())  # restart vertex dominates
