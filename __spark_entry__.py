@@ -511,6 +511,18 @@ def q_simhash_near_pairs(spark, sf_dir):
     )
 
 
+def q_simhash_dedup(spark, sf_dir):
+    """Production (xxhash64) SimHash cluster dedup — rows-only like the
+    other xxhash variants; simhash_dedup_md5 is its value-checked twin."""
+    from pagerank_spark.operators.dedup import simhash_dedup_near
+
+    return (
+        simhash_dedup_near(_docs(spark, sf_dir), max_hamming=3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # portable-hash (md5) variants — the SAME pipelines with hash_fn="md5"
 # (functions.text.hash64), which DuckDB reproduces bit-for-bit, so the
@@ -951,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash_dedup": q_simhash_dedup,
         "dedup_near_docs": q_dedup_near_docs,
         # portable-hash (md5) variants: same pipelines, value-checked
         "doc_fingerprints_md5": q_doc_fingerprints_md5,

@@ -28,6 +28,7 @@ Two parts:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -51,6 +52,17 @@ HEADLINE = [
     "quality_scores",
     "pricing_summary",
     "events_hourly",
+]
+
+# Round-3 operators, timed and reported under "extra_queries" WITHOUT
+# entering the headline sum — "value" stays comparable across rounds.
+EXTRA = [
+    "pagerank_personalized",
+    "shortest_paths_bfs",
+    "simhash_dedup",
+    "lsh_topk_md5",
+    "user_sessions",
+    "triangle_count_vertex",
 ]
 
 SCALE_N = 2_000_000
@@ -77,17 +89,28 @@ def run_headline():
     spark = _new_spark(int(CPUS))
     qs = entrymod.queries()
     timings = {}
-    for name in HEADLINE:
+    extra = {}
+    for name, sink in [(n, timings) for n in HEADLINE] + [
+        (n, extra) for n in EXTRA
+    ]:
         if name not in qs:  # never let a rename kill the whole bench
-            print(f"# WARNING: headline query {name} missing", file=sys.stderr)
+            print(f"# WARNING: bench query {name} missing", file=sys.stderr)
             continue
         t0 = time.monotonic()
         df = qs[name](spark, SF_DIR)
         n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        sink[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {n} rows in {sink[name]}s", file=sys.stderr)
+        # Drop the previous query's localCheckpoint blocks before the
+        # next timing: ContextCleaner reclaims them only on GC, and 18
+        # queries' worth of retained blocks measurably inflates the
+        # tail queries (triangle_count_vertex read 36s in a shared
+        # session vs 6s fresh). Cleanup time is excluded from timings.
+        del df
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     spark.stop()
-    return timings
+    return timings, extra
 
 
 def _measure_cores(cores: int) -> dict:
@@ -182,12 +205,13 @@ def _sf_of(sf_dir: str):
 
 
 def main():
-    timings = run_headline()
+    timings, extra = run_headline()
     out = {
         "metric": "headline query wall time (sum) + PageRank scaling evidence",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,  # round-3 operators, outside the sum
         "sf": _sf_of(SF_DIR),
     }
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") != "1":

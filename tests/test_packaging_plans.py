@@ -191,8 +191,8 @@ def test_driver_contract_key_consistency():
     # documented approximations may lack an oracle
     allowed_rows_only = {
         "doc_fingerprints", "minhash_bands", "minhash_dup_pairs",
-        "simhash", "simhash_near_pairs", "dedup_near_docs",
-        "pagerank_two_phase",
+        "simhash", "simhash_near_pairs", "simhash_dedup",
+        "dedup_near_docs", "pagerank_two_phase",
     }
     assert q - o == allowed_rows_only
 
