@@ -232,6 +232,81 @@ def q_shortest_paths_weighted(spark, sf_dir):
     ).orderBy("id")
 
 
+HITS_ITERS = 8
+
+
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS at fixed iterations: the hub/authority pair on
+    the canonical graph, value-checked against an unrolled
+    gather-normalize CTE chain (one authority + one hub half-step per
+    level, L2 norms hoisted into materialized scalar CTEs)."""
+    from pagerank_spark.operators.hits import hits
+
+    return (
+        hits(_edges(spark, sf_dir), max_iter=HITS_ITERS)
+        .select(
+            "id",
+            F.round("hub", 7).alias("hub"),
+            F.round("authority", 7).alias("authority"),
+        )
+        .orderBy("id")
+    )
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Per-vertex clustering coefficient (closed-wedge fraction) —
+    reuses the degree-oriented triangle join plus the degree table."""
+    from pagerank_spark.operators.triangles import clustering_coefficient
+
+    return (
+        clustering_coefficient(_edges(spark, sf_dir))
+        .select("id", F.round("coeff", 7).alias("coeff"))
+        .orderBy("id")
+    )
+
+
+def q_clustering_global(spark, sf_dir):
+    """Global transitivity 3·T / wedges, one row."""
+    from pagerank_spark.operators.triangles import clustering_coefficient
+
+    return clustering_coefficient(
+        _edges(spark, sf_dir), per_vertex=False
+    ).select(F.round("coeff", 7).alias("coeff"))
+
+
+def q_degree_histogram(spark, sf_dir):
+    from pagerank_spark.operators.degrees import degree_histogram
+
+    return degree_histogram(_edges(spark, sf_dir)).orderBy("degree")
+
+
+def q_reciprocity(spark, sf_dir):
+    from pagerank_spark.operators.degrees import reciprocity
+
+    return reciprocity(_edges(spark, sf_dir))
+
+
+KCORE_K = 15
+KCORE_SQL_ROUNDS = 6
+
+
+def q_k_core_repo(spark, sf_dir):
+    """k-core of the corpus repo graph: k=15 peels 8 of the 40 repos
+    across 2 rounds (a genuinely cascading peel — the canonical
+    lineitem graph is near-regular and collapses all-or-nothing). The
+    oracle unrolls KCORE_SQL_ROUNDS peel rounds; extra rounds are
+    no-ops at the fixpoint, so the unroll depth only needs to be >=
+    the actual round count, not equal."""
+    from pagerank_spark.operators.cores import k_core
+    from pagerank_spark.operators.derive import derive_edges
+
+    edges = derive_edges(_arith_corpus(spark)).select(
+        F.split("src", "-").getItem(1).cast("long").alias("src"),
+        F.split("dst", "-").getItem(1).cast("long").alias("dst"),
+    )
+    return k_core(edges, KCORE_K).orderBy("id")
+
+
 def q_pagerank_fixed_join(spark, sf_dir):
     """The co-partitioned join strategy (the n > 2^26 production path)
     against the SAME unrolled-CTE oracle as the blocks/local path —
@@ -944,6 +1019,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_vertex": q_triangle_count_vertex,
         "shortest_paths_bfs": q_shortest_paths_bfs,
         "shortest_paths_weighted": q_shortest_paths_weighted,
+        "hits": q_hits,
+        "clustering_coeff": q_clustering_coeff,
+        "clustering_global": q_clustering_global,
+        "degree_histogram": q_degree_histogram,
+        "reciprocity": q_reciprocity,
+        "k_core_repo": q_k_core_repo,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -1084,6 +1165,113 @@ def _pr_cte_sql(
 def _pagerank_fixed_sql() -> str:
     """Unrolled power iteration: r0..r{K} as a chained CTE (leak mode)."""
     return _pr_cte_sql(_EDGES_SQL, PR_FIXED_ITERS)
+
+
+def _hits_sql(edges_sql: str, iters: int) -> str:
+    """Unrolled HITS: per level one authority gather + L2 normalize,
+    then one hub gather + L2 normalize; norms hoisted into MATERIALIZED
+    scalar CTEs (a scalar subquery inside the per-row select would
+    defeat DuckDB's hoisting, same caveat as the personalized-PR
+    oracle). Duplicate edges count with multiplicity, as in the
+    engine."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "v AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        "h0 AS (SELECT id, 1.0 AS hub FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            f"a{k}r AS (SELECT v.id, coalesce(s.s, 0) AS s FROM v LEFT JOIN "
+            f"(SELECT e.dst AS id, sum(h.hub) AS s FROM eg e "
+            f"JOIN h{k-1} h ON e.src = h.id GROUP BY e.dst) s USING (id)),",
+            f"a{k}n AS MATERIALIZED (SELECT sqrt(sum(s*s)) AS nrm FROM a{k}r),",
+            f"a{k} AS MATERIALIZED (SELECT id, s / (CASE WHEN "
+            f"(SELECT nrm FROM a{k}n) > 0 THEN (SELECT nrm FROM a{k}n) "
+            f"ELSE 1.0 END) AS authority FROM a{k}r),",
+            f"h{k}r AS (SELECT v.id, coalesce(s.s, 0) AS s FROM v LEFT JOIN "
+            f"(SELECT e.src AS id, sum(a.authority) AS s FROM eg e "
+            f"JOIN a{k} a ON e.dst = a.id GROUP BY e.src) s USING (id)),",
+            f"h{k}n AS MATERIALIZED (SELECT sqrt(sum(s*s)) AS nrm FROM h{k}r),",
+            f"h{k} AS MATERIALIZED (SELECT id, s / (CASE WHEN "
+            f"(SELECT nrm FROM h{k}n) > 0 THEN (SELECT nrm FROM h{k}n) "
+            f"ELSE 1.0 END) AS hub FROM h{k}r),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT h.id, round(h.hub, 7) AS hub, "
+        f"round(a.authority, 7) AS authority "
+        f"FROM h{iters} h JOIN a{iters} a USING (id) ORDER BY h.id"
+    )
+    return "\n".join(parts)
+
+
+# shared CTE prefix: simple undirected edge set + its degree table
+_SIMPLE_DEG_SQL = (
+    "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+    "greatest(src, dst) AS b FROM eg WHERE src <> dst), "
+    "deg AS (SELECT id, count(*) AS d FROM (SELECT a AS id FROM simple "
+    "UNION ALL SELECT b FROM simple) GROUP BY id)"
+)
+
+# degree-oriented triangle corner triples over simple+deg
+_TRI_SQL = (
+    "o AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b) "
+    "THEN s.a ELSE s.b END AS u, "
+    "CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b) "
+    "THEN s.b ELSE s.a END AS v "
+    "FROM simple s JOIN deg da ON s.a = da.id JOIN deg db ON s.b = db.id), "
+    "tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM o e1 "
+    "JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)"
+)
+
+
+def _clustering_sql(edges_sql: str, per_vertex: bool) -> str:
+    head = f"WITH eg AS ({edges_sql}), {_SIMPLE_DEG_SQL}, {_TRI_SQL}, "
+    if per_vertex:
+        return head + (
+            "tc AS (SELECT id, count(*) AS t FROM (SELECT x AS id FROM tr "
+            "UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr) "
+            "GROUP BY id) "
+            "SELECT deg.id, round(CASE WHEN deg.d >= 2 THEN "
+            "2.0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1)) "
+            "ELSE 0.0 END, 7) AS coeff "
+            "FROM deg LEFT JOIN tc USING (id) ORDER BY deg.id"
+        )
+    return head + (
+        "tot AS (SELECT count(*) AS t FROM tr), "
+        "wg AS (SELECT sum(d * (d - 1)) / 2 AS w FROM deg) "
+        "SELECT round(CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0.0 END, 7) "
+        "AS coeff FROM tot, wg"
+    )
+
+
+def _kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Unrolled peel: extra rounds past the fixpoint are no-ops, so
+    ``rounds`` only needs to be >= the actual peel depth."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "e0 AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+    ]
+    # MATERIALIZED is load-bearing: each round references the previous
+    # edge CTE twice (degree count + induced filter) and the vertex CTE
+    # twice; inlining would expand the chain 3^rounds-fold.
+    for r in range(1, rounds + 1):
+        parts += [
+            f"v{r} AS MATERIALIZED (SELECT id FROM "
+            f"(SELECT a AS id FROM e{r-1} "
+            f"UNION ALL SELECT b FROM e{r-1}) GROUP BY id "
+            f"HAVING count(*) >= {k}),",
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r-1} e "
+            f"JOIN v{r} x ON e.a = x.id JOIN v{r} y ON e.b = y.id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT DISTINCT id FROM (SELECT a AS id FROM e{rounds} "
+        f"UNION ALL SELECT b FROM e{rounds}) ORDER BY id"
+    )
+    return "\n".join(parts)
 
 
 # The converged-PageRank oracle: the iteration count to eps=1e-4 is a
@@ -1531,6 +1719,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
+        "hits": _hits_sql(_EDGES_SQL, HITS_ITERS),
+        "clustering_coeff": _clustering_sql(eg, per_vertex=True),
+        "clustering_global": _clustering_sql(eg, per_vertex=False),
+        "degree_histogram": (
+            f"WITH eg AS ({eg}), t AS (SELECT id, count(*) AS degree FROM "
+            "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg) "
+            "GROUP BY id) SELECT degree, count(*) AS n_vertices FROM t "
+            "GROUP BY degree ORDER BY degree"
+        ),
+        "reciprocity": (
+            f"WITH eg AS ({eg}), d AS (SELECT DISTINCT src, dst FROM eg "
+            "WHERE src <> dst) "
+            "SELECT CASE WHEN (SELECT count(*) FROM d) > 0 THEN "
+            "CAST((SELECT count(*) FROM d a JOIN d b "
+            "ON a.src = b.dst AND a.dst = b.src) AS DOUBLE) "
+            "/ (SELECT count(*) FROM d) ELSE 0.0 END AS reciprocity"
+        ),
+        "k_core_repo": _kcore_sql(
+            _corpus_edges_sql(as_ids=True), KCORE_K, KCORE_SQL_ROUNDS
+        ),
         "shortest_paths_bfs": _sssp_sql(_EDGES_SQL),
         "shortest_paths_weighted": _sssp_sql(_W_EDGES_SQL, weighted=True),
         "triangle_count": (

@@ -63,6 +63,9 @@ EXTRA = [
     "lsh_topk_md5",
     "user_sessions",
     "triangle_count_vertex",
+    "hits",
+    "clustering_coeff",
+    "k_core_repo",
 ]
 
 SCALE_N = 2_000_000

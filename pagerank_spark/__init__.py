@@ -22,11 +22,22 @@ from pagerank_spark.session import get_spark
 from pagerank_spark.sources.snap import read_snap_edges
 from pagerank_spark.sources.tables import read_corpus, read_table
 from pagerank_spark.operators.densify import densify_ids
-from pagerank_spark.operators.degrees import degrees, in_degrees, out_degrees
+from pagerank_spark.operators.degrees import (
+    degree_histogram,
+    degrees,
+    in_degrees,
+    out_degrees,
+    reciprocity,
+)
+from pagerank_spark.operators.cores import k_core
+from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
-from pagerank_spark.operators.triangles import triangle_count
+from pagerank_spark.operators.triangles import (
+    clustering_coefficient,
+    triangle_count,
+)
 from pagerank_spark.operators.paths import shortest_paths
 from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.dedup import (
@@ -60,13 +71,18 @@ __all__ = [
     "read_corpus",
     "densify_ids",
     "degrees",
+    "degree_histogram",
     "in_degrees",
     "out_degrees",
+    "reciprocity",
     "pagerank",
     "pagerank_two_phase",
     "connected_components",
     "label_propagation",
     "triangle_count",
+    "clustering_coefficient",
+    "k_core",
+    "hits",
     "shortest_paths",
     "derive_edges",
     "dedup_exact",

@@ -113,6 +113,21 @@ class LinkGraph:
     def personalized_pagerank(self, sources: list[int], **kwargs) -> PageRankResult:
         return self.pagerank(personalize=sources, **kwargs)
 
+    def hits(self, max_iter: int = 20, tol: float | None = None) -> DataFrame:
+        from pagerank_spark.operators.hits import hits
+
+        return hits(self.edges, max_iter=max_iter, tol=tol)
+
+    def clustering_coefficient(self, per_vertex: bool = True) -> DataFrame:
+        from pagerank_spark.operators.triangles import clustering_coefficient
+
+        return clustering_coefficient(self.edges, per_vertex=per_vertex)
+
+    def k_core(self, k: int, max_iter: int = 50) -> DataFrame:
+        from pagerank_spark.operators.cores import k_core
+
+        return k_core(self.edges, k, max_iter=max_iter)
+
     def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
         """Join a dense-id result back to original ids (post-densify)."""
         if self.mapping is None:

@@ -1,0 +1,79 @@
+"""k-core extraction by iterative peeling.
+
+Extension beyond the C reference (SURVEY.md §2.3 family): the k-core
+is the maximal subgraph of the UNDIRECTED SIMPLE graph in which every
+vertex has degree ≥ k — the standard coreness filter a link-graph
+pipeline runs before expensive per-vertex analytics (spam farms and
+leaf pages peel away; the dense core survives).
+
+Peeling is a textbook fixpoint on the ``plans.iterate`` harness: each
+round computes induced degrees (one map-side-combinable aggregate),
+drops vertices below k (two left-semi joins against the surviving
+vertex set), and stops when the edge count is stable — degrees only
+ever decrease, so a stable count IS the fixpoint, one cheap action per
+round. Lineage is truncated per round by the harness. At 100 TB each
+round is bounded shuffles over a monotonically SHRINKING edge set;
+rounds-to-fixpoint is small in practice (degenerate long-chain peels
+are bounded by ``max_iter``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.triangles import (
+    _simple_degrees,
+    _simple_undirected,
+)
+from pagerank_spark.plans.iterate import iterate
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """``DataFrame[id: long]`` — vertices of the k-core.
+
+    ``k <= 1`` returns every non-isolated vertex of the simple graph
+    (the 1-core); the 0-core additionally keeps self-loop-only
+    vertices, so ``k <= 0`` returns all vertices appearing in
+    ``edges``. An empty result (no k-core) is a valid outcome.
+    """
+    if k <= 0:
+        return (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    state = _simple_undirected(edges).localCheckpoint()
+
+    def _step(e: DataFrame, _round: int) -> DataFrame:
+        keep = _simple_degrees(e).where(F.col("deg") >= k).select("id")
+        return (
+            e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+
+    ctx = {"count": state.count()}
+
+    def _converged(_prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        c = new.count()
+        stable = c == ctx["count"]
+        ctx["count"] = c
+        return stable
+
+    final, _rounds, done = iterate(
+        state,
+        _step,
+        _converged,
+        max_iter,
+        warn=(
+            f"k_core: peeling did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds; result may contain vertices "
+            f"below the core degree"
+        ),
+    )
+    return (
+        final.select(F.col("a").alias("id"))
+        .union(final.select(F.col("b").alias("id")))
+        .distinct()
+    )

@@ -27,6 +27,52 @@ def in_degrees(edges: DataFrame, dst: str = "dst") -> DataFrame:
     )
 
 
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """``DataFrame[degree: long, n_vertices: long]`` — distribution of
+    TOTAL degree (out + in, duplicates counted, matching ``degrees``).
+
+    Two chained aggregations, both map-side combinable; the second's
+    input is one row per vertex, so the histogram is effectively free
+    after the degree pass — the standard first look at a web-scale
+    graph (power-law check, max-degree skew estimate for salting).
+    """
+    total = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return total.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """``DataFrame[reciprocity: double]`` (one row) — the fraction of
+    distinct non-loop directed edges whose reverse edge also exists.
+
+    One self-join on the deduplicated edge set; at scale both sides
+    shuffle on (src, dst) once — there is no cheaper exact formulation
+    (reciprocity is inherently a pair lookup). 0.0 for a graph with no
+    non-loop edges.
+    """
+    d = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    both = d.join(rev, ["src", "dst"], "left_semi")
+    return both.agg(F.count(F.lit(1)).alias("_m")).crossJoin(
+        d.agg(F.count(F.lit(1)).alias("_t"))
+    ).select(
+        F.when(F.col("_t") > 0, F.col("_m") / F.col("_t"))
+        .otherwise(F.lit(0.0))
+        .alias("reciprocity")
+    )
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """``DataFrame[id, out_deg, in_deg]`` — full outer join of both sides.
 

@@ -1,0 +1,141 @@
+"""HITS (hubs & authorities) — Kleinberg's link-analysis companion to
+PageRank.
+
+Extension beyond the C reference (it computes only PageRank,
+``Page_Rank_SERIAL.c:206-279``); a link-graph engine's users expect
+the other classic eigenvector pair on the same edge table. Mutual
+recursion: a vertex is a good *authority* when good hubs point AT it,
+a good *hub* when it points at good authorities —
+
+    auth_k = normalize(Aᵀ · hub_{k-1});   hub_k = normalize(A · auth_k)
+
+with L2 normalization after each half-step (the classic formulation;
+the iteration converges to the principal singular pair of the
+adjacency matrix). Duplicate edges count with multiplicity, matching
+the engine's degree semantics (``degrees.py``).
+
+Execution model (same loop-invariant motion as LPA / shortest paths):
+the edge table is hash-partitioned and persisted ONCE per join key —
+``src`` for the authority gather, ``dst`` for the hub gather — so
+each round's two joins move only the O(V) score side (broadcast below
+2M vertices, shuffle-hash above; the cached O(E) sides never move
+again). The L2 norms are computed as broadcast scalar subframes
+inside the plan, not driver actions, so one round = one job (the
+harness's checkpoint materialization). Lineage is truncated per round
+by ``plans.iterate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.plans.iterate import iterate
+
+
+def _l2_normalized(scores: DataFrame, col: str) -> DataFrame:
+    """Divide ``col`` by its L2 norm via a broadcast scalar subframe
+    (stays inside the plan — no driver action per round). An all-zero
+    vector (possible only on a degenerate graph) is left unchanged."""
+    nrm = scores.agg(
+        F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm")
+    )
+    return scores.crossJoin(F.broadcast(nrm)).select(
+        "id",
+        (
+            F.col(col)
+            / F.when(F.col("_nrm") > 0, F.col("_nrm")).otherwise(F.lit(1.0))
+        ).alias(col),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    max_iter: int = 20,
+    tol: float | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``DataFrame[id: long, hub: double, authority: double]``.
+
+    Runs exactly ``max_iter`` rounds when ``tol`` is None (the
+    fixed-iteration form an external oracle can replay); with ``tol``
+    set, stops early once the L1 delta of both score vectors drops
+    below it (one extra comparison join per round).
+    """
+    spark = edges.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst")
+    # one persisted copy per join key: each gather's fat side is
+    # exchange-free every round (persist keeps the partitioning
+    # visible to the planner; localCheckpoint would drop it)
+    e_src = e.repartition(P, "src").persist()
+    e_dst = e.repartition(P, "dst").persist()
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = vertices.count()
+    join_hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
+
+    def _step(state: DataFrame, _round: int) -> DataFrame:
+        a_raw = (
+            e_src.join(
+                state.select(F.col("id").alias("src"), "hub").hint(join_hint),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        a_full = vertices.join(a_raw, "id", "left").select(
+            "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
+        )
+        auth = _l2_normalized(a_full, "authority")
+        h_raw = (
+            e_dst.join(
+                auth.select(F.col("id").alias("dst"), "authority").hint(
+                    join_hint
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        h_full = vertices.join(h_raw, "id", "left").select(
+            "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
+        )
+        hub = _l2_normalized(h_full, "hub")
+        return hub.join(auth, "id")
+
+    if tol is None:
+        _converged = lambda _p, _n, _r: False  # noqa: E731 — run all rounds
+    else:
+
+        def _converged(prev: DataFrame, new: DataFrame, _round: int) -> bool:
+            delta = (
+                new.join(
+                    prev.select(
+                        "id",
+                        F.col("hub").alias("_ph"),
+                        F.col("authority").alias("_pa"),
+                    ),
+                    "id",
+                )
+                .agg(
+                    F.sum(
+                        F.abs(F.col("hub") - F.col("_ph"))
+                        + F.abs(F.col("authority") - F.col("_pa"))
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            return delta is not None and delta < tol
+
+    init = vertices.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+    state, _rounds, _done = iterate(init, _step, _converged, max_iter)
+    e_src.unpersist()
+    e_dst.unpersist()
+    return state.select("id", "hub", "authority")

@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _oriented_simple(edges: DataFrame) -> DataFrame:
-    simple = (
+def _simple_undirected(edges: DataFrame) -> DataFrame:
+    """``(a, b)`` with a < b — the distinct simple undirected edge set."""
+    return (
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
@@ -29,12 +30,19 @@ def _oriented_simple(edges: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    deg = (
+
+
+def _simple_degrees(simple: DataFrame) -> DataFrame:
+    """``(id, deg)`` — neighbor counts of the simple undirected graph."""
+    return (
         simple.select(F.col("a").alias("id"))
         .union(simple.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _orient(simple: DataFrame, deg: DataFrame) -> DataFrame:
     # Orient low (deg, id) -> high (deg, id): total order, no 2-cycles.
     return (
         simple.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
@@ -52,10 +60,14 @@ def _oriented_simple(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
-    """Total triangle count (``DataFrame[triangles: long]``, one row),
-    or per-vertex corner counts (``DataFrame[id, triangles]``)."""
-    o = _oriented_simple(edges).localCheckpoint()
+def _oriented_simple(edges: DataFrame) -> DataFrame:
+    simple = _simple_undirected(edges)
+    return _orient(simple, _simple_degrees(simple))
+
+
+def _triangles(o: DataFrame) -> DataFrame:
+    """``(x, y, z)`` triangle corner triples from a (checkpointed)
+    degree-oriented edge table: wedge self-join + closing-edge join."""
     wedges = o.alias("e1").join(
         o.alias("e2"), F.col("e1.v") == F.col("e2.u")
     ).select(
@@ -63,15 +75,71 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
         F.col("e1.v").alias("y"),
         F.col("e2.v").alias("z"),
     )
-    tris = wedges.join(
+    return wedges.join(
         o.select(F.col("u").alias("x"), F.col("v").alias("z")), ["x", "z"]
     )
+
+
+def _corner_counts(tris: DataFrame) -> DataFrame:
+    """``(id, triangles)`` per corner. ONE scan of the triangle join: a
+    3-branch union would recompute the two self-joins once per corner
+    position (measured 2.2x slower at sf0.1); explode emits the three
+    corners per triangle in place."""
+    corners = tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
+    """Total triangle count (``DataFrame[triangles: long]``, one row),
+    or per-vertex corner counts (``DataFrame[id, triangles]``)."""
+    o = _oriented_simple(edges).localCheckpoint()
+    tris = _triangles(o)
     if not per_vertex:
         return tris.agg(F.count(F.lit(1)).alias("triangles"))
-    # ONE scan of the triangle join: a 3-branch union would recompute
-    # the two self-joins once per corner position (measured 2.2x slower
-    # at sf0.1); explode emits the three corners per triangle in place.
-    corners = tris.select(
-        F.explode(F.array("x", "y", "z")).alias("id")
+    return _corner_counts(tris)
+
+
+def clustering_coefficient(
+    edges: DataFrame, per_vertex: bool = True
+) -> DataFrame:
+    """Clustering coefficient of the undirected simple graph.
+
+    Per-vertex (``DataFrame[id, coeff]``): closed-wedge fraction
+    ``2·T(v) / (deg(v)·(deg(v)−1))``, 0.0 for degree-<2 vertices;
+    every vertex of the simple graph gets a row. Global
+    (``DataFrame[coeff]``, one row): transitivity ``3·T / W`` with
+    ``W = Σ deg·(deg−1)/2`` open+closed wedges (0.0 on a wedgeless
+    graph).
+
+    Shares the degree-oriented triangle join with ``triangle_count``;
+    the degree table is reused for the denominator, so the only extra
+    work over a triangle count is one broadcast-size join.
+    """
+    simple = _simple_undirected(edges)
+    deg = _simple_degrees(simple).localCheckpoint()
+    o = _orient(simple, deg).localCheckpoint()
+    tris = _triangles(o)
+    if per_vertex:
+        return (
+            deg.join(_corner_counts(tris), "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("coeff"),
+            )
+        )
+    total = tris.agg(F.count(F.lit(1)).alias("t"))
+    wedges = deg.agg(
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).alias("w")
     )
-    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return total.crossJoin(wedges).select(
+        F.when(F.col("w") > 0, 3.0 * F.col("t") / F.col("w"))
+        .otherwise(F.lit(0.0))
+        .alias("coeff")
+    )

@@ -259,3 +259,125 @@ def test_cc_local_and_stars_paths_agree(spark):
              connected_components(neg, mode="stars").collect()}
     assert loc == stars == {(-5, -9), (-9, -9), (3, -9), (7, 7)}
     e.unpersist()
+
+
+def test_hits_matches_numpy_oracle(spark):
+    """Random multigraph (duplicate edges kept) vs a dense NumPy HITS."""
+    rng = np.random.RandomState(17)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 40, size=(200, 2))]
+    from pagerank_spark.operators.hits import hits
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits(e, max_iter=6).collect()
+    }
+    ids = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d in pairs:
+        A[idx[s], idx[d]] += 1
+    h = np.ones(len(ids))
+    for _ in range(6):
+        a = A.T @ h
+        na = np.sqrt((a * a).sum())
+        a = a / na if na > 0 else a
+        h = A @ a
+        nh = np.sqrt((h * h).sum())
+        h = h / nh if nh > 0 else h
+    assert all(
+        abs(got[v][0] - h[idx[v]]) < 1e-9 and abs(got[v][1] - a[idx[v]]) < 1e-9
+        for v in ids
+    )
+
+
+def test_clustering_coefficient_vs_combinatorial_oracle(spark):
+    import itertools
+
+    from pagerank_spark.operators.triangles import clustering_coefficient
+
+    rng = np.random.RandomState(9)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 20, size=(80, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["id"]: r["coeff"] for r in clustering_coefficient(e).collect()}
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    for v, nb in adj.items():
+        d = len(nb)
+        want = (
+            0.0
+            if d < 2
+            else 2.0
+            * sum(
+                1
+                for x, y in itertools.combinations(nb, 2)
+                if y in adj.get(x, ())
+            )
+            / (d * (d - 1))
+        )
+        assert abs(got[v] - want) < 1e-12, v
+    g = clustering_coefficient(e, per_vertex=False).collect()[0]["coeff"]
+    T = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    W = sum(len(nb) * (len(nb) - 1) // 2 for nb in adj.values())
+    assert abs(g - 3.0 * T / W) < 1e-12
+
+
+def test_k_core_vs_peeling_oracle(spark):
+    from pagerank_spark.operators.cores import k_core
+
+    rng = np.random.RandomState(4)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 30, size=(120, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+
+    def oracle(k):
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        while True:
+            drop = [v for v in adj if len(adj[v]) < k]
+            if not drop:
+                return set(adj)
+            for v in drop:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+
+    for k in (2, 4, 6):
+        got = {r["id"] for r in k_core(e, k).collect()}
+        assert got == oracle(k), k
+    # k=0 keeps self-loop-only vertices too
+    loop = spark.createDataFrame([(1, 2), (5, 5)], "src long, dst long")
+    assert {r["id"] for r in k_core(loop, 0).collect()} == {1, 2, 5}
+    assert {r["id"] for r in k_core(loop, 1).collect()} == {1, 2}
+
+
+def test_degree_histogram_and_reciprocity(spark):
+    from collections import Counter
+
+    from pagerank_spark.operators.degrees import (
+        degree_histogram,
+        reciprocity,
+    )
+
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 3), (0, 1)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["degree"]: r["n_vertices"] for r in degree_histogram(e).collect()
+    }
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    assert got == dict(Counter(deg.values()))
+    # distinct non-loop edges: (0,1),(1,0),(1,2),(2,3); reciprocal: 2
+    r = reciprocity(e).collect()[0]["reciprocity"]
+    assert abs(r - 0.5) < 1e-12
