@@ -307,6 +307,69 @@ def q_k_core_repo(spark, sf_dir):
     return k_core(edges, KCORE_K).orderBy("id")
 
 
+LINKPRED_MIN_COMMON = 60
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbors / Jaccard / Adamic-Adar scores for non-adjacent
+    pairs (min_common=60 keeps the gate result ~6k rows on the dense
+    canonical graph; the operator itself streams any size)."""
+    from pagerank_spark.operators.linkpred import link_prediction
+
+    return (
+        link_prediction(_edges(spark, sf_dir), min_common=LINKPRED_MIN_COMMON)
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round("jaccard", 7).alias("jaccard"),
+            F.round("adamic_adar", 7).alias("adamic_adar"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+SAMPLE_FRACTION = 0.25
+SAMPLE_SEED = 7
+
+
+def q_sample_edges_md5(spark, sf_dir):
+    """Deterministic content-hash Bernoulli edge sample — md5 twin of
+    the xxhash64 production path (identical plan, portable hash)."""
+    from pagerank_spark.operators.sampling import sample_edges
+
+    return sample_edges(
+        _edges(spark, sf_dir), SAMPLE_FRACTION, seed=SAMPLE_SEED,
+        hash_fn="md5",
+    ).orderBy("src", "dst")
+
+
+def q_sample_vertices_md5(spark, sf_dir):
+    """Vertex-induced subgraph sample (both endpoints hashed in)."""
+    from pagerank_spark.operators.sampling import sample_vertices_induced
+
+    return sample_vertices_induced(
+        _edges(spark, sf_dir), 0.5, seed=SAMPLE_SEED, hash_fn="md5"
+    ).orderBy("src", "dst")
+
+
+WALK_LEN = 4
+WALKS_PER_VERTEX = 2
+WALK_SEED = 11
+
+
+def q_random_walks_md5(spark, sf_dir):
+    """Deterministic hash-seeded random walks (DeepWalk-style training
+    sequences); md5 twin of the xxhash64 production path — the oracle
+    replays every argmin step as an unrolled CTE."""
+    from pagerank_spark.operators.walks import random_walks
+
+    return random_walks(
+        _edges(spark, sf_dir), WALK_LEN, WALKS_PER_VERTEX,
+        seed=WALK_SEED, hash_fn="md5",
+    ).orderBy("walk_id", "step")
+
+
 def q_pagerank_fixed_join(spark, sf_dir):
     """The co-partitioned join strategy (the n > 2^26 production path)
     against the SAME unrolled-CTE oracle as the blocks/local path —
@@ -1025,6 +1088,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "reciprocity": q_reciprocity,
         "k_core_repo": q_k_core_repo,
+        "link_prediction": q_link_prediction,
+        "sample_edges_md5": q_sample_edges_md5,
+        "sample_vertices_md5": q_sample_vertices_md5,
+        "random_walks_md5": q_random_walks_md5,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -1244,6 +1311,45 @@ def _clustering_sql(edges_sql: str, per_vertex: bool) -> str:
         "SELECT round(CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0.0 END, 7) "
         "AS coeff FROM tot, wg"
     )
+
+
+def _walks_sql(edges_sql: str, length: int, wpv: int, seed: int) -> str:
+    """Unrolled deterministic-walk oracle: per step one candidate CTE
+    (frontier ⋈ edges with the md5 step hash), a per-walk min-hash CTE,
+    and the argmin frontier (min dst at the min hash — the exact
+    (hash, dst) struct-min the engine computes)."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "v AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        f"s0 AS MATERIALIZED (SELECT v.id * {wpv} + t.k AS walk_id, "
+        f"v.id AS cur FROM v CROSS JOIN "
+        f"(SELECT unnest(range(0, {wpv})) AS k) t),",
+    ]
+    for t in range(1, length + 1):
+        key = (
+            f"CAST(s.walk_id AS VARCHAR) || ':{t}:' || "
+            f"CAST(e.dst AS VARCHAR) || ':{seed}'"
+        )
+        h = _MD5H.format(x=key)
+        parts += [
+            f"c{t} AS (SELECT s.walk_id, e.dst, {h} AS h "
+            f"FROM s{t-1} s JOIN eg e ON e.src = s.cur),",
+            f"m{t} AS (SELECT walk_id, min(h) AS mh FROM c{t} "
+            f"GROUP BY walk_id),",
+            f"s{t} AS MATERIALIZED (SELECT c.walk_id, min(c.dst) AS cur "
+            f"FROM c{t} c JOIN m{t} m "
+            f"ON c.walk_id = m.walk_id AND c.h = m.mh GROUP BY c.walk_id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        " UNION ALL ".join(
+            f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+            for t in range(0, length + 1)
+        )
+        + " ORDER BY walk_id, step"
+    )
+    return "\n".join(parts)
 
 
 def _kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
@@ -1738,6 +1844,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         "k_core_repo": _kcore_sql(
             _corpus_edges_sql(as_ids=True), KCORE_K, KCORE_SQL_ROUNDS
+        ),
+        "link_prediction": (
+            f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "
+            "sym AS (SELECT a AS u, b AS v FROM simple "
+            "UNION ALL SELECT b, a FROM simple), "
+            "wdg AS (SELECT l.u AS a, r.v AS b, 1.0 / ln(d.d) AS aa_w "
+            "FROM sym l JOIN sym r ON l.v = r.u "
+            "JOIN deg d ON d.id = l.v WHERE l.u < r.v), "
+            "sc AS (SELECT a, b, count(*) AS common, sum(aa_w) AS aa "
+            "FROM wdg GROUP BY a, b), "
+            "na AS (SELECT sc.* FROM sc LEFT JOIN simple s "
+            "ON sc.a = s.a AND sc.b = s.b WHERE s.a IS NULL) "
+            "SELECT na.a, na.b, common, "
+            "round(CAST(common AS DOUBLE) / (da.d + db.d - common), 7) "
+            "AS jaccard, round(aa, 7) AS adamic_adar "
+            "FROM na JOIN deg da ON na.a = da.id "
+            "JOIN deg db ON na.b = db.id "
+            f"WHERE common >= {LINKPRED_MIN_COMMON} ORDER BY na.a, na.b"
+        ),
+        "sample_edges_md5": (
+            f"WITH eg AS ({eg}) SELECT src, dst FROM eg WHERE "
+            + _MD5H.format(
+                x="CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR) "
+                f"|| ':{SAMPLE_SEED}'"
+            )
+            + f" % 1048576 < {int(round(SAMPLE_FRACTION * 1048576))} "
+            "ORDER BY src, dst"
+        ),
+        "sample_vertices_md5": (
+            f"WITH eg AS ({eg}) SELECT src, dst FROM eg WHERE "
+            + _MD5H.format(x=f"CAST(src AS VARCHAR) || ':{SAMPLE_SEED}'")
+            + f" % 1048576 < {int(round(0.5 * 1048576))} AND "
+            + _MD5H.format(x=f"CAST(dst AS VARCHAR) || ':{SAMPLE_SEED}'")
+            + f" % 1048576 < {int(round(0.5 * 1048576))} "
+            "ORDER BY src, dst"
+        ),
+        "random_walks_md5": _walks_sql(
+            eg, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED
         ),
         "shortest_paths_bfs": _sssp_sql(_EDGES_SQL),
         "shortest_paths_weighted": _sssp_sql(_W_EDGES_SQL, weighted=True),

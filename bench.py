@@ -66,6 +66,7 @@ EXTRA = [
     "hits",
     "clustering_coeff",
     "k_core_repo",
+    "link_prediction",
 ]
 
 SCALE_N = 2_000_000

@@ -31,6 +31,12 @@ from pagerank_spark.operators.degrees import (
 )
 from pagerank_spark.operators.cores import k_core
 from pagerank_spark.operators.hits import hits
+from pagerank_spark.operators.linkpred import link_prediction
+from pagerank_spark.operators.sampling import (
+    sample_edges,
+    sample_vertices_induced,
+)
+from pagerank_spark.operators.walks import random_walks
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
@@ -83,6 +89,10 @@ __all__ = [
     "clustering_coefficient",
     "k_core",
     "hits",
+    "link_prediction",
+    "random_walks",
+    "sample_edges",
+    "sample_vertices_induced",
     "shortest_paths",
     "derive_edges",
     "dedup_exact",

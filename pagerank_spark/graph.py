@@ -128,6 +128,33 @@ class LinkGraph:
 
         return k_core(self.edges, k, max_iter=max_iter)
 
+    def link_prediction(
+        self, min_common: int = 1, max_degree: int | None = None
+    ) -> DataFrame:
+        from pagerank_spark.operators.linkpred import link_prediction
+
+        return link_prediction(
+            self.edges, min_common=min_common, max_degree=max_degree
+        )
+
+    def random_walks(
+        self, length: int, walks_per_vertex: int = 1, seed: int = 42
+    ) -> DataFrame:
+        from pagerank_spark.operators.walks import random_walks
+
+        return random_walks(
+            self.edges, length, walks_per_vertex=walks_per_vertex, seed=seed
+        )
+
+    def sample_edges(self, fraction: float, seed: int = 42) -> "LinkGraph":
+        from pagerank_spark.operators.sampling import sample_edges
+
+        return LinkGraph(
+            sample_edges(self.edges, fraction, seed=seed),
+            mapping=self.mapping,
+            weight_col=self.weight_col,
+        )
+
     def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
         """Join a dense-id result back to original ids (post-densify)."""
         if self.mapping is None:

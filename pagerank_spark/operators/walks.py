@@ -1,0 +1,98 @@
+"""Deterministic random walks for embedding / graph-ML training data.
+
+Extension beyond the C reference (SURVEY.md §2.3 family): DeepWalk /
+node2vec-style pipelines consume fixed-length random walks as training
+sequences. At 100 TB a walk generator must be REPRODUCIBLE — the same
+corpus must yield the same walks on every rerun and partitioning — so
+the "random" next-step choice is a pure hash argmin, not an RNG state:
+
+    next(walk, t) = argmin_{(cur→d) ∈ E} hash(walk_id : t : d : seed)
+
+Each step is one frontier ⋈ edges join plus a struct-min aggregate
+(the (hash, dst) pair makes ties impossible to matter), run on the
+``plans.iterate`` harness with the edge table hash-partitioned and
+persisted once — per step only the O(walks) frontier moves. Walks
+stop early at vertices with no out-edges (the frontier row simply
+disappears), mirroring a directed dead end.
+
+``hash_fn="md5"`` makes the whole trajectory ANSI-replayable (the
+driver gate's oracle unrolls one argmin CTE per step); xxhash64 is the
+production default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions.text import hash64
+from pagerank_spark.plans.iterate import iterate
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``DataFrame[walk_id: long, step: int, vertex: long]`` — one row
+    per visited position; ``walk_id = start_vertex * walks_per_vertex
+    + w`` for w in [0, walks_per_vertex). Step 0 is the start vertex;
+    a walk that hits an out-edge-less vertex emits no further rows.
+    """
+    if length < 0 or walks_per_vertex < 1:
+        raise ValueError("length must be >= 0, walks_per_vertex >= 1")
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").repartition(P, "src").persist()
+
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    W = walks_per_vertex
+    frontier = vertices.crossJoin(
+        spark.range(W).select(F.col("id").alias("_w"))
+    ).select(
+        (F.col("id") * W + F.col("_w")).alias("walk_id"),
+        F.col("id").alias("vertex"),
+    ).localCheckpoint()
+
+    steps = [frontier.select("walk_id", F.lit(0).alias("step"), "vertex")]
+
+    def _step(fr: DataFrame, t: int) -> DataFrame:
+        cand = e.join(
+            fr.select(F.col("vertex").alias("src"), "walk_id"), "src"
+        ).select(
+            "walk_id",
+            F.struct(
+                hash64(
+                    F.concat_ws(
+                        ":",
+                        F.col("walk_id"),
+                        F.lit(str(t)),
+                        F.col("dst"),
+                        F.lit(str(seed)),
+                    ),
+                    hash_fn,
+                ).alias("h"),
+                F.col("dst").alias("v"),
+            ).alias("hv"),
+        )
+        return cand.groupBy("walk_id").agg(F.min("hv").alias("hv")).select(
+            "walk_id", F.col("hv.v").alias("vertex")
+        )
+
+    def _collect_step(_prev: DataFrame, new: DataFrame, t: int) -> bool:
+        steps.append(new.select("walk_id", F.lit(t).alias("step"), "vertex"))
+        return new.isEmpty()  # all walks dead-ended — stop early
+
+    if length > 0:
+        iterate(frontier, _step, _collect_step, length)
+    e.unpersist()
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -381,3 +381,133 @@ def test_degree_histogram_and_reciprocity(spark):
     # distinct non-loop edges: (0,1),(1,0),(1,2),(2,3); reciprocal: 2
     r = reciprocity(e).collect()[0]["reciprocity"]
     assert abs(r - 0.5) < 1e-12
+
+
+def test_link_prediction_vs_bruteforce(spark):
+    import itertools
+    import math
+
+    from pagerank_spark.operators.linkpred import link_prediction
+
+    rng = np.random.RandomState(12)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 25, size=(90, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction(e).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if v in adj[u]:
+            continue
+        cn = adj[u] & adj[v]
+        if not cn:
+            continue
+        want[(u, v)] = (
+            len(cn),
+            len(cn) / len(adj[u] | adj[v]),
+            sum(1.0 / math.log(len(adj[w])) for w in cn),
+        )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-12, k
+        assert abs(got[k][2] - want[k][2]) < 1e-9, k
+
+
+def test_link_prediction_max_degree_cap(spark):
+    """Capped centers generate no wedges: a star's leaves lose their
+    hub-mediated candidates once the hub degree exceeds the cap."""
+    from pagerank_spark.operators.linkpred import link_prediction
+
+    star = [(0, i) for i in range(1, 6)]  # hub 0, leaves 1..5
+    e = spark.createDataFrame(star, "src long, dst long")
+    full = link_prediction(e).count()
+    assert full == 10  # C(5,2) leaf pairs share hub 0
+    assert link_prediction(e, max_degree=4).count() == 0
+
+
+def test_sampling_deterministic_and_consistent(spark):
+    from pagerank_spark.operators.sampling import (
+        sample_edges,
+        sample_vertices_induced,
+    )
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=200, e=3000, seed=2).cache()
+    for fn in ("xxhash64", "md5"):
+        s1 = {(r["src"], r["dst"]) for r in
+              sample_edges(e, 0.3, seed=5, hash_fn=fn).collect()}
+        s2 = {(r["src"], r["dst"]) for r in
+              sample_edges(e, 0.3, seed=5, hash_fn=fn).collect()}
+        assert s1 == s2 and s1  # deterministic, non-empty
+        total = {(r["src"], r["dst"]) for r in e.collect()}
+        assert s1 <= total
+        assert 0.15 < len(s1) / len(total) < 0.45  # ~fraction
+        # different seed -> different sample
+        s3 = {(r["src"], r["dst"]) for r in
+              sample_edges(e, 0.3, seed=6, hash_fn=fn).collect()}
+        assert s1 != s3
+        # fraction bounds enforced
+        assert sample_edges(e, 0.0, hash_fn=fn).count() == 0
+        assert sample_edges(e, 1.0, hash_fn=fn).count() == e.count()
+        # vertex-induced: per-vertex all-or-nothing on BOTH endpoints
+        vi = sample_vertices_induced(e, 0.5, seed=3, hash_fn=fn)
+        kept_v = {x for r in vi.collect() for x in (r["src"], r["dst"])}
+        dropped = total - {(r["src"], r["dst"]) for r in vi.collect()}
+        # any dropped edge must have an endpoint outside the kept set OR
+        # an endpoint never appearing in any kept edge
+        for s, d in dropped:
+            assert s not in kept_v or d not in kept_v
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_edges(e, 1.5).count()
+    e.unpersist()
+
+
+def test_random_walks_deterministic_vs_python_oracle(spark):
+    import hashlib
+
+    from pagerank_spark.operators.walks import random_walks
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 3), (4, 0)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in random_walks(
+            e, 3, walks_per_vertex=2, seed=9, hash_fn="md5"
+        ).collect()
+    }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    want = {}
+    for v in {x for p in pairs for x in p}:
+        for w in range(2):
+            wid, cur = v * 2 + w, v
+            want[(wid, 0)] = cur
+            for t in range(1, 4):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(nbrs, key=lambda d: (h(f"{wid}:{t}:{d}:9"), d))
+                want[(wid, t)] = cur
+    assert got == want
+    # xxhash64 path: same shape, deterministic across calls
+    a1 = sorted(random_walks(e, 2, seed=5).collect())
+    a2 = sorted(random_walks(e, 2, seed=5).collect())
+    assert a1 == a2 and len(a1) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        random_walks(e, -1)
