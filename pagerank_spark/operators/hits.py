@@ -19,10 +19,11 @@ the edge table is hash-partitioned and persisted ONCE per join key —
 ``src`` for the authority gather, ``dst`` for the hub gather — so
 each round's two joins move only the O(V) score side (broadcast below
 2M vertices, shuffle-hash above; the cached O(E) sides never move
-again). The L2 norms are computed as broadcast scalar subframes
-inside the plan, not driver actions, so one round = one job (the
-harness's checkpoint materialization). Lineage is truncated per round
-by ``plans.iterate``.
+again). Each half-step is materialized once and its L2 norm applied
+as an in-plan broadcast scalar over the checkpointed rows — one job
+per half-step, two per round (see ``_l2_normalized`` for why the
+checkpoint is what prevents a 4x gather re-evaluation). Lineage stays
+O(1) because every round's leaves are the half-step checkpoints.
 """
 
 from __future__ import annotations
@@ -34,9 +35,18 @@ from pagerank_spark.plans.iterate import iterate
 
 
 def _l2_normalized(scores: DataFrame, col: str) -> DataFrame:
-    """Divide ``col`` by its L2 norm via a broadcast scalar subframe
-    (stays inside the plan — no driver action per round). An all-zero
-    vector (possible only on a degenerate graph) is left unchanged."""
+    """Materialize the half-step, then divide by its L2 norm via a
+    broadcast scalar subframe over the CHECKPOINTED rows.
+
+    The checkpoint is load-bearing: the norm agg and the consuming
+    select are two plan subtrees, and without it each would re-run the
+    whole gather join — the doubling compounds across the hub
+    half-step into ~4 gather joins per round (measured 28s for 8
+    rounds at sf0.1 vs ~9s checkpointed). With the checkpoint both
+    subtrees are in-memory scans, and keeping the norm in-plan (rather
+    than a driver collect) keeps the round at one materialization job
+    per half-step."""
+    scores = scores.localCheckpoint()
     nrm = scores.agg(
         F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm")
     )
@@ -65,11 +75,6 @@ def hits(
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst")
-    # one persisted copy per join key: each gather's fat side is
-    # exchange-free every round (persist keeps the partitioning
-    # visible to the planner; localCheckpoint would drop it)
-    e_src = e.repartition(P, "src").persist()
-    e_dst = e.repartition(P, "dst").persist()
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -78,6 +83,17 @@ def hits(
     )
     n = vertices.count()
     join_hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
+    if join_hint == "broadcast":
+        # score side replicates; a broadcast-hash join needs no fat-side
+        # partitioning, so ONE cached edge copy serves both gathers
+        e_src = e_dst = e.persist()
+    else:
+        # one persisted copy per join key: each shuffle-hash gather's
+        # fat side is exchange-free every round (persist keeps the
+        # partitioning visible to the planner; localCheckpoint would
+        # drop it)
+        e_src = e.repartition(P, "src").persist()
+        e_dst = e.repartition(P, "dst").persist()
 
     def _step(state: DataFrame, _round: int) -> DataFrame:
         a_raw = (
@@ -135,7 +151,13 @@ def hits(
     init = vertices.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
     )
-    state, _rounds, _done = iterate(init, _step, _converged, max_iter)
+    # checkpoint=False: both half-steps are already materialized inside
+    # _l2_normalized; the returned hub⋈auth join is a cheap plan over
+    # those checkpoints, and a third materialization per round would
+    # only add a job (round floors dominate at small scale)
+    state, _rounds, _done = iterate(
+        init, _step, _converged, max_iter, checkpoint=False
+    )
     e_src.unpersist()
     e_dst.unpersist()
     return state.select("id", "hub", "authority")
