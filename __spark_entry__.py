@@ -353,6 +353,46 @@ def q_sample_vertices_md5(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def _edges_sparse(spark, sf_dir):
+    """1-in-97 sparsification of the canonical graph — out-degree < 1,
+    so the SCC structure is rich (one giant component, a small cycle,
+    many singletons) instead of the dense graph's single giant SCC."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_suppkey") % 97 == 0).select(
+        (F.col("l_partkey") % N_MOD).alias("src"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias("dst"),
+    )
+
+
+_SPARSE_EDGES_SQL = (
+    f"SELECT l_partkey % {N_MOD} AS src, "
+    f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst FROM lineitem "
+    "WHERE l_suppkey % 97 = 0"
+)
+
+
+def q_scc(spark, sf_dir):
+    """SCC on the sparsified graph (auto mode -> driver Tarjan at this
+    size; the distributed coloring path is exercised by `scc_giant`
+    and pytest's random-vs-Tarjan checks)."""
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    return strongly_connected_components(
+        _edges_sparse(spark, sf_dir)
+    ).orderBy("id")
+
+
+def q_scc_giant(spark, sf_dir):
+    """SCC on the full canonical graph with the DISTRIBUTED coloring
+    path forced — the dense graph collapses to one giant component
+    plus stragglers, the one-outer-round shape of real web graphs."""
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    return strongly_connected_components(
+        _edges(spark, sf_dir), mode="coloring"
+    ).orderBy("id")
+
+
 WALK_LEN = 4
 WALKS_PER_VERTEX = 2
 WALK_SEED = 11
@@ -1092,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_edges_md5": q_sample_edges_md5,
         "sample_vertices_md5": q_sample_vertices_md5,
         "random_walks_md5": q_random_walks_md5,
+        "scc": q_scc,
+        "scc_giant": q_scc_giant,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -1350,6 +1392,25 @@ def _walks_sql(edges_sql: str, length: int, wpv: int, seed: int) -> str:
         + " ORDER BY walk_id, step"
     )
     return "\n".join(parts)
+
+
+def _scc_sql(edges_sql: str) -> str:
+    """SCC oracle by definition: recursive-CTE transitive closure, then
+    component(v) = min over {v} ∪ {w : v →* w AND w →* v}. Exact and
+    engine-independent — tractable because the gate graphs are small."""
+    return (
+        f"WITH RECURSIVE eg AS ({edges_sql}), "
+        "d AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst), "
+        "v AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)), "
+        "reach(a, b) AS (SELECT src, dst FROM d UNION "
+        "SELECT r.a, d.dst FROM reach r JOIN d ON r.b = d.src), "
+        "mutual AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 "
+        "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a) "
+        "SELECT v.id, least(v.id, coalesce(min(m.w), v.id)) AS component "
+        "FROM v LEFT JOIN mutual m ON m.v = v.id "
+        "GROUP BY v.id ORDER BY v.id"
+    )
 
 
 def _kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
@@ -1883,6 +1944,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_md5": _walks_sql(
             eg, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED
         ),
+        "scc": _scc_sql(_SPARSE_EDGES_SQL),
+        "scc_giant": _scc_sql(eg),
         "shortest_paths_bfs": _sssp_sql(_EDGES_SQL),
         "shortest_paths_weighted": _sssp_sql(_W_EDGES_SQL, weighted=True),
         "triangle_count": (

@@ -36,6 +36,7 @@ from pagerank_spark.operators.sampling import (
     sample_edges,
     sample_vertices_induced,
 )
+from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.walks import random_walks
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
@@ -84,6 +85,7 @@ __all__ = [
     "pagerank",
     "pagerank_two_phase",
     "connected_components",
+    "strongly_connected_components",
     "label_propagation",
     "triangle_count",
     "clustering_coefficient",

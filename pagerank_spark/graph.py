@@ -93,6 +93,17 @@ class LinkGraph:
     def connected_components(self, max_iter: int = 50) -> DataFrame:
         return connected_components(self.edges, max_iter=max_iter)
 
+    def strongly_connected_components(
+        self, max_iter: int = 50, mode: str = "auto"
+    ) -> DataFrame:
+        from pagerank_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        return strongly_connected_components(
+            self.edges, max_iter=max_iter, mode=mode
+        )
+
     def label_propagation(self, max_iter: int = 10) -> DataFrame:
         return label_propagation(self.edges, max_iter=max_iter)
 

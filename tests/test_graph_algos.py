@@ -511,3 +511,88 @@ def test_random_walks_deterministic_vs_python_oracle(spark):
 
     with _pytest.raises(ValueError):
         random_walks(e, -1)
+
+
+def _tarjan_oracle(pairs):
+    adj = {}
+    vs = set()
+    for a, b in pairs:
+        vs.add(a)
+        vs.add(b)
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index, low, onstk, stk, comp, cnt = {}, {}, {}, [], {}, [0]
+    for v0 in vs:
+        if v0 in index:
+            continue
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = cnt[0]
+                cnt[0] += 1
+                stk.append(v)
+                onstk[v] = True
+            descended = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                elif onstk.get(w):
+                    low[v] = min(low[v], index[w])
+            if descended:
+                continue
+            if low[v] == index[v]:
+                mem = []
+                while True:
+                    w = stk.pop()
+                    onstk[w] = False
+                    mem.append(w)
+                    if w == v:
+                        break
+                m = min(mem)
+                for w in mem:
+                    comp[w] = m
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return comp
+
+
+def test_scc_hand_graph_both_modes(spark):
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    # two cycles bridged by a DAG edge, a chain, a self-loop
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (2, 3), (5, 6), (7, 7)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    want = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6, 7: 7}
+    for mode in ("local", "coloring"):
+        got = {
+            r["id"]: r["component"]
+            for r in strongly_connected_components(e, mode=mode).collect()
+        }
+        assert got == want, mode
+
+
+def test_scc_random_vs_tarjan_distributed(spark):
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    rng = np.random.RandomState(8)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(150, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(e, mode="coloring").collect()
+    }
+    assert got == _tarjan_oracle(pairs)
+    # local path agrees
+    loc = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(e, mode="local").collect()
+    }
+    assert loc == got
