@@ -393,6 +393,21 @@ def q_scc_giant(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_double_sweep(spark, sf_dir):
+    """Diameter lower bound by double BFS sweep from vertex 0."""
+    from pagerank_spark.operators.paths import double_sweep
+
+    return double_sweep(_edges(spark, sf_dir), start=0)
+
+
+def q_graph_summary(spark, sf_dir):
+    """One-row graph profile composed from the engine's own operators;
+    every scalar is reproduced by the matching oracle CTE."""
+    from pagerank_spark.operators.summary import graph_summary
+
+    return graph_summary(_edges(spark, sf_dir))
+
+
 WALK_LEN = 4
 WALKS_PER_VERTEX = 2
 WALK_SEED = 11
@@ -1134,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_md5": q_random_walks_md5,
         "scc": q_scc,
         "scc_giant": q_scc_giant,
+        "double_sweep": q_double_sweep,
+        "graph_summary": q_graph_summary,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -1394,6 +1411,89 @@ def _walks_sql(edges_sql: str, length: int, wpv: int, seed: int) -> str:
     return "\n".join(parts)
 
 
+def _sssp_levels_sql(src_cte: str, prefix: str, rounds: int) -> str:
+    """Comma-terminated CTE chain ``{prefix}0..{prefix}{rounds}`` of
+    BFS levels seeded from the (single-row) ``src_cte`` expression."""
+    parts = [
+        f"{prefix}0 AS ({src_cte}),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"{prefix}{k} AS MATERIALIZED (SELECT id, min(dist) AS dist "
+            f"FROM (SELECT id, dist FROM {prefix}{k-1} UNION ALL "
+            f"SELECT e.dst AS id, x.dist + 1 AS dist "
+            f"FROM eg e JOIN {prefix}{k-1} x ON e.src = x.id) GROUP BY id),"
+        )
+    return "\n".join(parts)
+
+
+def _double_sweep_sql(edges_sql: str, start: int = 0) -> str:
+    r = SSSP_SQL_ROUNDS
+    return "\n".join(
+        [
+            f"WITH eg AS ({edges_sql}),",
+            _sssp_levels_sql(
+                f"SELECT CAST({start} AS BIGINT) AS id, "
+                "CAST(0 AS BIGINT) AS dist",
+                "da",
+                r,
+            ),
+            f"pk AS MATERIALIZED (SELECT id, dist FROM da{r} "
+            "ORDER BY dist DESC, id LIMIT 1),",
+            _sssp_levels_sql(
+                "SELECT id, CAST(0 AS BIGINT) AS dist FROM pk", "db", r
+            ).rstrip(","),
+            f"SELECT CAST({start} AS BIGINT) AS start, "
+            "(SELECT dist FROM pk) AS ecc_start, "
+            "(SELECT id FROM pk) AS pivot, "
+            f"(SELECT max(dist) FROM db{r}) AS diameter_lb",
+        ]
+    )
+
+
+def _summary_sql(edges_sql: str) -> str:
+    """One-row profile: every scalar from the same CTE shapes the
+    individual gates already prove bit-exact."""
+    parts = [
+        f"WITH eg AS ({edges_sql}), {_SIMPLE_DEG_SQL}, {_TRI_SQL},",
+        "vv AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        "dd AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst),",
+        "sym2 AS (SELECT a AS u, b AS v FROM simple "
+        "UNION ALL SELECT b, a FROM simple),",
+        "l0 AS (SELECT id, id AS component FROM vv),",
+    ]
+    for k in range(1, CC_SQL_ROUNDS + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, least(l.component, "
+            f"coalesce(m.ml, l.component)) AS component "
+            f"FROM l{k-1} l LEFT JOIN (SELECT s.u AS id, "
+            f"min(x.component) AS ml FROM sym2 s "
+            f"JOIN l{k-1} x ON s.v = x.id GROUP BY s.u) m USING (id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT (SELECT count(*) FROM vv) AS n_vertices, "
+        "(SELECT count(*) FROM eg) AS n_edges, "
+        "(SELECT count(*) FROM simple) AS n_simple_edges, "
+        "2.0 * (SELECT count(*) FROM simple) / "
+        "((SELECT count(*) FROM vv) * ((SELECT count(*) FROM vv) - 1)) "
+        "AS density, "
+        "(SELECT max(d) FROM deg) AS max_degree, "
+        "2.0 * (SELECT count(*) FROM simple) / (SELECT count(*) FROM vv) "
+        "AS avg_degree, "
+        "(SELECT count(*) FROM tr) AS triangles, "
+        "3.0 * (SELECT count(*) FROM tr) / "
+        "(SELECT sum(d * (d - 1)) / 2 FROM deg) AS transitivity, "
+        "CAST((SELECT count(*) FROM dd a JOIN dd b "
+        "ON a.src = b.dst AND a.dst = b.src) AS DOUBLE) "
+        "/ (SELECT count(*) FROM dd) AS reciprocity, "
+        f"(SELECT count(DISTINCT component) FROM l{CC_SQL_ROUNDS}) "
+        "AS n_components"
+    )
+    return "\n".join(parts)
+
+
 def _scc_sql(edges_sql: str) -> str:
     """SCC oracle by definition: recursive-CTE transitive closure, then
     component(v) = min over {v} ∪ {w : v →* w AND w →* v}. Exact and
@@ -1547,7 +1647,7 @@ def _cc_sql() -> str:
     ]
     for k in range(1, CC_SQL_ROUNDS + 1):
         parts.append(
-            f"l{k} AS (SELECT l.id, least(l.component, coalesce(m.ml, l.component)) AS component "
+            f"l{k} AS MATERIALIZED (SELECT l.id, least(l.component, coalesce(m.ml, l.component)) AS component "
             f"FROM l{k-1} l LEFT JOIN (SELECT s.a AS id, min(x.component) AS ml "
             f"FROM sym s JOIN l{k-1} x ON s.b = x.id GROUP BY s.a) m USING (id)),"
         )
@@ -1946,6 +2046,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scc": _scc_sql(_SPARSE_EDGES_SQL),
         "scc_giant": _scc_sql(eg),
+        "double_sweep": _double_sweep_sql(eg),
+        "graph_summary": _summary_sql(eg),
         "shortest_paths_bfs": _sssp_sql(_EDGES_SQL),
         "shortest_paths_weighted": _sssp_sql(_W_EDGES_SQL, weighted=True),
         "triangle_count": (

@@ -45,7 +45,8 @@ from pagerank_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
 )
-from pagerank_spark.operators.paths import shortest_paths
+from pagerank_spark.operators.paths import double_sweep, shortest_paths
+from pagerank_spark.operators.summary import graph_summary
 from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.dedup import (
     dedup_exact,
@@ -96,6 +97,8 @@ __all__ = [
     "sample_edges",
     "sample_vertices_induced",
     "shortest_paths",
+    "double_sweep",
+    "graph_summary",
     "derive_edges",
     "dedup_exact",
     "dedup_near",

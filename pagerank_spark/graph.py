@@ -166,6 +166,16 @@ class LinkGraph:
             weight_col=self.weight_col,
         )
 
+    def summary(self) -> DataFrame:
+        from pagerank_spark.operators.summary import graph_summary
+
+        return graph_summary(self.edges)
+
+    def double_sweep(self, start: int = 0) -> DataFrame:
+        from pagerank_spark.operators.paths import double_sweep
+
+        return double_sweep(self.edges, start=start)
+
     def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
         """Join a dense-id result back to original ids (post-densify)."""
         if self.mapping is None:

@@ -93,3 +93,32 @@ def shortest_paths(
     )
     e.unpersist()
     return out
+
+
+def double_sweep(edges: DataFrame, start: int = 0) -> DataFrame:
+    """Diameter lower bound by the classic double BFS sweep — one row:
+    ``(start, ecc_start, pivot, diameter_lb)``.
+
+    Sweep 1 from ``start`` finds its eccentricity over REACHED vertices
+    and the farthest vertex (ties → min id, deterministic); sweep 2
+    from that pivot yields ``diameter_lb = ecc(pivot)``, a lower bound
+    on the directed diameter that is exact on trees and usually tight
+    in practice (Magnien, Latapy & Habib, "Fast computation of
+    empirically tight bounds for the diameter of massive graphs",
+    JEA 2009). Two BFS fixpoints + two tiny argmax actions — the graph
+    is scanned no more than 2·diameter times.
+    """
+    d1 = shortest_paths(edges, [start])
+    top = (
+        d1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    )
+    pivot, ecc_start = int(top["id"]), int(top["dist"])
+    d2 = shortest_paths(edges, [pivot])
+    lb = int(
+        d2.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    )
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(start, ecc_start, pivot, lb)],
+        "start long, ecc_start long, pivot long, diameter_lb long",
+    )

@@ -596,3 +596,35 @@ def test_scc_random_vs_tarjan_distributed(spark):
         for r in strongly_connected_components(e, mode="local").collect()
     }
     assert loc == got
+
+
+def test_double_sweep_path_graph_exact(spark):
+    """On a path the double sweep finds the exact diameter."""
+    from pagerank_spark.operators.paths import double_sweep
+
+    pairs = [(i, i + 1) for i in range(6)] + [(i + 1, i) for i in range(6)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    row = double_sweep(e, start=3).collect()[0]
+    assert row["start"] == 3
+    assert row["ecc_start"] == 3  # 3 -> 0 or 3 -> 6
+    assert row["pivot"] == 0  # tie (0 and 6 both dist 3) -> min id
+    assert row["diameter_lb"] == 6
+
+
+def test_graph_summary_known_graph(spark):
+    from pagerank_spark.operators.summary import graph_summary
+
+    # K3 triangle (both directions) + dangling directed edge 3 -> 4
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (3, 4)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    row = graph_summary(e).collect()[0]
+    assert row["n_vertices"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_simple_edges"] == 4  # 3 triangle sides + (3,4)
+    assert row["max_degree"] == 2
+    assert row["triangles"] == 1
+    assert abs(row["transitivity"] - 1.0 * 3 / 3) < 1e-12  # 3 wedges closed
+    assert abs(row["reciprocity"] - 6 / 7) < 1e-12
+    assert row["n_components"] == 2
+    assert abs(row["density"] - 2 * 4 / (5 * 4)) < 1e-12
+    assert abs(row["avg_degree"] - 2 * 4 / 5) < 1e-12
