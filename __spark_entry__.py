@@ -393,6 +393,20 @@ def q_scc_giant(spark, sf_dir):
     ).orderBy("id")
 
 
+COOCCUR_MIN = 2
+
+
+def q_copurchase_graph(spark, sf_dir):
+    """Market-basket projection: parts co-occurring in >= 2 orders
+    (the second graph-derivation path next to the corpus parser)."""
+    from pagerank_spark.operators.cooccur import cooccurrence_graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_graph(
+        li, "l_orderkey", "l_partkey", min_count=COOCCUR_MIN
+    ).orderBy("src", "dst")
+
+
 def q_double_sweep(spark, sf_dir):
     """Diameter lower bound by double BFS sweep from vertex 0."""
     from pagerank_spark.operators.paths import double_sweep
@@ -1151,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_giant": q_scc_giant,
         "double_sweep": q_double_sweep,
         "graph_summary": q_graph_summary,
+        "copurchase_graph": q_copurchase_graph,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -2048,6 +2063,16 @@ def oracle_sql() -> dict[str, str]:
         "scc_giant": _scc_sql(eg),
         "double_sweep": _double_sweep_sql(eg),
         "graph_summary": _summary_sql(eg),
+        "copurchase_graph": (
+            "WITH d AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i "
+            "FROM lineitem), "
+            "ok AS (SELECT k FROM d GROUP BY k HAVING count(*) <= 1000) "
+            "SELECT a.i AS src, b.i AS dst, count(*) AS weight "
+            "FROM d a JOIN d b ON a.k = b.k AND a.i < b.i "
+            "JOIN ok ON a.k = ok.k "
+            f"GROUP BY a.i, b.i HAVING count(*) >= {COOCCUR_MIN} "
+            "ORDER BY src, dst"
+        ),
         "shortest_paths_bfs": _sssp_sql(_EDGES_SQL),
         "shortest_paths_weighted": _sssp_sql(_W_EDGES_SQL, weighted=True),
         "triangle_count": (

@@ -36,6 +36,7 @@ from pagerank_spark.operators.sampling import (
     sample_edges,
     sample_vertices_induced,
 )
+from pagerank_spark.operators.cooccur import cooccurrence_graph
 from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.walks import random_walks
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
@@ -100,6 +101,7 @@ __all__ = [
     "double_sweep",
     "graph_summary",
     "derive_edges",
+    "cooccurrence_graph",
     "dedup_exact",
     "dedup_near",
     "exact_duplicates",

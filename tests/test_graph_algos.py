@@ -628,3 +628,36 @@ def test_graph_summary_known_graph(spark):
     assert row["n_components"] == 2
     assert abs(row["density"] - 2 * 4 / (5 * 4)) < 1e-12
     assert abs(row["avg_degree"] - 2 * 4 / 5) < 1e-12
+
+
+def test_cooccurrence_graph_basket_oracle(spark):
+    from collections import Counter
+    import itertools
+
+    from pagerank_spark.operators.cooccur import cooccurrence_graph
+
+    rows = [  # (basket, item) incl. an in-basket duplicate and a hub key
+        (1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "c"), (4, "x"), (4, "y"), (4, "z"),
+    ]
+    e = spark.createDataFrame(rows, "k long, i string")
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in cooccurrence_graph(e, "k", "i").collect()
+    }
+    baskets = {}
+    for k, i in rows:
+        baskets.setdefault(k, set()).add(i)
+    want = Counter()
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            want[(a, b)] += 1
+    assert got == dict(want)
+    # min_count filters, cap drops the 3-item basket entirely
+    got2 = {
+        (r["src"], r["dst"])
+        for r in cooccurrence_graph(e, "k", "i", min_count=2).collect()
+    }
+    assert got2 == {(a, b) for (a, b), w in want.items() if w >= 2}
+    capped = cooccurrence_graph(e, "k", "i", max_items_per_key=2).collect()
+    assert {(r["src"], r["dst"]) for r in capped} == {("a", "b"), ("a", "c")}
