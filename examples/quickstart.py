@@ -43,6 +43,17 @@ def main():
     top.select("orig_id", F.round("rank", 5).alias("rank")).show(5)
     print("components:", g.connected_components().select("component").distinct().count())
     print("triangles:", g.triangle_count().collect()[0]["triangles"])
+    print("graph profile:")
+    g.summary().show(truncate=False)
+    print("strongly connected components:",
+          g.strongly_connected_components().select("component").distinct().count())
+    print("hubs/authorities:")
+    g.hits(max_iter=8).orderBy(F.desc("authority")).show(3)
+    print("2-core size:", g.k_core(2).count())
+    print("link predictions (top Adamic-Adar):")
+    g.link_prediction().orderBy(F.desc("adamic_adar")).show(3)
+    print("random-walk sample:")
+    g.random_walks(length=3, walks_per_vertex=1).orderBy("walk_id", "step").show(8)
 
     # 3. training-data pipeline over the documents/embeddings tables
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")

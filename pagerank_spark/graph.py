@@ -90,6 +90,16 @@ class LinkGraph:
     def degrees(self) -> DataFrame:
         return _degrees(self.edges)
 
+    def degree_histogram(self) -> DataFrame:
+        from pagerank_spark.operators.degrees import degree_histogram
+
+        return degree_histogram(self.edges)
+
+    def reciprocity(self) -> DataFrame:
+        from pagerank_spark.operators.degrees import reciprocity
+
+        return reciprocity(self.edges)
+
     def connected_components(self, max_iter: int = 50) -> DataFrame:
         return connected_components(self.edges, max_iter=max_iter)
 

@@ -260,3 +260,19 @@ def test_iterate_harness_semantics(spark):
         max_iter=8,
     )
     assert len(_out2._jdf.queryExecution().optimizedPlan().toString()) < 2000
+
+
+def test_linkpred_and_cooccur_no_cartesian(spark):
+    """The wedge joins must stay equi-joins — a fallback to
+    CartesianProduct would be the 100 TB scale-killer."""
+    from pagerank_spark.operators.cooccur import cooccurrence_graph
+    from pagerank_spark.operators.linkpred import link_prediction
+    from pagerank_spark.plans import explain_summary
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=50, e=300, seed=2)
+    assert "CartesianProduct" not in explain_summary(link_prediction(e))
+    co = cooccurrence_graph(
+        e.selectExpr("src as k", "dst as i"), "k", "i"
+    )
+    assert "CartesianProduct" not in explain_summary(co)
