@@ -19,7 +19,7 @@ Public API (stable surface):
 """
 
 from pagerank_spark.session import get_spark
-from pagerank_spark.sources.snap import read_snap_edges
+from pagerank_spark.sources.snap import read_snap_edges, write_snap_edges
 from pagerank_spark.sources.tables import read_corpus, read_table
 from pagerank_spark.operators.densify import densify_ids
 from pagerank_spark.operators.degrees import (
@@ -76,6 +76,7 @@ __all__ = [
     "LinkGraph",
     "get_spark",
     "read_snap_edges",
+    "write_snap_edges",
     "read_table",
     "read_corpus",
     "densify_ids",

@@ -64,3 +64,42 @@ def read_snap_edges(
         )
     )
     return edges, n, e
+
+
+def write_snap_edges(
+    edges: DataFrame, path: str, first_node: int = 0, n: int | None = None
+) -> tuple[int, int]:
+    """Write an edge DataFrame back to the reference's SNAP text format
+    (round-trips through ``read_snap_edges``); returns ``(n, e)``.
+
+    ``n`` defaults to ``1 + max(id)`` (the dense-vertex convention the
+    reference assumes); ``first_node`` shifts ids up on write, the
+    inverse of the loader's shift. The header goes in its own zero-split
+    text file alongside coalesced data parts — at 100 TB the edge body
+    writes in parallel (one text part per partition) and only the
+    two-line header is driver-side.
+    """
+    ne = edges.agg(
+        F.count(F.lit(1)).alias("e"),
+        F.greatest(F.max("src"), F.max("dst")).alias("m"),
+    ).collect()[0]
+    e = int(ne["e"])
+    if n is None:
+        n = int(ne["m"]) + 1 if ne["m"] is not None else 0
+    body = edges.select(
+        F.concat_ws(
+            "\t",
+            (F.col("src") + first_node).cast("string"),
+            (F.col("dst") + first_node).cast("string"),
+        ).alias("value")
+    )
+    header = edges.sparkSession.createDataFrame(
+        [("# Directed graph (engine export)",), (f"# Nodes: {n} Edges: {e}",)],
+        "value string",
+    ).coalesce(1)
+    # header first: Spark text reads parts in name order and the loader
+    # takes the LAST matching header anywhere, so ordering is forgiving,
+    # but keeping the header in part-00000 matches the reference layout
+    header.unionByName(body.coalesce(1) if e < 10_000_000 else body)\
+        .write.mode("overwrite").text(path)
+    return n, e

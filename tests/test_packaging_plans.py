@@ -276,3 +276,17 @@ def test_linkpred_and_cooccur_no_cartesian(spark):
         e.selectExpr("src as k", "dst as i"), "k", "i"
     )
     assert "CartesianProduct" not in explain_summary(co)
+
+
+def test_snap_write_read_roundtrip(spark, tmp_path):
+    from pagerank_spark.sources.snap import read_snap_edges, write_snap_edges
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=40, e=200, seed=6)
+    n, ec = write_snap_edges(e, str(tmp_path / "g"), first_node=1)
+    assert ec == 200
+    e2, n2, ec2 = read_snap_edges(spark, str(tmp_path / "g"), first_node=1)
+    assert (n2, ec2) == (n, ec)
+    assert sorted((r["src"], r["dst"]) for r in e.collect()) == sorted(
+        (r["src"], r["dst"]) for r in e2.collect()
+    )
