@@ -266,8 +266,10 @@ def _simhash_kernel():
                 # The trailing zero row keeps a trailing-empty-doc
                 # start index valid without clamping (clamping would
                 # truncate the previous document's segment).
+                # explicit little-endian view: on a big-endian host a
+                # bare .view(np.uint8) would byte-swap every fingerprint
                 bits = np.unpackbits(
-                    vals.view(np.uint8).reshape(-1, 8),
+                    vals.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8),
                     axis=1,
                     bitorder="little",
                 )

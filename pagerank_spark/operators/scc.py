@@ -40,11 +40,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pagerank_spark.operators.components import _count
 from pagerank_spark.plans.iterate import iterate
-
-
-def _count(df: DataFrame) -> int:
-    return int(df.agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"])
 
 
 def _xor_sig_converged(cols: tuple[str, str]):
@@ -179,15 +176,32 @@ def strongly_connected_components(
         return _scc_local(spark, remaining, e)
     n = remaining.count()
     hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
+    P = spark.sparkContext.defaultParallelism
     done: list[DataFrame] = []
+
+    def _fat_sides(ecur: DataFrame):
+        """Loop-invariant (per outer round) edge copies per join key —
+        under shuffle-hash a bare checkpoint would re-exchange the full
+        O(E) side on EVERY inner round (the color join keys on src, the
+        ownership join on dst); persist keeps the partitioning visible
+        so only the O(V) score/flag side moves (same motion as
+        hits/LPA). Broadcast mode replicates the small side, so one
+        unpartitioned cache serves both."""
+        if hint == "broadcast":
+            c = ecur.persist()
+            return c, c, [c]
+        es = ecur.repartition(P, "src").persist()
+        ed = ecur.repartition(P, "dst").persist()
+        return es, ed, [es, ed]
 
     for _outer in range(max_outer):
         if remaining.isEmpty():
             break
+        e_src, e_dst, caches = _fat_sides(e)
 
         # 1) color fixpoint (forward min-label propagation)
         def _color_step(colors: DataFrame, _r: int) -> DataFrame:
-            prop = e.join(
+            prop = e_src.join(
                 colors.withColumnRenamed("id", "src").hint(hint), "src"
             ).select(F.col("dst").alias("id"), "color")
             return (
@@ -214,7 +228,7 @@ def strongly_connected_components(
         def _member_step(members: DataFrame, _r: int) -> DataFrame:
             # v joins when an out-neighbor u is a member of v's class
             reach = (
-                e.join(
+                e_dst.join(
                     members.withColumnRenamed("id", "dst")
                     .withColumnRenamed("color", "mcolor")
                     .hint(hint),
@@ -247,6 +261,8 @@ def strongly_connected_components(
             .select("src", "dst")
             .localCheckpoint()
         )
+        for c in caches:
+            c.unpersist()
     else:
         if not remaining.isEmpty():
             warnings.warn(

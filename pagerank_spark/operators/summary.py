@@ -17,10 +17,10 @@ from pyspark.sql import functions as F
 from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.degrees import reciprocity
 from pagerank_spark.operators.triangles import (
+    _orient,
     _simple_degrees,
     _simple_undirected,
-    clustering_coefficient,
-    triangle_count,
+    _triangles,
 )
 
 
@@ -35,12 +35,18 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     counts raw rows (duplicate-edge multiplicity preserved), and
     ``density = 2·e_s / (n·(n−1))``, ``avg_degree = 2·e_s / n``.
     """
+    # ONE materialized pass over the source, then the simple projection
+    # and degree table are shared by every downstream figure — the
+    # degree-oriented triangle join (the costly constituent) runs once
+    # and transitivity reuses its count plus the degree aggregate.
     edges = edges.select("src", "dst").localCheckpoint()
     simple = _simple_undirected(edges).localCheckpoint()
+    deg = _simple_degrees(simple).localCheckpoint()
     n_edges = edges.count()
     e_s = simple.count()
-    deg_row = _simple_degrees(simple).agg(
-        F.count(F.lit(1)).alias("nv_conn"), F.max("deg").alias("maxd")
+    deg_row = deg.agg(
+        F.max("deg").alias("maxd"),
+        F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w2"),
     ).collect()[0]
     n = int(
         edges.select(F.col("src").alias("id"))
@@ -48,10 +54,13 @@ def graph_summary(edges: DataFrame) -> DataFrame:
         .distinct()
         .count()
     )
-    tri = int(triangle_count(edges).collect()[0]["triangles"])
-    trans = float(
-        clustering_coefficient(edges, per_vertex=False).collect()[0]["coeff"]
+    o = _orient(simple, deg).localCheckpoint()
+    tri = int(
+        _triangles(o).agg(F.count(F.lit(1)).alias("t")).collect()[0]["t"]
     )
+    # same operand order as the clustering_global oracle: 3.0*t / (W/2)
+    wedges = (deg_row["w2"] or 0) / 2
+    trans = (3.0 * tri / wedges) if wedges > 0 else 0.0
     rec = float(reciprocity(edges).collect()[0]["reciprocity"])
     ncomp = int(
         connected_components(edges)

@@ -82,8 +82,19 @@ def write_snap_edges(
     ne = edges.agg(
         F.count(F.lit(1)).alias("e"),
         F.greatest(F.max("src"), F.max("dst")).alias("m"),
+        F.least(F.min("src"), F.min("dst")).alias("lo"),
     ).collect()[0]
     e = int(ne["e"])
+    if e and int(ne["lo"]) + first_node < 0:
+        # the SNAP format is non-negative-int lines; read_snap_edges's
+        # malformed-line filter would silently DROP negative ids on
+        # re-read, so refuse instead of writing an unreadable file
+        raise ValueError(
+            f"write_snap_edges: min id {ne['lo']} with first_node="
+            f"{first_node} would write negative ids, which the SNAP "
+            "format (and read_snap_edges) cannot represent; densify "
+            "ids first (operators.densify)"
+        )
     if n is None:
         n = int(ne["m"]) + 1 if ne["m"] is not None else 0
     body = edges.select(
