@@ -407,6 +407,54 @@ def q_copurchase_graph(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def q_hash_split_md5(spark, sf_dir):
+    """Deterministic train/val/test assignment over documents (80/10/10
+    keyed on doc_id) — md5 twin of the xxhash64 production path."""
+    from pagerank_spark.operators.sampling import hash_split
+
+    return (
+        hash_split(_docs(spark, sf_dir), "doc_id", seed=SAMPLE_SEED,
+                   hash_fn="md5")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample_md5(spark, sf_dir):
+    """Per-group deterministic sampling over events: keep 30% of
+    clicks, 100% of purchases, 10% of everything else."""
+    from pagerank_spark.operators.sampling import sample_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        sample_per_group(
+            ev, "event_type",
+            {"click": 0.3, "purchase": 1.0, "*": 0.1},
+            "event_id", seed=SAMPLE_SEED, hash_fn="md5",
+        )
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def q_modularity_mod4(spark, sf_dir):
+    """Newman modularity of the deterministic id%4 labeling of the
+    canonical graph — evaluates the community-quality metric the
+    LPA/CC family feeds."""
+    from pagerank_spark.operators.labelprop import modularity
+
+    e = _edges(spark, sf_dir)
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", (F.col("id") % 4).alias("label"))
+    )
+    return modularity(e, labels).select(
+        F.round("modularity", 7).alias("modularity")
+    )
+
+
 def q_double_sweep(spark, sf_dir):
     """Diameter lower bound by double BFS sweep from vertex 0."""
     from pagerank_spark.operators.paths import double_sweep
@@ -1166,6 +1214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "double_sweep": q_double_sweep,
         "graph_summary": q_graph_summary,
         "copurchase_graph": q_copurchase_graph,
+        "hash_split_md5": q_hash_split_md5,
+        "stratified_sample_md5": q_stratified_sample_md5,
+        "modularity_mod4": q_modularity_mod4,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -2063,6 +2114,39 @@ def oracle_sql() -> dict[str, str]:
         "scc_giant": _scc_sql(eg),
         "double_sweep": _double_sweep_sql(eg),
         "graph_summary": _summary_sql(eg),
+        "hash_split_md5": (
+            "SELECT doc_id, CASE "
+            f"WHEN b < {int(round(0.8 * 1048576))} THEN 'train' "
+            f"WHEN b < {int(round(0.9 * 1048576))} THEN 'val' "
+            "ELSE 'test' END AS split FROM (SELECT doc_id, "
+            + _MD5H.format(
+                x=f"CAST(doc_id AS VARCHAR) || ':{SAMPLE_SEED}'"
+            )
+            + " % 1048576 AS b FROM documents) ORDER BY doc_id"
+        ),
+        "stratified_sample_md5": (
+            "SELECT event_id, event_type FROM (SELECT event_id, "
+            "event_type, "
+            + _MD5H.format(
+                x=f"CAST(event_id AS VARCHAR) || ':{SAMPLE_SEED}'"
+            )
+            + " % 1048576 AS b FROM events) WHERE b < CASE event_type "
+            f"WHEN 'click' THEN {int(round(0.3 * 1048576))} "
+            f"WHEN 'purchase' THEN {int(round(1.0 * 1048576))} "
+            f"ELSE {int(round(0.1 * 1048576))} END ORDER BY event_id"
+        ),
+        "modularity_mod4": (
+            f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "
+            "mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM simple), "
+            "intra AS (SELECT a % 4 AS c, count(*) AS ec FROM simple "
+            "WHERE a % 4 = b % 4 GROUP BY a % 4), "
+            "dcs AS (SELECT id % 4 AS c, sum(d) AS dc FROM deg "
+            "GROUP BY id % 4) "
+            "SELECT round(sum(coalesce(i.ec, 0) / (SELECT m FROM mm) "
+            "- (dcs.dc / (2.0 * (SELECT m FROM mm))) "
+            "* (dcs.dc / (2.0 * (SELECT m FROM mm)))), 7) AS modularity "
+            "FROM dcs LEFT JOIN intra i USING (c)"
+        ),
         "copurchase_graph": (
             "WITH d AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i "
             "FROM lineitem), "

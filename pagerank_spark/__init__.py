@@ -32,8 +32,11 @@ from pagerank_spark.operators.degrees import (
 from pagerank_spark.operators.cores import k_core
 from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.linkpred import link_prediction
+from pagerank_spark.operators.labelprop import modularity
 from pagerank_spark.operators.sampling import (
+    hash_split,
     sample_edges,
+    sample_per_group,
     sample_vertices_induced,
 )
 from pagerank_spark.operators.cooccur import cooccurrence_graph
@@ -95,9 +98,12 @@ __all__ = [
     "k_core",
     "hits",
     "link_prediction",
+    "modularity",
     "random_walks",
     "sample_edges",
+    "sample_per_group",
     "sample_vertices_induced",
+    "hash_split",
     "shortest_paths",
     "double_sweep",
     "graph_summary",

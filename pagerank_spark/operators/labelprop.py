@@ -91,3 +91,56 @@ def label_propagation(
     )
     sym.unpersist()  # labels is checkpointed — safe to drop the cache
     return labels.select("id", "label")
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex labeling over the UNDIRECTED
+    SIMPLE graph — ``DataFrame[modularity: double]``, one row.
+
+        Q = Σ_c ( e_c / m  −  (d_c / 2m)² )
+
+    with m simple edges, e_c intra-community edges and d_c the summed
+    degree of community c. The standard evaluation for LPA/CC-style
+    labelings (Newman & Girvan 2004). Two label joins + two bounded
+    aggregations; every per-community figure is an exact integer, so
+    an ANSI oracle reproduces the double arithmetic bit-for-bit up to
+    the final Σ_c ordering (gates round to 7 dp).
+
+    ``labels`` must be ``(id, label)``-shaped (``component``/``label``
+    columns both accepted); unlabeled endpoints make the edge count as
+    inter-community (conservative).
+    """
+    lab_col = "label" if "label" in labels.columns else "component"
+    lab = labels.select("id", F.col(lab_col).alias("_c"))
+    from pagerank_spark.operators.triangles import (
+        _simple_degrees,
+        _simple_undirected,
+    )
+
+    simple = _simple_undirected(edges).localCheckpoint()
+    m = simple.count()
+    if m == 0:
+        return edges.sparkSession.createDataFrame(
+            [(0.0,)], "modularity double"
+        )
+    intra = (
+        simple.join(lab.withColumnRenamed("id", "a"), "a")
+        .withColumnRenamed("_c", "_ca")
+        .join(lab.withColumnRenamed("id", "b"), "b")
+        .where(F.col("_ca") == F.col("_c"))
+        .groupBy(F.col("_c"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    dc = (
+        _simple_degrees(simple)
+        .join(lab, "id")
+        .groupBy("_c")
+        .agg(F.sum("deg").alias("dc"))
+    )
+    terms = dc.join(intra, "_c", "left").select(
+        (
+            F.coalesce("ec", F.lit(0)) / F.lit(float(m))
+            - (F.col("dc") / F.lit(2.0 * m)) * (F.col("dc") / F.lit(2.0 * m))
+        ).alias("q")
+    )
+    return terms.agg(F.sum("q").alias("modularity"))

@@ -661,3 +661,64 @@ def test_cooccurrence_graph_basket_oracle(spark):
     assert got2 == {(a, b) for (a, b), w in want.items() if w >= 2}
     capped = cooccurrence_graph(e, "k", "i", max_items_per_key=2).collect()
     assert {(r["src"], r["dst"]) for r in capped} == {("a", "b"), ("a", "c")}
+
+
+def test_modularity_known_values(spark):
+    from pagerank_spark.operators.labelprop import modularity
+
+    # two triangles bridged by one edge, labeled by triangle
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    lab = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, label long"
+    )
+    q = modularity(e, lab).collect()[0]["modularity"]
+    want = 2 * (3 / 7 - (7 / 14) ** 2)
+    assert abs(q - want) < 1e-12
+    # the all-one-label partition always scores exactly 0
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "id long, label long"
+    )
+    assert abs(modularity(e, one).collect()[0]["modularity"]) < 1e-12
+    # component labels also accepted via the 'component' column
+    comp = one.withColumnRenamed("label", "component")
+    assert abs(modularity(e, comp).collect()[0]["modularity"]) < 1e-12
+
+
+def test_hash_split_and_stratified_sampling(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sampling import (
+        hash_split,
+        sample_per_group,
+    )
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    s = hash_split(df, "k", seed=3)
+    counts = {
+        r["split"]: r["count"] for r in s.groupBy("split").count().collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.05
+    # deterministic across calls and engines-by-construction
+    s2 = hash_split(df, "k", seed=3)
+    assert (
+        s.join(s2.withColumnRenamed("split", "s2"), "k")
+        .where(F.col("split") != F.col("s2"))
+        .count()
+        == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, "k", weights={"a": 0.5, "b": 0.2})
+
+    ev = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)], "k long, g string"
+    )
+    kept = sample_per_group(ev, "g", {"a": 0.5, "b": 0.0}, "k", seed=4)
+    gc = {r["g"]: r["count"] for r in kept.groupBy("g").count().collect()}
+    assert "b" not in gc and abs(gc["a"] / 2000 - 0.5) < 0.1
+    # unlisted groups fall back to "*"
+    kept2 = sample_per_group(ev, "g", {"a": 1.0, "*": 1.0}, "k")
+    assert kept2.count() == 4000
