@@ -407,6 +407,21 @@ def q_copurchase_graph(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+HARMONIC_PIVOTS = [0, 1, 2, 3, 4]
+
+
+def q_harmonic_pivots(spark, sf_dir):
+    """Pivot-estimated harmonic centrality from 5 fixed pivots — the
+    Eppstein-Wang estimator; one keyed multi-source BFS."""
+    from pagerank_spark.operators.paths import harmonic_centrality
+
+    return (
+        harmonic_centrality(_edges(spark, sf_dir), HARMONIC_PIVOTS)
+        .select("id", F.round("harmonic", 7).alias("harmonic"))
+        .orderBy("id")
+    )
+
+
 def q_hash_split_md5(spark, sf_dir):
     """Deterministic train/val/test assignment over documents (80/10/10
     keyed on doc_id) — md5 twin of the xxhash64 production path."""
@@ -1217,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_md5": q_hash_split_md5,
         "stratified_sample_md5": q_stratified_sample_md5,
         "modularity_mod4": q_modularity_mod4,
+        "harmonic_pivots": q_harmonic_pivots,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -1490,6 +1506,32 @@ def _sssp_levels_sql(src_cte: str, prefix: str, rounds: int) -> str:
             f"SELECT e.dst AS id, x.dist + 1 AS dist "
             f"FROM eg e JOIN {prefix}{k-1} x ON e.src = x.id) GROUP BY id),"
         )
+    return "\n".join(parts)
+
+
+def _harmonic_sql(edges_sql: str, pivots: list[int]) -> str:
+    """Keyed multi-source BFS unroll (source column carried through
+    every level), then the harmonic fold Σ 1/d over positive dists."""
+    r = SSSP_SQL_ROUNDS
+    seeds = ", ".join(f"({int(p)})" for p in pivots)
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        f"h0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) "
+        f"AS id, CAST(0 AS BIGINT) AS dist FROM (VALUES {seeds}) t(s)),",
+    ]
+    for k in range(1, r + 1):
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT source, id, min(dist) AS dist "
+            f"FROM (SELECT source, id, dist FROM h{k-1} UNION ALL "
+            f"SELECT x.source, e.dst AS id, x.dist + 1 AS dist "
+            f"FROM eg e JOIN h{k-1} x ON e.src = x.id) "
+            f"GROUP BY source, id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, round(sum(1.0 / dist), 7) AS harmonic FROM h{r} "
+        "WHERE dist > 0 GROUP BY id ORDER BY id"
+    )
     return "\n".join(parts)
 
 
@@ -2135,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN 'purchase' THEN {int(round(1.0 * 1048576))} "
             f"ELSE {int(round(0.1 * 1048576))} END ORDER BY event_id"
         ),
+        "harmonic_pivots": _harmonic_sql(eg, HARMONIC_PIVOTS),
         "modularity_mod4": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "
             "mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM simple), "

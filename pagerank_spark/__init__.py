@@ -49,7 +49,12 @@ from pagerank_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
 )
-from pagerank_spark.operators.paths import double_sweep, shortest_paths
+from pagerank_spark.operators.paths import (
+    double_sweep,
+    harmonic_centrality,
+    multi_source_bfs,
+    shortest_paths,
+)
 from pagerank_spark.operators.summary import graph_summary
 from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.dedup import (
@@ -105,6 +110,8 @@ __all__ = [
     "sample_vertices_induced",
     "hash_split",
     "shortest_paths",
+    "multi_source_bfs",
+    "harmonic_centrality",
     "double_sweep",
     "graph_summary",
     "derive_edges",

@@ -122,3 +122,82 @@ def double_sweep(edges: DataFrame, start: int = 0) -> DataFrame:
         [(start, ecc_start, pivot, lb)],
         "start long, ecc_start long, pivot long, diameter_lb long",
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame, sources: list[int], max_iter: int = 50
+) -> DataFrame:
+    """Per-source BFS levels in ONE keyed frontier:
+    ``DataFrame[source: long, id: long, dist: long]`` for every
+    (source, reached vertex) pair.
+
+    Unlike ``shortest_paths`` (which folds sources with min), distances
+    stay per-source — the input to closeness/harmonic centrality
+    estimated from pivots. All |S| searches advance together: each
+    round is one join + one min-aggregate keyed on (source, id), so
+    the round count is the max eccentricity, not |S|·diameter.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").repartition(P, "src").persist()
+    e.count()
+    state = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in set(sources)],
+        "source long, id long, dist long",
+    )
+
+    def _step(d: DataFrame, _round: int) -> DataFrame:
+        relaxed = e.join(d.withColumnRenamed("id", "src"), "src").select(
+            "source", F.col("dst").alias("id"),
+            (F.col("dist") + 1).alias("dist"),
+        )
+        return (
+            d.unionByName(relaxed)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    ctx = {"sig": None}
+
+    def _converged(_prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        row = new.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("dist").alias("s")
+        ).collect()[0]
+        sig = (int(row["c"]), row["s"])
+        if sig == ctx["sig"]:
+            return True  # monotone lattice fixpoint (same as shortest_paths)
+        ctx["sig"] = sig
+        return False
+
+    out, _r, _done = iterate(
+        state, _step, _converged, max_iter,
+        warn=(
+            f"multi_source_bfs: distances did not stabilize within "
+            f"max_iter={max_iter} rounds; distances are upper bounds"
+        ),
+    )
+    e.unpersist()
+    return out
+
+
+def harmonic_centrality(
+    edges: DataFrame, pivots: list[int], max_iter: int = 50
+) -> DataFrame:
+    """Pivot-estimated harmonic centrality: ``DataFrame[id, harmonic]``
+    with ``harmonic(v) = Σ_{p ∈ pivots, d(p,v) > 0} 1 / d(p → v)``.
+
+    The pivot-sampling estimator (Eppstein & Wang, "Fast approximation
+    of centrality", SODA'01 — pivots stand in for all sources; scale
+    the pivot count, not the graph pass): exact when ``pivots`` is the
+    full vertex set. Distances are DIRECTED from the pivot; vertices
+    unreachable from every pivot don't appear (harmonic contribution
+    0, matching the 1/∞ convention).
+    """
+    d = multi_source_bfs(edges, pivots, max_iter)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(1.0 / F.col("dist")).alias("harmonic"))
+    )

@@ -722,3 +722,31 @@ def test_hash_split_and_stratified_sampling(spark):
     # unlisted groups fall back to "*"
     kept2 = sample_per_group(ev, "g", {"a": 1.0, "*": 1.0}, "k")
     assert kept2.count() == 4000
+
+
+def test_multi_source_bfs_and_harmonic(spark):
+    from pagerank_spark.operators.paths import (
+        harmonic_centrality,
+        multi_source_bfs,
+    )
+
+    #  0 -> 1 -> 2 -> 3 ; 4 isolated source side, 2 -> 4
+    pairs = [(0, 1), (1, 2), (2, 3), (2, 4)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        (r["source"], r["id"]): r["dist"]
+        for r in multi_source_bfs(e, [0, 2]).collect()
+    }
+    assert got == {
+        (0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3, (0, 4): 3,
+        (2, 2): 0, (2, 3): 1, (2, 4): 1,
+    }
+    h = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(e, [0, 2]).collect()
+    }
+    # v3: 1/3 (from 0) + 1/1 (from 2); v4 same; v1: 1/1; v2: 1/2
+    assert abs(h[3] - (1 / 3 + 1)) < 1e-12
+    assert abs(h[4] - (1 / 3 + 1)) < 1e-12
+    assert abs(h[1] - 1.0) < 1e-12 and abs(h[2] - 0.5) < 1e-12
+    assert 0 not in h  # pivots exclude their own 0-distance
