@@ -17,9 +17,14 @@ the engine's degree semantics (``degrees.py``).
 Execution model (same loop-invariant motion as LPA / shortest paths):
 the edge table is hash-partitioned and persisted ONCE per join key —
 ``src`` for the authority gather, ``dst`` for the hub gather — so
-each round's two joins move only the O(V) score side (broadcast below
-2M vertices, shuffle-hash above; the cached O(E) sides never move
-again). Each half-step is materialized once and its L2 norm applied
+each round's two joins move only the O(V) score side (broadcast for
+small vertex sets, shuffle-hash above; the cached O(E) sides never
+re-exchange for the join). The remaining per-round O(E) motion is the
+gather's partial-aggregated message shuffle (groupBy the opposite
+endpoint) — the same inherent delivery cost LPA documents; PageRank
+avoids it only via its specialized CSR block store, which is the
+flagship path, not replicated here (measured ~10s per half-step at
+E=10M on local[32]). Each half-step is materialized once and its L2 norm applied
 as an in-plan broadcast scalar over the checkpointed rows — one job
 per half-step, two per round (see ``_l2_normalized`` for why the
 checkpoint is what prevents a 4x gather re-evaluation). Lineage stays
@@ -82,7 +87,13 @@ def hits(
         .localCheckpoint()
     )
     n = vertices.count()
-    join_hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
+    # broadcast only for genuinely small score vectors: each round
+    # re-broadcasts the O(V) scores FOUR times (two gathers + two
+    # norms), i.e. a driver collect + torrent per use — measured 34
+    # s/round at V=500k/E=10M vs ~8s with shuffle-hash against the
+    # pre-partitioned caches, which moves only one O(V) exchange per
+    # gather and never touches the fat side
+    join_hint = "broadcast" if n <= 100_000 else "shuffle_hash"
     if join_hint == "broadcast":
         # score side replicates; a broadcast-hash join needs no fat-side
         # partitioning, so ONE cached edge copy serves both gathers

@@ -175,7 +175,11 @@ def strongly_connected_components(
     ):
         return _scc_local(spark, remaining, e)
     n = remaining.count()
-    hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
+    # same threshold rationale as hits.py: per-round driver broadcasts
+    # of the O(V) color/flag side dominate past ~100k vertices, while
+    # shuffle-hash against the per-round partitioned caches moves only
+    # one O(V) exchange per join
+    hint = "broadcast" if n <= 100_000 else "shuffle_hash"
     P = spark.sparkContext.defaultParallelism
     done: list[DataFrame] = []
 

@@ -750,3 +750,26 @@ def test_multi_source_bfs_and_harmonic(spark):
     assert abs(h[4] - (1 / 3 + 1)) < 1e-12
     assert abs(h[1] - 1.0) < 1e-12 and abs(h[2] - 0.5) < 1e-12
     assert 0 not in h  # pivots exclude their own 0-distance
+
+
+def test_scc_max_outer_fallback_warns_and_labels_singletons(spark):
+    import warnings
+
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    # directed path: every SCC is a singleton, but coloring removes only
+    # the root's SCC per outer round — max_outer=1 exercises the
+    # fallback, whose singleton labeling happens to be exactly right
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r["id"]: r["component"]
+            for r in strongly_connected_components(
+                path, max_outer=1, mode="coloring"
+            ).collect()
+        }
+    assert any("outer rounds exhausted" in str(x.message) for x in w)
+    assert got == {i: i for i in range(7)}
