@@ -773,3 +773,39 @@ def test_scc_max_outer_fallback_warns_and_labels_singletons(spark):
         }
     assert any("outer rounds exhausted" in str(x.message) for x in w)
     assert got == {i: i for i in range(7)}
+
+
+def test_new_operators_handle_empty_graph(spark):
+    """Every round-3 operator must return an empty (or zero) result on
+    an empty edge table instead of crashing — the guard a composed
+    pipeline hits whenever an upstream filter matches nothing."""
+    from pagerank_spark.operators.cooccur import cooccurrence_graph
+    from pagerank_spark.operators.cores import k_core
+    from pagerank_spark.operators.degrees import (
+        degree_histogram,
+        reciprocity,
+    )
+    from pagerank_spark.operators.hits import hits
+    from pagerank_spark.operators.labelprop import modularity
+    from pagerank_spark.operators.linkpred import link_prediction
+    from pagerank_spark.operators.scc import strongly_connected_components
+    from pagerank_spark.operators.summary import graph_summary
+    from pagerank_spark.operators.triangles import clustering_coefficient
+    from pagerank_spark.operators.walks import random_walks
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert hits(e, max_iter=2).count() == 0
+    assert strongly_connected_components(e).count() == 0
+    assert k_core(e, 2).count() == 0
+    assert clustering_coefficient(e).count() == 0
+    assert link_prediction(e).count() == 0
+    assert random_walks(e, 2).count() == 0
+    assert degree_histogram(e).count() == 0
+    assert reciprocity(e).collect()[0]["reciprocity"] == 0.0
+    lab = spark.createDataFrame([], "id long, label long")
+    assert modularity(e, lab).collect()[0]["modularity"] == 0.0
+    assert cooccurrence_graph(
+        spark.createDataFrame([], "k long, i long"), "k", "i"
+    ).count() == 0
+    row = graph_summary(e).collect()[0]
+    assert row["n_vertices"] == 0 and row["triangles"] == 0
