@@ -68,6 +68,9 @@ EXTRA = [
     "k_core_repo",
     "link_prediction",
     "scc_giant",
+    "graph_summary",
+    "harmonic_pivots",
+    "copurchase_graph",
 ]
 
 SCALE_N = 2_000_000
