@@ -79,6 +79,48 @@ class LinkGraph:
         weighted.unpersist()
         return cls(edges=wdense, n=n, weight_col="weight", mapping=mapping)
 
+    @classmethod
+    def from_cooccurrence(
+        cls,
+        df: DataFrame,
+        key_col: str,
+        item_col: str,
+        min_count: int = 1,
+        max_items_per_key: int = 1000,
+    ) -> "LinkGraph":
+        """Any ``(key, item)`` relation → weighted dense item graph
+        (market-basket, co-change, shared-contributor …) ready for the
+        whole algorithm surface, with the original-id mapping kept for
+        ``with_original_ids``. Same plumbing as ``from_corpus``."""
+        from pyspark.sql import functions as F
+
+        from pagerank_spark.operators.cooccur import cooccurrence_graph
+
+        w = cooccurrence_graph(
+            df, key_col, item_col, min_count, max_items_per_key
+        ).persist()
+        _dense, mapping = densify_ids(w.select("src", "dst"))
+        mapping = mapping.persist()
+        m_src = mapping.withColumnRenamed("orig_id", "src").withColumnRenamed(
+            "id", "src_id"
+        )
+        m_dst = mapping.withColumnRenamed("orig_id", "dst").withColumnRenamed(
+            "id", "dst_id"
+        )
+        wdense = (
+            w.join(m_src, "src")
+            .join(m_dst, "dst")
+            .select(
+                F.col("src_id").alias("src"),
+                F.col("dst_id").alias("dst"),
+                "weight",
+            )
+            .localCheckpoint()
+        )
+        n = mapping.count()
+        w.unpersist()
+        return cls(edges=wdense, n=n, weight_col="weight", mapping=mapping)
+
     def _n(self) -> int | None:
         return self.n
 

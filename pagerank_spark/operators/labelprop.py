@@ -39,7 +39,10 @@ def label_propagation(
         num_partitions
         or edges.sparkSession.sparkContext.defaultParallelism
     )
-    sym = edges.where(F.col("src") != F.col("dst"))
+    # project first: a weighted edge table (LinkGraph.from_corpus /
+    # from_cooccurrence) would otherwise break the symmetrizing union
+    # on column count
+    sym = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     if not directed:
         sym = sym.union(
             sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

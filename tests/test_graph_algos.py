@@ -809,3 +809,31 @@ def test_new_operators_handle_empty_graph(spark):
     ).count() == 0
     row = graph_summary(e).collect()[0]
     assert row["n_vertices"] == 0 and row["triangles"] == 0
+
+
+def test_linkgraph_from_cooccurrence_string_items(spark):
+    """(basket, string item) -> dense weighted graph -> PageRank with
+    original-id resolution; string ids exercise the densify path."""
+    from pyspark.sql import functions as F
+
+    from pagerank_spark import LinkGraph
+
+    rows = [
+        (1, "apple"), (1, "bread"), (2, "apple"), (2, "bread"),
+        (2, "cheese"), (3, "apple"), (3, "cheese"), (4, "bread"),
+        (4, "cheese"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    g = LinkGraph.from_cooccurrence(df, "basket", "item")
+    assert g.n == 3 and g.weight_col == "weight"
+    # apple-bread weight 2, apple-cheese 2, bread-cheese 2 -> symmetric
+    w = {
+        tuple(sorted((r["src"], r["dst"]))): r["weight"]
+        for r in g.edges.collect()
+    }
+    assert set(w.values()) == {2}
+    top = g.with_original_ids(g.pagerank(dangling="redistribute").ranks)
+    names = {r["orig_id"] for r in top.collect()}
+    assert names == {"apple", "bread", "cheese"}
+    s = top.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    assert abs(s - 1.0) < 1e-6
