@@ -211,6 +211,11 @@ def q_triangle_count_vertex(spark, sf_dir):
     return triangle_count(_edges(spark, sf_dir), per_vertex=True).orderBy("id")
 
 
+# Fixed BFS-oracle unroll depth. Safe across the harness's parameter
+# space: the canonical graph always has N_MOD=500 vertices and gets
+# DENSER as sf grows, so the BFS depth from vertex 0 only shrinks
+# (~3 at sf0.01); extra rounds are idempotent at the fixpoint. A
+# custom oracle graph deeper than this would need the depth raised.
 SSSP_SQL_ROUNDS = 10
 
 
@@ -1939,7 +1944,13 @@ def _simhash_dedup_md5_sql(max_hamming: int = 3, rounds: int = 12) -> str:
     """SimHash near-dup removal oracle: brute-force Hamming<=k pairs
     over DISTINCT fingerprints (the banding has no false negatives, so
     brute force IS the banded graph) -> unrolled min-label components
-    -> keep min doc id per cluster."""
+    -> keep min doc id per cluster.
+
+    ``rounds`` bounds the label-propagation eccentricity of any
+    near-dup CLUSTER, not the corpus size: Hamming<=3 chains between
+    distinct 60-bit fingerprints are a few hops in practice (the gate
+    corpora peak at 2), and extra rounds are idempotent. A corpus
+    engineered with a >12-hop fingerprint path would need it raised."""
     parts = [
         "WITH t AS (SELECT doc_id, ["
         + _MD5H.format(x="x")

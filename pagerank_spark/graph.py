@@ -167,6 +167,12 @@ class LinkGraph:
     ) -> DataFrame:
         from pagerank_spark.operators.paths import shortest_paths
 
+        if weighted and self.weight_col is None:
+            raise ValueError(
+                "shortest_paths(weighted=True) on a graph with no "
+                "weight_col — the silent fallback would return hop "
+                "counts, a structurally different answer"
+            )
         return shortest_paths(
             self.edges, sources,
             weight_col=self.weight_col if weighted else None,

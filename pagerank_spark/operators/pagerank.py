@@ -998,9 +998,13 @@ def _pagerank_join(
             )
         return residual <= eps
 
+    # max(1, ...): do-while semantics — the reference ALWAYS runs at
+    # least one iteration (Page_Rank_SERIAL.c:206-279), and the
+    # local/broadcast strategies do too; without the clamp max_iter=0
+    # would make the three strategies disagree on identical arguments
     ranks, rounds, converged = iterate(
         ranks, _step, _converged,
-        max_iter if max_iter is not None else (1 << 31),
+        max(1, max_iter) if max_iter is not None else (1 << 31),
     )
     it = start_iter + rounds
     edges_w.unpersist()

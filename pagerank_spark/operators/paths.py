@@ -75,12 +75,19 @@ def shortest_paths(
     ctx = {"sig": None}
 
     def _converged(_prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        # count + order-insensitive xor checksum, NOT sum(dist): a
+        # float sum can absorb a real improvement (1e16 + 3.0 ==
+        # 1e16 + 2.0 in IEEE) declaring a false fixpoint, or differ by
+        # an ulp across partition orders at a true one. The checksum
+        # hashes each (id, dist) pair, so any change flips it (modulo
+        # 2^-64 collisions — same soundness class as CC's detector).
         row = new.agg(
-            F.count(F.lit(1)).alias("c"), F.sum("dist").alias("s")
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("id", "dist")).alias("h"),
         ).collect()[0]
-        sig = (int(row["c"]), row["s"])
+        sig = (int(row["c"]), int(row["h"] or 0))
         if sig == ctx["sig"]:
-            return True  # monotone lattice: unchanged (count, sum) == fixpoint
+            return True  # monotone lattice: unchanged state == fixpoint
         ctx["sig"] = sig
         return False
 

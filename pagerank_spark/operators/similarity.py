@@ -231,11 +231,24 @@ def cosine_topk_lsh(
     """
     dim = len(query)
     plane_m = _plane_matrix(nbits, dim, seed, planes)
-    # sequential fold, NOT a BLAS dot: the query's bucket must follow
-    # the exact same FP order as the table-side buckets / SQL oracle
-    qbucket = sum(
-        (1 << p) for p in range(nbits) if _seq_dot(query, plane_m[p]) > 0
-    )
+    # the query's bucket must follow the same physical path as the
+    # table side: sequential fold for md5 planes (the expr path — FP
+    # order provably matches the SQL oracle), the SAME 1-row BLAS
+    # matmul for gaussian/ndarray planes (the kernel path; a fold
+    # could sign-flip a projection at FP-noise scale and drop the
+    # query's own bucket from the candidate join)
+    if isinstance(planes, str) and planes == "md5":
+        qbucket = sum(
+            (1 << p) for p in range(nbits) if _seq_dot(query, plane_m[p]) > 0
+        )
+    else:
+        proj = np.asarray([query], dtype=np.float64) @ np.ascontiguousarray(
+            plane_m.T
+        )
+        qbucket = int(
+            ((proj[0] > 0).astype(np.uint64)
+             << np.arange(nbits, dtype=np.uint64)).sum()
+        )
     buckets = lsh_cosine_buckets(
         embeddings, dim, nbits, seed, id_col, vec_col, planes=plane_m
         if not isinstance(planes, str)
