@@ -96,18 +96,22 @@ def label_propagation(
     return labels.select("id", "label")
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def modularity(
+    edges: DataFrame, labels: DataFrame, weight_col: str | None = None
+) -> DataFrame:
     """Newman modularity Q of a vertex labeling over the UNDIRECTED
-    SIMPLE graph — ``DataFrame[modularity: double]``, one row.
+    graph — ``DataFrame[modularity: double]``, one row.
 
-        Q = Σ_c ( e_c / m  −  (d_c / 2m)² )
+        Q = Σ_c ( w_c / W  −  (s_c / 2W)² )
 
-    with m simple edges, e_c intra-community edges and d_c the summed
-    degree of community c. The standard evaluation for LPA/CC-style
-    labelings (Newman & Girvan 2004). Two label joins + two bounded
-    aggregations; every per-community figure is an exact integer, so
-    an ANSI oracle reproduces the double arithmetic bit-for-bit up to
-    the final Σ_c ordering (gates round to 7 dp).
+    Unweighted (default): the SIMPLE projection with W = m edges,
+    w_c = intra-community edges, s_c = summed degree — every figure an
+    exact integer, so an ANSI oracle reproduces the double arithmetic
+    bit-for-bit up to the final Σ_c ordering (gates round to 7 dp).
+    With ``weight_col``: parallel/reversed edges collapse by summed
+    weight, W is the total weight and s_c the summed strength — the
+    weighted form Louvain-style pipelines evaluate (Newman 2004,
+    "Analysis of weighted networks").
 
     ``labels`` must be ``(id, label)``-shaped (``component``/``label``
     columns both accepted); unlabeled endpoints make the edge count as
@@ -115,14 +119,38 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """
     lab_col = "label" if "label" in labels.columns else "component"
     lab = labels.select("id", F.col(lab_col).alias("_c"))
-    from pagerank_spark.operators.triangles import (
-        _simple_degrees,
-        _simple_undirected,
-    )
+    if weight_col is None:
+        from pagerank_spark.operators.triangles import (
+            _simple_degrees,
+            _simple_undirected,
+        )
 
-    simple = _simple_undirected(edges).localCheckpoint()
-    m = simple.count()
-    if m == 0:
+        simple = _simple_undirected(edges).localCheckpoint()
+        strength = _simple_degrees(simple).withColumnRenamed("deg", "s")
+        w_total = float(simple.count())
+        wc = F.count(F.lit(1)).cast("double").alias("wc")
+    else:
+        simple = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("_w").alias("_w"))
+            .localCheckpoint()
+        )
+        strength = (
+            simple.select(F.col("a").alias("id"), "_w")
+            .union(simple.select(F.col("b").alias("id"), "_w"))
+            .groupBy("id")
+            .agg(F.sum("_w").alias("s"))
+        )
+        row = simple.agg(F.sum("_w").alias("w")).collect()[0]["w"]
+        w_total = float(row or 0.0)
+        wc = F.sum("_w").alias("wc")
+    if w_total == 0:
         return edges.sparkSession.createDataFrame(
             [(0.0,)], "modularity double"
         )
@@ -132,18 +160,14 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .join(lab.withColumnRenamed("id", "b"), "b")
         .where(F.col("_ca") == F.col("_c"))
         .groupBy(F.col("_c"))
-        .agg(F.count(F.lit(1)).alias("ec"))
+        .agg(wc)
     )
-    dc = (
-        _simple_degrees(simple)
-        .join(lab, "id")
-        .groupBy("_c")
-        .agg(F.sum("deg").alias("dc"))
-    )
-    terms = dc.join(intra, "_c", "left").select(
+    sc = lab.join(strength, "id").groupBy("_c").agg(F.sum("s").alias("sc"))
+    terms = sc.join(intra, "_c", "left").select(
         (
-            F.coalesce("ec", F.lit(0)) / F.lit(float(m))
-            - (F.col("dc") / F.lit(2.0 * m)) * (F.col("dc") / F.lit(2.0 * m))
+            F.coalesce("wc", F.lit(0.0)) / F.lit(w_total)
+            - (F.col("sc") / F.lit(2.0 * w_total))
+            * (F.col("sc") / F.lit(2.0 * w_total))
         ).alias("q")
     )
     return terms.agg(F.sum("q").alias("modularity"))

@@ -837,3 +837,24 @@ def test_linkgraph_from_cooccurrence_string_items(spark):
     assert names == {"apple", "bread", "cheese"}
     s = top.agg(F.sum("rank").alias("s")).collect()[0]["s"]
     assert abs(s - 1.0) < 1e-6
+
+
+def test_weighted_modularity(spark):
+    from pagerank_spark.operators.labelprop import modularity
+
+    # two weighted triangles + a light bridge; (1,0) collapses into (0,1)
+    rows = [
+        (0, 1, 2.0), (1, 2, 1.0), (2, 0, 1.0), (3, 4, 3.0), (4, 5, 1.0),
+        (5, 3, 1.0), (2, 3, 0.5), (1, 0, 1.0),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    lab = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, label long"
+    )
+    q = modularity(e, lab, weight_col="w").collect()[0]["modularity"]
+    # W=10.5; intra weight 5 per community; strengths sum to 10.5 each
+    want = 2 * (5 / 10.5 - (10.5 / 21) ** 2)
+    assert abs(q - want) < 1e-12
+    # zero-weight graph degenerates to 0
+    z = spark.createDataFrame([(0, 1, 0.0)], "src long, dst long, w double")
+    assert modularity(z, lab, weight_col="w").collect()[0]["modularity"] == 0.0
