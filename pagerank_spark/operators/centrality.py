@@ -1,0 +1,317 @@
+"""Centrality family beyond PageRank/HITS: Katz, eigenvector,
+closeness (pivot estimator) and betweenness (pivot-sampled Brandes).
+
+Extensions beyond the C reference (it computes only PageRank,
+``Page_Rank_SERIAL.c:206-279``); these are the remaining classic
+centralities a link-graph engine's users reach for, expressed on the
+same loop-invariant execution shapes the engine already proves out:
+
+- **Katz / eigenvector** are gather-sum power iterations — the exact
+  motion of the HITS half-step (``hits.py``): the O(E) edge table is
+  hash-partitioned and persisted ONCE per join key, each round moves
+  only the O(V) score side (broadcast below 100k vertices,
+  shuffle-hash above), and the remaining per-round O(E) motion is the
+  partial-aggregated message shuffle.
+- **Betweenness** is Brandes' algorithm (Brandes 2001, "A faster
+  algorithm for betweenness centrality") with the pivot-sampling
+  estimator (Brandes & Pich 2007): run the forward BFS-with-path-
+  counts and the backward dependency accumulation from a pivot set
+  instead of every vertex. All pivots advance together in ONE keyed
+  frontier (like ``paths.multi_source_bfs``), so the round count is
+  2·max-eccentricity, not |pivots|·diameter. Exact when ``pivots`` is
+  the full vertex set.
+
+Scale notes: forward state is O(Σ reached) rows of (source, id, dist,
+sigma) — pivot count is the knob that bounds it; each forward round
+moves only the frontier, each backward round only one BFS level. No
+driver-side per-vertex work; the only collects are one max-level agg
+and the convergence checksums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.plans.iterate import iterate
+
+# Below this many vertices the O(V) score side broadcasts (same
+# measured threshold as hits.py / labelprop.py: re-broadcasting tiny
+# vectors beats shuffling them; above it only the score side exchanges
+# against the pre-partitioned cached edge table).
+_BROADCAST_V = 100_000
+
+
+def _gather_ready(edges: DataFrame, weight_col: str | None):
+    """(edge table keyed for the src-side gather, vertices, n, hint).
+
+    One persisted copy partitioned by ``src``: every round's join
+    against the score side is exchange-free on the fat side.
+    """
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    e = edges.select(*cols)
+    if weight_col:
+        e = e.withColumn(weight_col, F.col(weight_col).cast("double"))
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = vertices.count()
+    hint = "broadcast" if n <= _BROADCAST_V else "shuffle_hash"
+    e = e.persist() if hint == "broadcast" else e.repartition(P, "src").persist()
+    e.count()
+    return e, vertices, n, hint
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 10,
+    tol: float | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Katz centrality ``x_k(v) = beta + alpha·Σ_{(u→v)} w·x_{k-1}(u)``
+    starting from ``x_0 = beta``; returns ``DataFrame[id, katz]``.
+
+    Runs exactly ``max_iter`` rounds when ``tol`` is None (the
+    fixed-iteration form an external oracle can replay); with ``tol``
+    set, stops early at L1 delta < tol. Duplicate edges carry
+    multiplicity, matching the engine's degree semantics. ``alpha``
+    must be below 1/λ_max for the series to converge — the caller's
+    contract, as with NetworkX.
+    """
+    e, vertices, _n, hint = _gather_ready(edges, weight_col)
+    wexpr = (
+        (F.col(weight_col) * F.col("katz")).alias("_m")
+        if weight_col
+        else F.col("katz").alias("_m")
+    )
+
+    def _step(state: DataFrame, _round: int) -> DataFrame:
+        msgs = (
+            e.join(state.select(F.col("id").alias("src"), "katz").hint(hint), "src")
+            .select(F.col("dst").alias("id"), wexpr)
+            .groupBy("id")
+            .agg(F.sum("_m").alias("_s"))
+        )
+        return vertices.join(msgs, "id", "left").select(
+            "id",
+            (
+                F.lit(float(beta))
+                + F.lit(float(alpha)) * F.coalesce("_s", F.lit(0.0))
+            ).alias("katz"),
+        )
+
+    if tol is None:
+        _converged = lambda _p, _n_, _r: False  # noqa: E731 — fixed rounds
+    else:
+
+        def _converged(prev: DataFrame, new: DataFrame, _round: int) -> bool:
+            d = (
+                new.join(prev.select("id", F.col("katz").alias("_pk")), "id")
+                .agg(F.sum(F.abs(F.col("katz") - F.col("_pk"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            return d is not None and d < tol
+
+    init = vertices.select("id", F.lit(float(beta)).alias("katz"))
+    state, _rounds, _done = iterate(init, _step, _converged, max_iter)
+    e.unpersist()
+    return state.select("id", "katz")
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    max_iter: int = 20,
+    tol: float | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Power iteration on Aᵀ with L2 normalization per round — the
+    principal eigenvector of the (in-)adjacency matrix; returns
+    ``DataFrame[id, eigenvector]``.
+
+    Exactly the authority half-step of HITS iterated alone (same
+    normalize-via-broadcast-scalar trick, see
+    ``hits._l2_normalized``). Vertices with no in-path from the
+    dominant component converge to 0.
+    """
+    from pagerank_spark.operators.hits import _l2_normalized
+
+    e, vertices, _n, hint = _gather_ready(edges, weight_col)
+    wexpr = (
+        (F.col(weight_col) * F.col("eigenvector")).alias("_m")
+        if weight_col
+        else F.col("eigenvector").alias("_m")
+    )
+
+    def _step(state: DataFrame, _round: int) -> DataFrame:
+        msgs = (
+            e.join(
+                state.select(F.col("id").alias("src"), "eigenvector").hint(hint),
+                "src",
+            )
+            .select(F.col("dst").alias("id"), wexpr)
+            .groupBy("id")
+            .agg(F.sum("_m").alias("_s"))
+        )
+        raw = vertices.join(msgs, "id", "left").select(
+            "id", F.coalesce("_s", F.lit(0.0)).alias("eigenvector")
+        )
+        return _l2_normalized(raw, "eigenvector")
+
+    if tol is None:
+        _converged = lambda _p, _n_, _r: False  # noqa: E731 — fixed rounds
+    else:
+
+        def _converged(prev: DataFrame, new: DataFrame, _round: int) -> bool:
+            d = (
+                new.join(prev.select("id", F.col("eigenvector").alias("_pe")), "id")
+                .agg(F.sum(F.abs(F.col("eigenvector") - F.col("_pe"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            return d is not None and d < tol
+
+    init = vertices.select("id", F.lit(1.0).alias("eigenvector"))
+    # checkpoint=False: _l2_normalized already materializes each round
+    state, _rounds, _done = iterate(
+        init, _step, _converged, max_iter, checkpoint=False
+    )
+    e.unpersist()
+    return state.select("id", "eigenvector")
+
+
+def brandes_forward(
+    edges: DataFrame, pivots: list[int], max_iter: int = 50
+) -> DataFrame:
+    """Keyed BFS with shortest-path counts: one row per (pivot,
+    reached vertex) — ``DataFrame[source, id, dist, sigma]`` where
+    ``sigma`` is the number of shortest source→id paths (parallel
+    edges count as distinct paths, consistent with the engine's
+    multiplicity-carrying degree semantics).
+
+    Frontier-driven: each round joins ONLY the newest level against
+    the pre-partitioned edge table, aggregates path counts by
+    (source, dst), and anti-joins the already-settled set — in a BFS
+    every vertex settles at its first reachable level, so the
+    anti-join is exact, not an approximation.
+    """
+    if not pivots:
+        raise ValueError("pivots must be non-empty")
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").repartition(P, "src").persist()
+    e.count()
+    init = spark.createDataFrame(
+        [(int(s), int(s), 0, 1.0) for s in set(pivots)],
+        "source long, id long, dist long, sigma double",
+    ).localCheckpoint()
+
+    settled = init
+    frontier = init
+    for level in range(1, max_iter + 1):
+        msgs = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            msgs.join(settled.select("source", "id"), ["source", "id"], "left_anti")
+            .select(
+                "source", "id", F.lit(level).cast("long").alias("dist"), "sigma"
+            )
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        settled = settled.unionByName(new).localCheckpoint()
+        frontier = new
+    e.unpersist()
+    return settled
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    pivots: list[int],
+    max_iter: int = 50,
+    normalized: bool = False,
+) -> DataFrame:
+    """Pivot-sampled Brandes betweenness over DIRECTED edges:
+    ``DataFrame[id, betweenness]`` with
+    ``betweenness(v) = Σ_{s ∈ pivots, s≠v} Σ_{t} σ_st(v)/σ_st``
+    (the dependency sum δ_s(v) accumulated per pivot; exact directed
+    betweenness when ``pivots`` is the full vertex set — symmetrize
+    and halve upstream for the undirected convention).
+
+    Phase 1 (forward) is ``brandes_forward``; phase 2 walks BFS levels
+    deepest-first: the dependency of a level-(l−1) vertex v is
+    ``δ(v) = Σ_{(v→w), dist(w)=dist(v)+1} σ(v)/σ(w) · (1 + δ(w))``,
+    one bounded join per level, every pivot's level-l slice processed
+    in the same round. ``normalized=True`` divides by
+    ``(|pivots|)·(n−2)`` — the sampled analogue of the 1/((n−1)(n−2))
+    directed normalization, with n from the reached vertex set.
+    """
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    levels = brandes_forward(edges, pivots, max_iter)
+    # one persisted dst-keyed copy for the backward joins (the forward
+    # pass used a src-keyed one; both phases keep the fat side parked)
+    e = edges.select("src", "dst").repartition(P, "dst").persist()
+    e.count()
+    lmax_row = levels.agg(F.max("dist").alias("m")).collect()[0]
+    lmax = int(lmax_row["m"] or 0)
+
+    deltas = spark.createDataFrame(
+        [], "source long, id long, delta double"
+    ).localCheckpoint()
+    for level in range(lmax, 0, -1):
+        # w-side: vertices AT this level, with their settled dependency
+        w = (
+            levels.where(F.col("dist") == level)
+            .join(deltas, ["source", "id"], "left")
+            .select(
+                "source",
+                F.col("id").alias("dst"),
+                F.col("sigma").alias("_sw"),
+                F.coalesce("delta", F.lit(0.0)).alias("_dw"),
+            )
+        )
+        # predecessors: v at level-1 with an edge v→w (per pivot)
+        v = levels.where(F.col("dist") == level - 1).select(
+            "source", F.col("id").alias("src"), F.col("sigma").alias("_sv")
+        )
+        new = (
+            e.join(w, "dst")
+            .join(v, ["source", "src"])
+            .groupBy("source", F.col("src").alias("id"))
+            .agg(
+                F.sum(
+                    F.col("_sv") / F.col("_sw") * (F.lit(1.0) + F.col("_dw"))
+                ).alias("delta")
+            )
+        )
+        deltas = deltas.unionByName(new).localCheckpoint()
+    e.unpersist()
+
+    out = (
+        deltas.where(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    if normalized:
+        n = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .count()
+        )
+        k = len(set(pivots))
+        denom = float(k * max(n - 2, 1))
+        out = out.select(
+            "id", (F.col("betweenness") / F.lit(denom)).alias("betweenness")
+        )
+    return out

@@ -208,3 +208,26 @@ def harmonic_centrality(
         .groupBy("id")
         .agg(F.sum(1.0 / F.col("dist")).alias("harmonic"))
     )
+
+
+def closeness_centrality(
+    edges: DataFrame, pivots: list[int], max_iter: int = 50
+) -> DataFrame:
+    """Pivot-estimated closeness: ``DataFrame[id, closeness]`` with
+    ``closeness(v) = k_v / Σ_{p ∈ pivots, d(p,v)>0} d(p → v)`` where
+    ``k_v`` counts the pivots reaching v — the inverse mean distance
+    from the reaching pivots (Eppstein & Wang pivot estimator, same
+    sampling contract as :func:`harmonic_centrality`; exact directed
+    closeness when ``pivots`` is the full vertex set). Vertices no
+    pivot reaches don't appear (closeness 0 by the 1/∞ convention).
+    One keyed multi-source BFS regardless of pivot count."""
+    d = multi_source_bfs(edges, pivots, max_iter)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            (
+                F.count(F.lit(1)).cast("double") / F.sum("dist")
+            ).alias("closeness")
+        )
+    )

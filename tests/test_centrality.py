@@ -1,0 +1,223 @@
+"""Katz / eigenvector / closeness / betweenness vs dense driver oracles.
+
+Oracles are straight textbook implementations (NumPy power series,
+per-pivot BFS, Brandes with explicit predecessor sums) over the same
+multigraph semantics the engine pins: duplicate edges carry
+multiplicity everywhere — in the gather sums AND in shortest-path
+counts (two parallel edges = two distinct paths).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pytest
+
+
+def _random_pairs(seed: int, n: int, e: int):
+    rng = np.random.RandomState(seed)
+    return [(int(a), int(b)) for a, b in rng.randint(0, n, size=(e, 2))]
+
+
+def _dense(pairs):
+    ids = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d in pairs:
+        A[idx[s], idx[d]] += 1
+    return ids, idx, A
+
+
+def test_katz_matches_numpy(spark):
+    pairs = _random_pairs(31, 30, 150)
+    from pagerank_spark.operators.centrality import katz_centrality
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["id"]: r["katz"] for r in katz_centrality(e, alpha=0.05, beta=1.0, max_iter=6).collect()}
+    ids, idx, A = _dense(pairs)
+    x = np.ones(len(ids))
+    for _ in range(6):
+        x = 1.0 + 0.05 * (A.T @ x)
+    assert all(abs(got[v] - x[idx[v]]) < 1e-9 for v in ids)
+
+
+def test_katz_weighted_and_tol(spark):
+    pairs = _random_pairs(7, 20, 80)
+    rows = [(s, d, 1.0 + ((s + d) % 3)) for s, d in pairs]
+    from pagerank_spark.operators.centrality import katz_centrality
+
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {
+        r["id"]: r["katz"]
+        for r in katz_centrality(
+            e, alpha=0.01, beta=2.0, max_iter=50, tol=1e-12, weight_col="w"
+        ).collect()
+    }
+    ids = sorted({x for s, d, _ in rows for x in (s, d)})
+    idx = {v: i for i, v in enumerate(ids)}
+    W = np.zeros((len(ids), len(ids)))
+    for s, d, w in rows:
+        W[idx[s], idx[d]] += w
+    x = np.full(len(ids), 2.0)
+    for _ in range(200):
+        x = 2.0 + 0.01 * (W.T @ x)
+    assert all(abs(got[v] - x[idx[v]]) < 1e-9 for v in ids)
+
+
+def test_eigenvector_matches_numpy(spark):
+    pairs = _random_pairs(11, 25, 120)
+    from pagerank_spark.operators.centrality import eigenvector_centrality
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["eigenvector"]
+        for r in eigenvector_centrality(e, max_iter=8).collect()
+    }
+    ids, idx, A = _dense(pairs)
+    x = np.ones(len(ids))
+    for _ in range(8):
+        x = A.T @ x
+        n = np.sqrt((x * x).sum())
+        x = x / n if n > 0 else x
+    assert all(abs(got[v] - x[idx[v]]) < 1e-9 for v in ids)
+
+
+def _bfs_dists(adj, s):
+    dist = {s: 0}
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, {}):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _multi_adj(pairs):
+    adj: dict[int, dict[int, int]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, {})
+        adj[s][d] = adj[s].get(d, 0) + 1
+    return adj
+
+
+def test_closeness_pivots_matches_bfs(spark):
+    pairs = _random_pairs(3, 40, 130)
+    from pagerank_spark.operators.paths import closeness_centrality
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    pivots = [0, 1, 2, 5, 9]
+    got = {
+        r["id"]: r["closeness"]
+        for r in closeness_centrality(e, pivots).collect()
+    }
+    adj = _multi_adj(pairs)
+    sums: dict[int, list[int]] = {}
+    for p in set(pivots):
+        for v, d in _bfs_dists(adj, p).items():
+            if d > 0:
+                sums.setdefault(v, []).append(d)
+    want = {v: len(ds) / sum(ds) for v, ds in sums.items()}
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) < 1e-12 for v in want)
+
+
+def _brandes(adj, ids, sources):
+    """Directed multigraph Brandes dependency sums (Brandes 2001,
+    Alg. 1), parallel edges as distinct paths."""
+    bc = {v: 0.0 for v in ids}
+    for s in sources:
+        sigma = {v: 0.0 for v in ids}
+        dist = {v: -1 for v in ids}
+        sigma[s], dist[s] = 1.0, 0
+        order, q = [], deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v, m in adj.get(u, {}).items():
+                if dist[v] < 0:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += m * sigma[u]
+        delta = {v: 0.0 for v in ids}
+        for u in reversed(order):
+            for v, m in adj.get(u, {}).items():
+                if dist[v] == dist[u] + 1:
+                    delta[u] += m * sigma[u] / sigma[v] * (1.0 + delta[v])
+            if u != s:
+                bc[u] += delta[u]
+    return bc
+
+
+def test_betweenness_exact_all_pivots(spark):
+    pairs = _random_pairs(13, 18, 60)
+    from pagerank_spark.operators.centrality import betweenness_centrality
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ids = sorted({x for p in pairs for x in p})
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(e, pivots=ids).collect()
+    }
+    adj = _multi_adj(pairs)
+    want = _brandes(adj, ids, ids)
+    for v in ids:
+        assert abs(got.get(v, 0.0) - want[v]) < 1e-9, v
+
+
+def test_betweenness_pivot_subset_and_normalized(spark):
+    pairs = _random_pairs(23, 25, 90)
+    from pagerank_spark.operators.centrality import betweenness_centrality
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ids = sorted({x for p in pairs for x in p})
+    pivots = ids[:5]
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(e, pivots=pivots).collect()
+    }
+    adj = _multi_adj(pairs)
+    want = _brandes(adj, ids, pivots)
+    for v in ids:
+        assert abs(got.get(v, 0.0) - want[v]) < 1e-9, v
+    norm = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(
+            e, pivots=pivots, normalized=True
+        ).collect()
+    }
+    denom = len(pivots) * (len(ids) - 2)
+    for v in norm:
+        assert abs(norm[v] - got[v] / denom) < 1e-12
+
+
+def test_betweenness_path_graph_known_values(spark):
+    # 0→1→2→3: interior vertices carry (pairs passing through them)
+    from pagerank_spark.operators.centrality import betweenness_centrality
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(e, pivots=[0, 1, 2, 3]).collect()
+    }
+    # v=1 lies on 0→2, 0→3; v=2 on 0→3, 1→3
+    assert got == {1: 2.0, 2: 2.0}
+
+
+def test_centrality_empty_and_errors(spark):
+    from pagerank_spark.operators.centrality import (
+        betweenness_centrality,
+        brandes_forward,
+        katz_centrality,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert katz_centrality(empty, max_iter=2).count() == 0
+    assert betweenness_centrality(empty, pivots=[0]).count() == 0
+    with pytest.raises(ValueError):
+        brandes_forward(empty, [])
