@@ -427,6 +427,70 @@ def q_harmonic_pivots(spark, sf_dir):
     )
 
 
+def q_closeness_pivots(spark, sf_dir):
+    """Pivot-estimated closeness (inverse mean distance from the
+    reaching pivots) — same keyed BFS as harmonic, different fold."""
+    from pagerank_spark.operators.paths import closeness_centrality
+
+    return (
+        closeness_centrality(_edges(spark, sf_dir), HARMONIC_PIVOTS)
+        .select("id", F.round("closeness", 7).alias("closeness"))
+        .orderBy("id")
+    )
+
+
+KATZ_ITERS = 8
+KATZ_ALPHA = 0.002
+KATZ_BETA = 1.0
+
+
+def q_katz(spark, sf_dir):
+    """Katz centrality at fixed iterations — value-checked against an
+    unrolled gather CTE (x_k = beta + alpha·Aᵀx_{k-1})."""
+    from pagerank_spark.operators.centrality import katz_centrality
+
+    return (
+        katz_centrality(
+            _edges(spark, sf_dir),
+            alpha=KATZ_ALPHA,
+            beta=KATZ_BETA,
+            max_iter=KATZ_ITERS,
+        )
+        .select("id", F.round("katz", 7).alias("katz"))
+        .orderBy("id")
+    )
+
+
+EIGEN_ITERS = 8
+
+
+def q_eigenvector(spark, sf_dir):
+    """Power iteration on Aᵀ with per-round L2 normalization — the
+    authority half of HITS iterated alone, unrolled-CTE oracle."""
+    from pagerank_spark.operators.centrality import eigenvector_centrality
+
+    return (
+        eigenvector_centrality(_edges(spark, sf_dir), max_iter=EIGEN_ITERS)
+        .select("id", F.round("eigenvector", 7).alias("eigenvector"))
+        .orderBy("id")
+    )
+
+
+BETWEENNESS_PIVOTS = [0, 1, 2, 3, 4]
+
+
+def q_betweenness_pivots(spark, sf_dir):
+    """Pivot-sampled Brandes betweenness — forward sigma BFS plus
+    backward dependency accumulation, both unrolled in the oracle."""
+    from pagerank_spark.operators.centrality import betweenness_centrality
+
+    return (
+        betweenness_centrality(_edges(spark, sf_dir), BETWEENNESS_PIVOTS)
+        .select("id", F.round("betweenness", 7).alias("betweenness"))
+        .orderBy("id")
+    )
+
+
 def q_hash_split_md5(spark, sf_dir):
     """Deterministic train/val/test assignment over documents (80/10/10
     keyed on doc_id) — md5 twin of the xxhash64 production path."""
@@ -1238,6 +1302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_md5": q_stratified_sample_md5,
         "modularity_mod4": q_modularity_mod4,
         "harmonic_pivots": q_harmonic_pivots,
+        "closeness_pivots": q_closeness_pivots,
+        "katz": q_katz,
+        "eigenvector": q_eigenvector,
+        "betweenness_pivots": q_betweenness_pivots,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -1514,9 +1582,10 @@ def _sssp_levels_sql(src_cte: str, prefix: str, rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _harmonic_sql(edges_sql: str, pivots: list[int]) -> str:
-    """Keyed multi-source BFS unroll (source column carried through
-    every level), then the harmonic fold Σ 1/d over positive dists."""
+def _pivot_bfs_parts(edges_sql: str, pivots: list[int]) -> list[str]:
+    """Shared keyed multi-source BFS unroll (source column carried
+    through every level): CTE chain ``h0..h{SSSP_SQL_ROUNDS}`` over
+    ``eg``; callers append their centrality fold."""
     r = SSSP_SQL_ROUNDS
     seeds = ", ".join(f"({int(p)})" for p in pivots)
     parts = [
@@ -1533,9 +1602,131 @@ def _harmonic_sql(edges_sql: str, pivots: list[int]) -> str:
             f"GROUP BY source, id),"
         )
     parts[-1] = parts[-1].rstrip(",")
+    return parts
+
+
+def _harmonic_sql(edges_sql: str, pivots: list[int]) -> str:
+    """Keyed BFS unroll, then the harmonic fold Σ 1/d over d > 0."""
+    r = SSSP_SQL_ROUNDS
+    parts = _pivot_bfs_parts(edges_sql, pivots)
     parts.append(
         f"SELECT id, round(sum(1.0 / dist), 7) AS harmonic FROM h{r} "
         "WHERE dist > 0 GROUP BY id ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _closeness_sql(edges_sql: str, pivots: list[int]) -> str:
+    """Keyed BFS unroll, then the closeness fold k_v / Σ d over d > 0
+    (inverse mean distance from the reaching pivots)."""
+    r = SSSP_SQL_ROUNDS
+    parts = _pivot_bfs_parts(edges_sql, pivots)
+    parts.append(
+        f"SELECT id, round(CAST(count(*) AS DOUBLE) / sum(dist), 7) "
+        f"AS closeness FROM h{r} "
+        "WHERE dist > 0 GROUP BY id ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _katz_sql(edges_sql: str, iters: int, alpha: float, beta: float) -> str:
+    """Unrolled Katz gather: x_k = beta + alpha·Σ_{(u→v)} x_{k-1}(u),
+    x_0 = beta; duplicate edges carry multiplicity as in the engine."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "v AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        f"x0 AS (SELECT id, CAST({beta!r} AS DOUBLE) AS katz FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT v.id, "
+            f"CAST({beta!r} AS DOUBLE) + CAST({alpha!r} AS DOUBLE) "
+            f"* coalesce(s.s, 0) AS katz "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, sum(x.katz) AS s "
+            f"FROM eg e JOIN x{k-1} x ON e.src = x.id GROUP BY e.dst) s "
+            f"USING (id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, round(katz, 7) AS katz FROM x{iters} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _eigenvector_sql(edges_sql: str, iters: int) -> str:
+    """Unrolled power iteration on Aᵀ with per-level L2 normalization —
+    the authority half of ``_hits_sql`` iterated alone (norms hoisted
+    into MATERIALIZED scalar CTEs, same DuckDB caveat)."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "v AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        "x0 AS (SELECT id, 1.0 AS ev FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            f"x{k}r AS (SELECT v.id, coalesce(s.s, 0) AS s FROM v LEFT JOIN "
+            f"(SELECT e.dst AS id, sum(x.ev) AS s FROM eg e "
+            f"JOIN x{k-1} x ON e.src = x.id GROUP BY e.dst) s USING (id)),",
+            f"x{k}n AS MATERIALIZED (SELECT sqrt(sum(s*s)) AS nrm FROM x{k}r),",
+            f"x{k} AS MATERIALIZED (SELECT id, s / (CASE WHEN "
+            f"(SELECT nrm FROM x{k}n) > 0 THEN (SELECT nrm FROM x{k}n) "
+            f"ELSE 1.0 END) AS ev FROM x{k}r),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, round(ev, 7) AS eigenvector FROM x{iters} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _betweenness_sql(edges_sql: str, pivots: list[int]) -> str:
+    """Unrolled Brandes: forward keyed BFS with path counts (sigma
+    sums over edge instances, new levels anti-joined against the
+    settled set), then the backward dependency chain processed from
+    the deepest unrolled level down — levels beyond the true
+    eccentricity are empty and contribute nothing, so a fixed unroll
+    depth is exact."""
+    r = SSSP_SQL_ROUNDS
+    seeds = ", ".join(f"({int(p)})" for p in sorted(set(pivots)))
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        f"f0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) "
+        f"AS id, CAST(0 AS BIGINT) AS dist, CAST(1 AS DOUBLE) AS sigma "
+        f"FROM (VALUES {seeds}) t(s)),",
+    ]
+    for k in range(1, r + 1):
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT * FROM f{k-1} UNION ALL "
+            f"SELECT m.source, m.id, CAST({k} AS BIGINT) AS dist, m.sigma "
+            f"FROM (SELECT x.source, e.dst AS id, sum(x.sigma) AS sigma "
+            f"FROM eg e JOIN f{k-1} x ON e.src = x.id AND x.dist = {k-1} "
+            f"GROUP BY x.source, e.dst) m "
+            f"WHERE NOT EXISTS (SELECT 1 FROM f{k-1} p "
+            f"WHERE p.source = m.source AND p.id = m.id)),"
+        )
+    parts.append(
+        f"d{r+1} AS (SELECT CAST(NULL AS BIGINT) AS source, "
+        "CAST(NULL AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS delta "
+        "WHERE 1 = 0),"
+    )
+    for level in range(r, 0, -1):
+        parts.append(
+            f"d{level} AS MATERIALIZED (SELECT * FROM d{level+1} UNION ALL "
+            f"SELECT v.source, v.id, sum(v.sigma / w.sigma "
+            f"* (1 + coalesce(dw.delta, 0))) AS delta "
+            f"FROM f{r} v JOIN eg e ON e.src = v.id "
+            f"JOIN f{r} w ON w.source = v.source AND w.id = e.dst "
+            f"AND w.dist = {level} "
+            f"LEFT JOIN d{level+1} dw "
+            f"ON dw.source = w.source AND dw.id = w.id "
+            f"WHERE v.dist = {level - 1} GROUP BY v.source, v.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT id, round(sum(delta), 7) AS betweenness FROM d1 "
+        "WHERE id <> source GROUP BY id ORDER BY id"
     )
     return "\n".join(parts)
 
@@ -2189,6 +2380,10 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE {int(round(0.1 * 1048576))} END ORDER BY event_id"
         ),
         "harmonic_pivots": _harmonic_sql(eg, HARMONIC_PIVOTS),
+        "closeness_pivots": _closeness_sql(eg, HARMONIC_PIVOTS),
+        "katz": _katz_sql(eg, KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
+        "eigenvector": _eigenvector_sql(eg, EIGEN_ITERS),
+        "betweenness_pivots": _betweenness_sql(eg, BETWEENNESS_PIVOTS),
         "modularity_mod4": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "
             "mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM simple), "
