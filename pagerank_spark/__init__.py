@@ -50,10 +50,16 @@ from pagerank_spark.operators.triangles import (
     triangle_count,
 )
 from pagerank_spark.operators.paths import (
+    closeness_centrality,
     double_sweep,
     harmonic_centrality,
     multi_source_bfs,
     shortest_paths,
+)
+from pagerank_spark.operators.centrality import (
+    betweenness_centrality,
+    eigenvector_centrality,
+    katz_centrality,
 )
 from pagerank_spark.operators.summary import graph_summary
 from pagerank_spark.operators.derive import derive_edges

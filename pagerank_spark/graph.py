@@ -234,6 +234,52 @@ class LinkGraph:
 
         return double_sweep(self.edges, start=start)
 
+    def harmonic_centrality(
+        self, pivots: list[int], max_iter: int = 50
+    ) -> DataFrame:
+        from pagerank_spark.operators.paths import harmonic_centrality
+
+        return harmonic_centrality(self.edges, pivots, max_iter=max_iter)
+
+    def closeness_centrality(
+        self, pivots: list[int], max_iter: int = 50
+    ) -> DataFrame:
+        from pagerank_spark.operators.paths import closeness_centrality
+
+        return closeness_centrality(self.edges, pivots, max_iter=max_iter)
+
+    def katz_centrality(
+        self,
+        alpha: float = 0.1,
+        beta: float = 1.0,
+        max_iter: int = 10,
+        tol: float | None = None,
+    ) -> DataFrame:
+        from pagerank_spark.operators.centrality import katz_centrality
+
+        return katz_centrality(
+            self.edges, alpha=alpha, beta=beta, max_iter=max_iter, tol=tol,
+            weight_col=self.weight_col,
+        )
+
+    def eigenvector_centrality(
+        self, max_iter: int = 20, tol: float | None = None
+    ) -> DataFrame:
+        from pagerank_spark.operators.centrality import eigenvector_centrality
+
+        return eigenvector_centrality(
+            self.edges, max_iter=max_iter, tol=tol, weight_col=self.weight_col
+        )
+
+    def betweenness_centrality(
+        self, pivots: list[int], max_iter: int = 50, normalized: bool = False
+    ) -> DataFrame:
+        from pagerank_spark.operators.centrality import betweenness_centrality
+
+        return betweenness_centrality(
+            self.edges, pivots, max_iter=max_iter, normalized=normalized
+        )
+
     def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
         """Join a dense-id result back to original ids (post-densify)."""
         if self.mapping is None:

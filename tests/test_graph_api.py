@@ -43,3 +43,19 @@ def test_linkgraph_sssp_and_ppr(spark):
     v = {r["id"]: r["rank"] for r in ppr.ranks.collect()}
     assert abs(sum(v.values()) - 1.0) < 1e-9
     assert v[0] == max(v.values())  # restart vertex dominates
+
+
+def test_linkgraph_centrality_surface(spark):
+    from pagerank_spark.testing import DEMO_EDGES, DEMO_N, edges_df
+
+    g = LinkGraph(edges=edges_df(spark, DEMO_EDGES), n=DEMO_N)
+    ids = list(range(DEMO_N))
+    kz = {r["id"]: r["katz"] for r in g.katz_centrality(alpha=0.05, max_iter=4).collect()}
+    assert set(kz) == set(ids) and all(v > 1.0 for v in kz.values())
+    ev = {r["id"]: r["eigenvector"] for r in g.eigenvector_centrality(max_iter=6).collect()}
+    assert abs(sum(v * v for v in ev.values()) - 1.0) < 1e-9
+    cl = {r["id"]: r["closeness"] for r in g.closeness_centrality(ids).collect()}
+    # DEMO is strongly connected: every vertex reached by all other pivots
+    assert set(cl) == set(ids) and all(0 < v <= 1.0 for v in cl.values())
+    bc = g.betweenness_centrality(ids, normalized=True)
+    assert bc.count() > 0
