@@ -491,6 +491,44 @@ def q_betweenness_pivots(spark, sf_dir):
     )
 
 
+def q_assortativity(spark, sf_dir):
+    """Out-in degree assortativity (Newman 2002) — exact integer
+    moment sums, one closed-form Pearson expression."""
+    from pagerank_spark.operators.degrees import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf_dir)).select(
+        F.round("assortativity", 7).alias("assortativity")
+    )
+
+
+def q_community_graph(spark, sf_dir):
+    """LPA communities contracted into a weighted supergraph — the
+    Louvain phase-2 composition (cluster → coarsen)."""
+    from pagerank_spark.operators.cooccur import contract_graph
+
+    e = _edges(spark, sf_dir)
+    labels = label_propagation(e, max_iter=LPA_ROUNDS)
+    return contract_graph(e, labels, label_col="label").orderBy("src", "dst")
+
+
+TFIDF_K = 5
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (smoothed sklearn-style idf,
+    deterministic tie-break)."""
+    from pagerank_spark.operators.textstats import tfidf_top_terms
+
+    return (
+        tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+        .select(
+            "doc_id", "pos", "term", "tf", "df",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def q_hash_split_md5(spark, sf_dir):
     """Deterministic train/val/test assignment over documents (80/10/10
     keyed on doc_id) — md5 twin of the xxhash64 production path."""
@@ -1306,6 +1344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "betweenness_pivots": q_betweenness_pivots,
+        "assortativity": q_assortativity,
+        "community_graph": q_community_graph,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
         "derive_file_edges": q_derive_file_edges,
@@ -1960,8 +2001,10 @@ def _cc_sql() -> str:
     return "\n".join(parts)
 
 
-def _lpa_sql() -> str:
-    """Unrolled synchronous LPA with (count desc, label asc) argmax."""
+def _lpa_sql(final: str | None = None) -> str:
+    """Unrolled synchronous LPA with (count desc, label asc) argmax.
+    ``final`` overrides the closing SELECT (it may reference ``eg``
+    and ``l{LPA_ROUNDS}``) — used by the community-contraction gate."""
     parts = [
         f"WITH eg AS ({_EDGES_SQL}),",
         "vs AS (SELECT DISTINCT id FROM (SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
@@ -1981,8 +2024,69 @@ def _lpa_sql() -> str:
             f"WHERE rn = 1) p USING (id)),"
         )
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(f"SELECT id, label FROM l{LPA_ROUNDS} ORDER BY id")
+    parts.append(
+        final
+        if final is not None
+        else f"SELECT id, label FROM l{LPA_ROUNDS} ORDER BY id"
+    )
     return "\n".join(parts)
+
+
+def _community_graph_sql() -> str:
+    """LPA labels → endpoint relabel → collapse parallel edges."""
+    return _lpa_sql(
+        final=(
+            f"SELECT coalesce(a.label, e.src) AS src, "
+            f"coalesce(b.label, e.dst) AS dst, count(*) AS weight "
+            f"FROM eg e LEFT JOIN l{LPA_ROUNDS} a ON e.src = a.id "
+            f"LEFT JOIN l{LPA_ROUNDS} b ON e.dst = b.id "
+            f"GROUP BY 1, 2 ORDER BY src, dst"
+        )
+    )
+
+
+def _assortativity_sql(edges_sql: str) -> str:
+    """Exact integer moment sums (hugeint), then the Pearson formula
+    as the identical closed-form double expression the engine uses."""
+    return (
+        f"WITH eg AS ({edges_sql}), "
+        "od AS (SELECT src, count(*) AS x FROM eg GROUP BY src), "
+        "idg AS (SELECT dst, count(*) AS y FROM eg GROUP BY dst), "
+        "j AS (SELECT x, y FROM eg e JOIN od USING (src) "
+        "JOIN idg USING (dst)), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, "
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy, "
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy FROM j) "
+        "SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 "
+        "THEN round((n * sxy - sx * sy) / "
+        "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 7) "
+        "END AS assortativity FROM s"
+    )
+
+
+def _tfidf_sql(k: int) -> str:
+    """Tokenize → tf → df → smoothed idf → per-doc top-k with the
+    engine's (tfidf desc, term asc) tie-break."""
+    return (
+        "WITH dd AS (SELECT doc_id, text FROM documents), "
+        "toks AS (SELECT doc_id, unnest(list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) "
+        "AS term FROM dd), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "nn AS (SELECT count(DISTINCT doc_id) AS n FROM dd), "
+        "sc AS (SELECT t.doc_id, t.term, t.tf, d.df, "
+        "t.tf * (ln((CAST((SELECT n FROM nn) AS DOUBLE) + 1.0) "
+        "/ (CAST(d.df AS DOUBLE) + 1.0)) + 1.0) AS tfidf "
+        "FROM tf t JOIN dfq d USING (term)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf DESC, term ASC) AS pos FROM sc) "
+        f"SELECT doc_id, pos, term, tf, df, round(tfidf, 6) AS tfidf "
+        f"FROM r WHERE pos <= {k} ORDER BY doc_id, pos"
+    )
 
 
 def _corpus_edges_sql(as_ids: bool = False) -> str:
@@ -2384,6 +2488,9 @@ def oracle_sql() -> dict[str, str]:
         "katz": _katz_sql(eg, KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
         "eigenvector": _eigenvector_sql(eg, EIGEN_ITERS),
         "betweenness_pivots": _betweenness_sql(eg, BETWEENNESS_PIVOTS),
+        "assortativity": _assortativity_sql(eg),
+        "community_graph": _community_graph_sql(),
+        "tfidf_top_terms": _tfidf_sql(TFIDF_K),
         "modularity_mod4": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "
             "mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM simple), "

@@ -52,3 +52,59 @@ def cooccurrence_graph(
         .agg(F.count(F.lit(1)).alias("weight"))
         .where(F.col("weight") >= min_count)
     )
+
+
+def contract_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    label_col: str = "label",
+    weight_col: str | None = None,
+    drop_self: bool = False,
+) -> DataFrame:
+    """Community coarsening (the Louvain phase-2 shape): map each
+    endpoint to its community label and collapse parallel edges into
+    one weighted super-edge — ``DataFrame[src, dst, weight]`` on label
+    ids, with ``weight`` = edge multiplicity (or ``sum(weight_col)``).
+
+    Unlabeled endpoints keep their own vertex id (``coalesce``), so a
+    partial labeling contracts only the labeled region. Intra-community
+    edges become self-loops (kept by default — modularity of the
+    coarse graph needs them; ``drop_self=True`` for display graphs).
+
+    Scale shape: two equi-joins against the O(V) label side (broadcast
+    below the engine's usual 100k-vertex threshold, shuffle-hash
+    above — only the label side moves against a fat edge table), then
+    one map-side-combinable aggregation on (super-src, super-dst). The
+    output graph is |communities|-sized and feeds back into every
+    engine operator — iterating contract → cluster → contract is the
+    standard multi-level community pipeline.
+    """
+    lab = labels.select("id", F.col(label_col).alias("_lab"))
+    hint = "broadcast" if lab.count() <= 100_000 else "shuffle_hash"
+    w = (
+        F.sum(F.col(weight_col)).alias("weight")
+        if weight_col
+        else F.count(F.lit(1)).alias("weight")
+    )
+    out = (
+        edges.join(
+            lab.select(F.col("id").alias("src"), F.col("_lab").alias("_ls")).hint(hint),
+            "src",
+            "left",
+        )
+        .join(
+            lab.select(F.col("id").alias("dst"), F.col("_lab").alias("_ld")).hint(hint),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("_ls", "src").alias("src"),
+            F.coalesce("_ld", "dst").alias("dst"),
+            *([weight_col] if weight_col else []),
+        )
+        .groupBy("src", "dst")
+        .agg(w)
+    )
+    if drop_self:
+        out = out.where(F.col("src") != F.col("dst"))
+    return out

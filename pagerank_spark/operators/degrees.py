@@ -88,3 +88,44 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """``DataFrame[assortativity: double]`` (one row) — Pearson
+    correlation between source out-degree and destination in-degree
+    across directed edge instances (the out-in degree assortativity of
+    Newman, "Assortative mixing in networks", PRL 2002). Positive:
+    hubs link to hubs; negative: hubs link to leaves; NULL when either
+    variance is zero (e.g. a regular graph).
+
+    Numerics: the five moment sums are aggregated as exact integers
+    (decimal(38,0) — order-insensitive, so the result is
+    bit-reproducible across partitionings AND engines), and the
+    Pearson formula is one closed-form double expression at the end.
+    That's deliberately NOT ``F.corr`` — streaming covariance
+    accumulates float error in partition order. The two degree joins
+    move only the O(V) degree tables against the edge list; the
+    moment aggregation is a single map-side-combinable pass.
+    """
+    xy = (
+        edges.select("src", "dst")
+        .join(out_degrees(edges).select(F.col("id").alias("src"), F.col("out_deg").alias("_x")), "src")
+        .join(in_degrees(edges).select(F.col("id").alias("dst"), F.col("in_deg").alias("_y")), "dst")
+    )
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d(F.col("_x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("_y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("_x")) * d(F.col("_x"))).cast("double").alias("sxx"),
+        F.sum(d(F.col("_y")) * d(F.col("_y"))).cast("double").alias("syy"),
+        F.sum(d(F.col("_x")) * d(F.col("_y"))).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        ).alias("assortativity")
+    )

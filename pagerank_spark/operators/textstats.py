@@ -144,3 +144,64 @@ def fingerprints(
         F.col(id_col).alias("doc_id"),
         F.array_min(hashed).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``(doc_id, pos, term, tf, df, tfidf)`` with ``pos`` 1..k ranked by
+    (tfidf desc, term asc — deterministic on exact ties, which are the
+    only ties possible since equal (tf, df) pairs produce bit-identical
+    scores).
+
+    Tokenizer: lowercase, split on non-alphanumeric runs (portable —
+    the oracle's ``string_split_regex`` is identical). Smoothed
+    sklearn-style idf ``ln((N+1)/(df+1)) + 1`` keeps unseen-term
+    weights positive; N counts distinct documents via an in-plan
+    broadcast scalar (no driver action).
+
+    Scale shape: explode → (doc, term) count → term df — all
+    map-side-combinable aggregations on skinny rows; the df side is a
+    vocabulary-sized table Catalyst/AQE can broadcast; the final
+    row_number window partitions by doc_id, so per-partition state is
+    one document's vocabulary.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("_n").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select("doc_id", "pos", "term", "tf", "df", "tfidf")
+    )

@@ -221,3 +221,95 @@ def test_centrality_empty_and_errors(spark):
     assert betweenness_centrality(empty, pivots=[0]).count() == 0
     with pytest.raises(ValueError):
         brandes_forward(empty, [])
+
+
+def test_contract_graph_semantics(spark):
+    from pagerank_spark.operators.cooccur import contract_graph
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 3), (3, 0), (4, 4)],
+        "src long, dst long",
+    )
+    # communities: {0,1} -> 10, {2,3} -> 20; 4 unlabeled (keeps own id)
+    labels = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 20), (3, 20)], "id long, label long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in contract_graph(e, labels).collect()
+    }
+    assert got == {(10, 10): 2, (10, 20): 1, (20, 20): 1, (20, 10): 1, (4, 4): 1}
+    no_self = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in contract_graph(e, labels, drop_self=True).collect()
+    }
+    assert no_self == {(10, 20): 1, (20, 10): 1}
+    # weighted: sum the weight column instead of counting
+    ew = spark.createDataFrame(
+        [(0, 1, 2.5), (0, 1, 1.5), (2, 3, 1.0)], "src long, dst long, w double"
+    )
+    ws = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in contract_graph(ew, labels, weight_col="w").collect()
+    }
+    assert ws == {(10, 10): 4.0, (20, 20): 1.0}
+
+
+def test_degree_assortativity_vs_numpy(spark):
+    from pagerank_spark.operators.degrees import degree_assortativity
+
+    pairs = _random_pairs(41, 25, 140)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = degree_assortativity(e).collect()[0]["assortativity"]
+    od: dict[int, int] = {}
+    idg: dict[int, int] = {}
+    for s, d in pairs:
+        od[s] = od.get(s, 0) + 1
+        idg[d] = idg.get(d, 0) + 1
+    x = np.array([od[s] for s, _ in pairs], dtype=float)
+    y = np.array([idg[d] for _, d in pairs], dtype=float)
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(got - want) < 1e-9
+    # regular graph: zero variance on both sides -> NULL
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    assert degree_assortativity(ring).collect()[0]["assortativity"] is None
+
+
+def test_tfidf_top_terms_vs_python(spark):
+    import math
+
+    from pagerank_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "cat dog cat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["pos"], r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_top_terms(docs, k=2).orderBy("doc_id", "pos").collect()
+    ]
+    tf: dict[tuple[int, str], int] = {}
+    for i, t in rows:
+        for w in t.lower().split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df: dict[str, int] = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    n = len(rows)
+    want = []
+    for i, _ in rows:
+        terms = [
+            (w, c, df[w], c * (math.log((n + 1) / (df[w] + 1)) + 1))
+            for (d, w), c in tf.items() if d == i
+        ]
+        terms.sort(key=lambda t: (-t[3], t[0]))
+        for pos, (w, c, dfw, s) in enumerate(terms[:2], 1):
+            want.append((i, pos, w, c, dfw, s))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5], (g, w)
+        assert abs(g[5] - w[5]) < 1e-12
