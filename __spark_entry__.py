@@ -529,6 +529,21 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+MOVES_ROUNDS = 4
+
+
+def q_modularity_moves(spark, sf_dir):
+    """Synchronous Louvain-style local-move sweep at fixed rounds —
+    every vertex adopts the neighboring community with the best ΔQ,
+    ties to the smallest label (replayed exactly by the unrolled
+    oracle)."""
+    from pagerank_spark.operators.labelprop import greedy_modularity_moves
+
+    return greedy_modularity_moves(
+        _edges(spark, sf_dir), max_iter=MOVES_ROUNDS
+    ).orderBy("id")
+
+
 def q_hash_split_md5(spark, sf_dir):
     """Deterministic train/val/test assignment over documents (80/10/10
     keyed on doc_id) — md5 twin of the xxhash64 production path."""
@@ -1346,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_pivots": q_betweenness_pivots,
         "assortativity": q_assortativity,
         "community_graph": q_community_graph,
+        "modularity_moves": q_modularity_moves,
         "tfidf_top_terms": q_tfidf_top_terms,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
@@ -2032,6 +2048,47 @@ def _lpa_sql(final: str | None = None) -> str:
     return "\n".join(parts)
 
 
+def _moves_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled synchronous local-move sweep: per round one community
+    strength table, one (vertex, community) edge-weight aggregation
+    (with the explicit 0-weight stay candidate), the ΔQ expression in
+    the engine's exact operation order, and the (gain desc, label asc)
+    argmax."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+        "kk AS (SELECT id, CAST(count(*) AS DOUBLE) AS k FROM "
+        "(SELECT a AS id FROM simple UNION ALL SELECT b FROM simple) "
+        "GROUP BY id),",
+        "ww AS (SELECT CAST(count(*) AS DOUBLE) AS w FROM simple),",
+        "sym AS (SELECT a AS src, b AS dst FROM simple "
+        "UNION ALL SELECT b, a FROM simple),",
+        "g0 AS (SELECT id, id AS label FROM kk),",
+    ]
+    for k in range(1, rounds + 1):
+        parts += [
+            f"t{k} AS (SELECT g.label, sum(kk.k) AS tot FROM g{k-1} g "
+            f"JOIN kk ON g.id = kk.id GROUP BY g.label),",
+            f"c{k} AS (SELECT id, c, sum(w) AS kvc FROM ("
+            f"SELECT s.src AS id, g.label AS c, 1.0 AS w FROM sym s "
+            f"JOIN g{k-1} g ON s.dst = g.id "
+            f"UNION ALL SELECT id, label AS c, 0.0 FROM g{k-1}) "
+            f"GROUP BY id, c),",
+            f"s{k} AS (SELECT c.id, c.c, c.kvc - kk.k * (t.tot - "
+            f"CASE WHEN c.c = g.label THEN kk.k ELSE 0.0 END) "
+            f"/ (2 * (SELECT w FROM ww)) AS gain "
+            f"FROM c{k} c JOIN t{k} t ON c.c = t.label "
+            f"JOIN g{k-1} g ON c.id = g.id JOIN kk ON c.id = kk.id),",
+            f"g{k} AS MATERIALIZED (SELECT id, c AS label FROM ("
+            f"SELECT id, c, row_number() OVER (PARTITION BY id "
+            f"ORDER BY gain DESC, c ASC) AS rn FROM s{k}) WHERE rn = 1),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, label FROM g{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
 def _community_graph_sql() -> str:
     """LPA labels → endpoint relabel → collapse parallel edges."""
     return _lpa_sql(
@@ -2490,6 +2547,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_pivots": _betweenness_sql(eg, BETWEENNESS_PIVOTS),
         "assortativity": _assortativity_sql(eg),
         "community_graph": _community_graph_sql(),
+        "modularity_moves": _moves_sql(eg, MOVES_ROUNDS),
         "tfidf_top_terms": _tfidf_sql(TFIDF_K),
         "modularity_mod4": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "

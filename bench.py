@@ -71,6 +71,11 @@ EXTRA = [
     "graph_summary",
     "harmonic_pivots",
     "copurchase_graph",
+    "betweenness_pivots",
+    "eigenvector",
+    "assortativity",
+    "community_graph",
+    "tfidf_top_terms",
 ]
 
 SCALE_N = 2_000_000

@@ -171,3 +171,156 @@ def modularity(
         ).alias("q")
     )
     return terms.agg(F.sum("q").alias("modularity"))
+
+
+def greedy_modularity_moves(
+    edges: DataFrame,
+    labels: DataFrame | None = None,
+    max_iter: int = 5,
+    weight_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous Louvain-style local-move sweep: each round, EVERY
+    vertex simultaneously adopts the neighboring community with the
+    best modularity gain — ``DataFrame[id, label]``.
+
+    The per-vertex gain of joining community c (Blondel et al. 2008,
+    "Fast unfolding of communities in large networks", the ΔQ local
+    move) evaluated against the PREVIOUS round's assignment:
+
+        gain(v, c) = k_{v→c}  −  k_v · Σ_tot(c ∖ v) / (2W)
+
+    argmax over the communities of v's neighbors plus v's own (ties →
+    smallest community label — deterministic, replayable in ANSI SQL).
+    The synchronous parallel variant trades Louvain's sequential-sweep
+    convergence guarantee for one bounded-shuffle round — the standard
+    distributed formulation; run a few rounds, then
+    ``contract_graph`` and repeat for the multi-level pipeline.
+    Graph convention matches :func:`modularity`: simple undirected
+    projection (parallel edges collapse — by count unweighted, by
+    summed weight with ``weight_col``), self-loops dropped.
+
+    Per-round motion: one O(E) message aggregation (map-side combined
+    on (vertex, community)) + two O(V) joins against the cached
+    strength table; the symmetrized edge table is hash-partitioned
+    and persisted once before the loop.
+    """
+    spark = edges.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    if weight_col is None:
+        from pagerank_spark.operators.triangles import (
+            _simple_degrees,
+            _simple_undirected,
+        )
+
+        simple = _simple_undirected(edges).select(
+            "a", "b", F.lit(1.0).alias("_w")
+        )
+        strength = _simple_degrees(simple.select("a", "b")).select(
+            "id", F.col("deg").cast("double").alias("_k")
+        )
+    else:
+        simple = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("_w").alias("_w"))
+        )
+        strength = (
+            simple.select(F.col("a").alias("id"), "_w")
+            .union(simple.select(F.col("b").alias("id"), "_w"))
+            .groupBy("id")
+            .agg(F.sum("_w").alias("_k"))
+        )
+    sym = simple.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "_w"
+    ).union(
+        simple.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "_w"
+        )
+    )
+    sym = sym.repartition(P, "src").persist()
+    strength = strength.localCheckpoint()
+    w_row = simple.agg(F.sum("_w").alias("w")).collect()[0]["w"]
+    W = float(w_row or 0.0)
+    vertices = strength.select("id")
+    if labels is None:
+        lab0 = vertices.select("id", F.col("id").alias("label"))
+    else:
+        lab_col = "label" if "label" in labels.columns else "component"
+        lab0 = vertices.join(
+            labels.select("id", F.col(lab_col).alias("label")), "id", "left"
+        ).select("id", F.coalesce("label", "id").alias("label"))
+    if W == 0.0:
+        sym.unpersist()
+        return lab0
+    n = vertices.count()
+    join_hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
+    from pagerank_spark.plans.iterate import iterate
+
+    def _step(lab: DataFrame, _round: int) -> DataFrame:
+        sc = (
+            lab.join(strength, "id")
+            .groupBy("label")
+            .agg(F.sum("_k").alias("_tot"))
+        )
+        # weights of v's edges into each neighboring community
+        msgs = (
+            sym.join(
+                lab.select(F.col("id").alias("dst"), F.col("label").alias("_c"))
+                .hint(join_hint),
+                "dst",
+            )
+            .select(F.col("src").alias("id"), "_c", "_w")
+        )
+        stay = lab.select("id", F.col("label").alias("_c"), F.lit(0.0).alias("_w"))
+        cand = (
+            msgs.unionByName(stay)
+            .groupBy("id", "_c")
+            .agg(F.sum("_w").alias("_kvc"))
+        )
+        scored = (
+            cand.join(sc.withColumnRenamed("label", "_c").hint(join_hint), "_c")
+            .join(lab.hint(join_hint), "id")
+            .join(strength.hint(join_hint), "id")
+            .select(
+                "id",
+                "_c",
+                (
+                    F.col("_kvc")
+                    - F.col("_k")
+                    * (
+                        F.col("_tot")
+                        - F.when(F.col("_c") == F.col("label"), F.col("_k"))
+                        .otherwise(F.lit(0.0))
+                    )
+                    / F.lit(2.0 * W)
+                ).alias("_gain"),
+            )
+        )
+        picked = scored.groupBy("id").agg(
+            F.max(F.struct(F.col("_gain"), (-F.col("_c")).alias("_neg"))).alias("top")
+        )
+        return picked.select(
+            "id", (-F.col("top._neg")).alias("label"),
+        )
+
+    ctx = {"sig": None}
+
+    def _converged(_prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        row = new.agg(
+            F.bit_xor(F.xxhash64("id", "label")).alias("h")
+        ).collect()[0]
+        sig = int(row["h"] or 0)
+        if sig == ctx["sig"]:
+            return True  # no vertex moved: local optimum of the sweep
+        ctx["sig"] = sig
+        return False
+
+    out, _rounds, _done = iterate(lab0, _step, _converged, max_iter)
+    sym.unpersist()
+    return out.select("id", "label")

@@ -313,3 +313,80 @@ def test_tfidf_top_terms_vs_python(spark):
     for g, w in zip(got, want):
         assert g[:5] == w[:5], (g, w)
         assert abs(g[5] - w[5]) < 1e-12
+
+
+def _sync_moves_oracle(pairs, rounds):
+    """Synchronous Louvain local-move replay (simple undirected graph,
+    same gain formula and (gain, -label) argmax as the engine)."""
+    edges = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    k = {v: float(len(nb)) for v, nb in adj.items()}
+    W = float(len(edges))
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        tot: dict[int, float] = {}
+        for v, c in lab.items():
+            tot[c] = tot.get(c, 0.0) + k[v]
+        new = {}
+        for v in adj:
+            cand: dict[int, float] = {lab[v]: 0.0}
+            for u in adj[v]:
+                cand[lab[u]] = cand.get(lab[u], 0.0) + 1.0
+            best = None
+            for c, kvc in cand.items():
+                t = tot[c] - (k[v] if c == lab[v] else 0.0)
+                gain = kvc - k[v] * t / (2.0 * W)
+                key = (gain, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            new[v] = best[1]
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+def test_greedy_modularity_moves_matches_oracle(spark):
+    from pagerank_spark.operators.labelprop import greedy_modularity_moves
+
+    pairs = _random_pairs(53, 30, 100)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["label"]
+        for r in greedy_modularity_moves(e, max_iter=4).collect()
+    }
+    want = _sync_moves_oracle(pairs, 4)
+    assert got == want
+
+
+def test_greedy_modularity_moves_finds_cliques(spark):
+    import itertools
+
+    from pagerank_spark.operators.labelprop import (
+        greedy_modularity_moves,
+        modularity,
+    )
+
+    # two 5-cliques joined by one bridge edge
+    c1, c2 = range(0, 5), range(5, 10)
+    pairs = (
+        list(itertools.combinations(c1, 2))
+        + list(itertools.combinations(c2, 2))
+        + [(0, 5)]
+    )
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    lab = greedy_modularity_moves(e, max_iter=6)
+    got = {r["id"]: r["label"] for r in lab.collect()}
+    assert len({got[v] for v in c1}) == 1
+    assert len({got[v] for v in c2}) == 1
+    assert got[0] != got[5]
+    q = modularity(e, lab).collect()[0]["modularity"]
+    q0 = modularity(
+        e, e.sparkSession.createDataFrame(
+            [(v, v) for v in range(10)], "id long, label long"
+        ),
+    ).collect()[0]["modularity"]
+    assert q > q0  # better than the singleton partition
