@@ -23,6 +23,7 @@ from pagerank_spark.sources.snap import read_snap_edges, write_snap_edges
 from pagerank_spark.sources.tables import read_corpus, read_table
 from pagerank_spark.operators.densify import densify_ids
 from pagerank_spark.operators.degrees import (
+    degree_assortativity,
     degree_histogram,
     degrees,
     in_degrees,
@@ -32,14 +33,20 @@ from pagerank_spark.operators.degrees import (
 from pagerank_spark.operators.cores import k_core
 from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.linkpred import link_prediction
-from pagerank_spark.operators.labelprop import modularity
+from pagerank_spark.operators.labelprop import (
+    greedy_modularity_moves,
+    modularity,
+)
 from pagerank_spark.operators.sampling import (
     hash_split,
     sample_edges,
     sample_per_group,
     sample_vertices_induced,
 )
-from pagerank_spark.operators.cooccur import cooccurrence_graph
+from pagerank_spark.operators.cooccur import (
+    contract_graph,
+    cooccurrence_graph,
+)
 from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.walks import random_walks
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
@@ -81,6 +88,7 @@ from pagerank_spark.operators.similarity import (
 from pagerank_spark.graph import LinkGraph
 from pagerank_spark.operators.textstats import (
     fingerprints,
+    tfidf_top_terms,
     language_id,
     quality_scores,
     token_counts,
@@ -110,6 +118,10 @@ __all__ = [
     "hits",
     "link_prediction",
     "modularity",
+    "greedy_modularity_moves",
+    "contract_graph",
+    "degree_assortativity",
+    "tfidf_top_terms",
     "random_walks",
     "sample_edges",
     "sample_per_group",
@@ -118,6 +130,10 @@ __all__ = [
     "shortest_paths",
     "multi_source_bfs",
     "harmonic_centrality",
+    "closeness_centrality",
+    "katz_centrality",
+    "eigenvector_centrality",
+    "betweenness_centrality",
     "double_sweep",
     "graph_summary",
     "derive_edges",

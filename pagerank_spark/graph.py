@@ -280,6 +280,37 @@ class LinkGraph:
             self.edges, pivots, max_iter=max_iter, normalized=normalized
         )
 
+    def greedy_modularity_moves(
+        self, labels: DataFrame | None = None, max_iter: int = 5
+    ) -> DataFrame:
+        from pagerank_spark.operators.labelprop import greedy_modularity_moves
+
+        return greedy_modularity_moves(
+            self.edges, labels=labels, max_iter=max_iter,
+            weight_col=self.weight_col,
+        )
+
+    def contract(
+        self, labels: DataFrame, label_col: str = "label",
+        drop_self: bool = False,
+    ) -> "LinkGraph":
+        """Coarsen into the community supergraph (weighted; feeds back
+        into every LinkGraph operator for multi-level pipelines)."""
+        from pagerank_spark.operators.cooccur import contract_graph
+
+        return LinkGraph(
+            contract_graph(
+                self.edges, labels, label_col=label_col,
+                weight_col=self.weight_col, drop_self=drop_self,
+            ),
+            weight_col="weight",
+        )
+
+    def degree_assortativity(self) -> DataFrame:
+        from pagerank_spark.operators.degrees import degree_assortativity
+
+        return degree_assortativity(self.edges)
+
     def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
         """Join a dense-id result back to original ids (post-densify)."""
         if self.mapping is None:

@@ -178,6 +178,7 @@ def greedy_modularity_moves(
     labels: DataFrame | None = None,
     max_iter: int = 5,
     weight_col: str | None = None,
+    alternate: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Synchronous Louvain-style local-move sweep: each round, EVERY
@@ -196,6 +197,13 @@ def greedy_modularity_moves(
     convergence guarantee for one bounded-shuffle round — the standard
     distributed formulation; run a few rounds, then
     ``contract_graph`` and repeat for the multi-level pipeline.
+    Symmetric structures can ping-pong under all-at-once moves (two
+    equivalent vertices endlessly swapping targets); ``alternate=True``
+    applies the standard mitigation — only vertices whose id parity
+    matches the round parity move, everyone else holds — which breaks
+    the symmetry at the cost of two rounds per sweep. The gate pins
+    the plain synchronous form; ``alternate`` is the production knob
+    for clique-of-two-scale structures.
     Graph convention matches :func:`modularity`: simple undirected
     projection (parallel edges collapse — by count unweighted, by
     summed weight with ``weight_col``), self-loops dropped.
@@ -305,6 +313,17 @@ def greedy_modularity_moves(
         picked = scored.groupBy("id").agg(
             F.max(F.struct(F.col("_gain"), (-F.col("_c")).alias("_neg"))).alias("top")
         )
+        if alternate:
+            # half the vertices hold each round: (id + round) parity
+            return lab.join(picked, "id", "left").select(
+                "id",
+                F.when(
+                    (F.col("id") + F.lit(_round)) % 2 == 0,
+                    F.coalesce((-F.col("top._neg")), F.col("label")),
+                )
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
         return picked.select(
             "id", (-F.col("top._neg")).alias("label"),
         )

@@ -390,3 +390,25 @@ def test_greedy_modularity_moves_finds_cliques(spark):
         ),
     ).collect()[0]["modularity"]
     assert q > q0  # better than the singleton partition
+
+
+def test_greedy_moves_alternate_settles_triangles(spark):
+    import itertools
+
+    from pagerank_spark.operators.labelprop import greedy_modularity_moves
+
+    # bare triangles ping-pong under all-at-once moves; alternating
+    # parity scheduling settles them
+    pairs = (
+        list(itertools.combinations([0, 1, 2], 2))
+        + list(itertools.combinations([3, 4, 5], 2))
+        + [(2, 3)]
+    )
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["label"]
+        for r in greedy_modularity_moves(e, max_iter=8, alternate=True).collect()
+    }
+    assert len({got[v] for v in (0, 1, 2)}) == 1
+    assert len({got[v] for v in (3, 4, 5)}) == 1
+    assert got[0] != got[3]

@@ -59,3 +59,30 @@ def test_linkgraph_centrality_surface(spark):
     assert set(cl) == set(ids) and all(0 < v <= 1.0 for v in cl.values())
     bc = g.betweenness_centrality(ids, normalized=True)
     assert bc.count() > 0
+
+
+def test_linkgraph_community_pipeline(spark):
+    import itertools
+
+    # two 5-cliques bridged once (small symmetric structures like bare
+    # triangles can ping-pong under SYNCHRONOUS moves; cliques of 5
+    # settle — the operator test pins the same behavior)
+    c1, c2 = list(range(0, 5)), list(range(5, 10))
+    pairs = (
+        list(itertools.combinations(c1, 2))
+        + list(itertools.combinations(c2, 2))
+        + [(4, 5)]
+    )
+    g = LinkGraph(edges=spark.createDataFrame(pairs, "src long, dst long"))
+    lab = g.greedy_modularity_moves(max_iter=6)
+    got = {r["id"]: r["label"] for r in lab.collect()}
+    assert len({got[v] for v in c1}) == 1
+    assert len({got[v] for v in c2}) == 1
+    coarse = g.contract(lab)
+    assert coarse.weight_col == "weight"
+    w = {
+        (r["src"], r["dst"]): r["weight"] for r in coarse.edges.collect()
+    }
+    assert sum(w.values()) == len(pairs)
+    r = g.degree_assortativity().collect()[0]["assortativity"]
+    assert r is None or -1.0 <= r <= 1.0
