@@ -544,6 +544,18 @@ def q_modularity_moves(spark, sf_dir):
     ).orderBy("id")
 
 
+TRUSS_K = 12
+TRUSS_SQL_ROUNDS = 7  # engine fixpoint at sf0.01 is 5 rounds; extras are no-ops
+
+
+def q_k_truss(spark, sf_dir):
+    """k-truss edge set (triangle-support peeling) — the engine runs to
+    the count-stable fixpoint; the oracle unrolls the peel."""
+    from pagerank_spark.operators.cores import k_truss
+
+    return k_truss(_edges(spark, sf_dir), TRUSS_K).orderBy("a", "b")
+
+
 def q_hash_split_md5(spark, sf_dir):
     """Deterministic train/val/test assignment over documents (80/10/10
     keyed on doc_id) — md5 twin of the xxhash64 production path."""
@@ -1362,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "community_graph": q_community_graph,
         "modularity_moves": q_modularity_moves,
+        "k_truss": q_k_truss,
         "tfidf_top_terms": q_tfidf_top_terms,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
@@ -2048,6 +2061,34 @@ def _lpa_sql(final: str | None = None) -> str:
     return "\n".join(parts)
 
 
+def _ktruss_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Unrolled truss peel: per round the id-ordered triangle join
+    (x<y<z — each triangle once from the a<b edge set), the three-way
+    edge-support union, and the support filter. Extra rounds past the
+    fixpoint are no-ops, so ``rounds`` only needs to be >= the actual
+    peel depth."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "e0 AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"tr{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM e{r-1} e1 JOIN e{r-1} e2 ON e2.a = e1.b "
+            f"JOIN e{r-1} e3 ON e3.a = e1.a AND e3.b = e2.b),",
+            f"e{r} AS MATERIALIZED (SELECT s.a, s.b FROM ("
+            f"SELECT a, b, count(*) AS c FROM ("
+            f"SELECT x AS a, y AS b FROM tr{r} "
+            f"UNION ALL SELECT y, z FROM tr{r} "
+            f"UNION ALL SELECT x, z FROM tr{r}) GROUP BY a, b) s "
+            f"WHERE s.c >= {k - 2}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT a, b FROM e{rounds} ORDER BY a, b")
+    return "\n".join(parts)
+
+
 def _moves_sql(edges_sql: str, rounds: int) -> str:
     """Unrolled synchronous local-move sweep: per round one community
     strength table, one (vertex, community) edge-weight aggregation
@@ -2548,6 +2589,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_sql(eg),
         "community_graph": _community_graph_sql(),
         "modularity_moves": _moves_sql(eg, MOVES_ROUNDS),
+        "k_truss": _ktruss_sql(eg, TRUSS_K, TRUSS_SQL_ROUNDS),
         "tfidf_top_terms": _tfidf_sql(TFIDF_K),
         "modularity_mod4": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "

@@ -30,7 +30,7 @@ from pagerank_spark.operators.degrees import (
     out_degrees,
     reciprocity,
 )
-from pagerank_spark.operators.cores import k_core
+from pagerank_spark.operators.cores import k_core, k_truss
 from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.linkpred import link_prediction
 from pagerank_spark.operators.labelprop import (
@@ -115,6 +115,7 @@ __all__ = [
     "triangle_count",
     "clustering_coefficient",
     "k_core",
+    "k_truss",
     "hits",
     "link_prediction",
     "modularity",

@@ -197,6 +197,11 @@ class LinkGraph:
 
         return k_core(self.edges, k, max_iter=max_iter)
 
+    def k_truss(self, k: int, max_iter: int = 50) -> DataFrame:
+        from pagerank_spark.operators.cores import k_truss
+
+        return k_truss(self.edges, k, max_iter=max_iter)
+
     def link_prediction(
         self, min_common: int = 1, max_degree: int | None = None
     ) -> DataFrame:

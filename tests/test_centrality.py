@@ -412,3 +412,48 @@ def test_greedy_moves_alternate_settles_triangles(spark):
     assert len({got[v] for v in (0, 1, 2)}) == 1
     assert len({got[v] for v in (3, 4, 5)}) == 1
     assert got[0] != got[3]
+
+
+def _truss_oracle(pairs, k):
+    """Driver peel: recompute per-edge triangle support, drop, repeat."""
+    edges = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            e: len(adj[e[0]] & adj[e[1]]) for e in edges
+        }
+        nxt = {e for e in edges if sup[e] >= k - 2}
+        if nxt == edges:
+            return edges
+        edges = nxt
+
+
+def test_k_truss_vs_peeling_oracle(spark):
+    from pagerank_spark.operators.cores import k_truss
+
+    pairs = _random_pairs(61, 20, 120)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    for k in (3, 4, 5):
+        got = {(r["a"], r["b"]) for r in k_truss(e, k).collect()}
+        assert got == _truss_oracle(pairs, k), k
+    # k<=2: the whole simple edge set
+    simple = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    assert {(r["a"], r["b"]) for r in k_truss(e, 2).collect()} == simple
+
+
+def test_k_truss_clique_and_empty(spark):
+    import itertools
+
+    from pagerank_spark.operators.cores import k_truss
+
+    # a 5-clique is a 5-truss; adding a pendant edge doesn't survive k=3
+    pairs = list(itertools.combinations(range(5), 2)) + [(4, 9)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got5 = {(r["a"], r["b"]) for r in k_truss(e, 5).collect()}
+    assert got5 == set(itertools.combinations(range(5), 2))
+    assert k_truss(e, 6).count() == 0
+    got3 = {(r["a"], r["b"]) for r in k_truss(e, 3).collect()}
+    assert (4, 9) not in got3
