@@ -316,6 +316,28 @@ class LinkGraph:
 
         return degree_assortativity(self.edges)
 
+    def subgraph(self, vertices) -> "LinkGraph":
+        """Vertex-induced subgraph: keep edges whose BOTH endpoints are
+        in ``vertices`` (a ``DataFrame[id]`` or a list of ids). Two
+        left-semi joins — the vertex side is the small one and
+        broadcasts; weights and the id mapping carry over."""
+        from pyspark.sql import functions as F
+
+        if isinstance(vertices, DataFrame):
+            vs = vertices.select(F.col(vertices.columns[0]).alias("id"))
+        else:
+            vs = self.edges.sparkSession.createDataFrame(
+                [(int(v),) for v in set(vertices)], "id long"
+            )
+        kept = (
+            self.edges.join(
+                vs.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).join(vs.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        ).select(self.edges.columns)
+        return LinkGraph(
+            kept, weight_col=self.weight_col, mapping=self.mapping
+        )
+
     def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
         """Join a dense-id result back to original ids (post-densify)."""
         if self.mapping is None:

@@ -457,3 +457,29 @@ def test_k_truss_clique_and_empty(spark):
     assert k_truss(e, 6).count() == 0
     got3 = {(r["a"], r["b"]) for r in k_truss(e, 3).collect()}
     assert (4, 9) not in got3
+
+
+def test_new_single_pass_ops_no_cartesian(spark):
+    """The one-shot operators must plan as hash joins + aggregates —
+    never a CartesianProduct (the only nested-loop allowed is the
+    1-row broadcast scalar in assortativity/tfidf)."""
+    from pagerank_spark.operators.cooccur import contract_graph
+    from pagerank_spark.operators.degrees import degree_assortativity
+    from pagerank_spark.operators.textstats import tfidf_top_terms
+    from pagerank_spark.plans.inspect import explain_summary
+
+    pairs = _random_pairs(71, 15, 50)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, i % 3) for i in range(15)], "id long, label long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    for df in (
+        contract_graph(e, labels),
+        degree_assortativity(e),
+        tfidf_top_terms(docs, k=2),
+    ):
+        plan = explain_summary(df)
+        assert "CartesianProduct" not in plan

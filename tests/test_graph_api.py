@@ -86,3 +86,18 @@ def test_linkgraph_community_pipeline(spark):
     assert sum(w.values()) == len(pairs)
     r = g.degree_assortativity().collect()[0]["assortativity"]
     assert r is None or -1.0 <= r <= 1.0
+
+
+def test_linkgraph_subgraph(spark):
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 5.0)],
+        "src long, dst long, weight double",
+    )
+    g = LinkGraph(edges=e, weight_col="weight")
+    sub = g.subgraph([0, 1, 2])
+    got = {(r["src"], r["dst"], r["weight"]) for r in sub.edges.collect()}
+    assert got == {(0, 1, 2.0), (1, 2, 1.0)}
+    assert sub.weight_col == "weight"
+    # DataFrame form, composed with an operator result (k-core vertices)
+    core = g.k_core(0)
+    assert g.subgraph(core).edges.count() == 4
