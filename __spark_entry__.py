@@ -491,6 +491,20 @@ def q_betweenness_pivots(spark, sf_dir):
     )
 
 
+def q_edge_betweenness(spark, sf_dir):
+    """Pivot-sampled Girvan-Newman edge betweenness — shares the
+    Brandes passes with the vertex gate; one per-edge post-pass."""
+    from pagerank_spark.operators.centrality import edge_betweenness
+
+    return (
+        edge_betweenness(_edges(spark, sf_dir), BETWEENNESS_PIVOTS)
+        .select(
+            "src", "dst", F.round("betweenness", 7).alias("betweenness")
+        )
+        .orderBy("src", "dst")
+    )
+
+
 def q_assortativity(spark, sf_dir):
     """Out-in degree assortativity (Newman 2002) — exact integer
     moment sums, one closed-form Pearson expression."""
@@ -1371,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "betweenness_pivots": q_betweenness_pivots,
+        "edge_betweenness": q_edge_betweenness,
         "assortativity": q_assortativity,
         "community_graph": q_community_graph,
         "modularity_moves": q_modularity_moves,
@@ -1751,13 +1766,12 @@ def _eigenvector_sql(edges_sql: str, iters: int) -> str:
     return "\n".join(parts)
 
 
-def _betweenness_sql(edges_sql: str, pivots: list[int]) -> str:
-    """Unrolled Brandes: forward keyed BFS with path counts (sigma
-    sums over edge instances, new levels anti-joined against the
-    settled set), then the backward dependency chain processed from
-    the deepest unrolled level down — levels beyond the true
-    eccentricity are empty and contribute nothing, so a fixed unroll
-    depth is exact."""
+def _brandes_sql_parts(edges_sql: str, pivots: list[int]) -> list[str]:
+    """Shared unrolled Brandes chain: forward keyed BFS with path
+    counts (``f0..fR``), then the backward dependency CTEs
+    (``d{R+1}..d1``); levels beyond the true eccentricity are empty
+    and contribute nothing, so the fixed unroll depth is exact.
+    Callers append their fold (per-vertex or per-edge)."""
     r = SSSP_SQL_ROUNDS
     seeds = ", ".join(f"({int(p)})" for p in sorted(set(pivots)))
     parts = [
@@ -1794,9 +1808,34 @@ def _betweenness_sql(edges_sql: str, pivots: list[int]) -> str:
             f"WHERE v.dist = {level - 1} GROUP BY v.source, v.id),"
         )
     parts[-1] = parts[-1].rstrip(",")
+    return parts
+
+
+def _betweenness_sql(edges_sql: str, pivots: list[int]) -> str:
+    parts = _brandes_sql_parts(edges_sql, pivots)
     parts.append(
         "SELECT id, round(sum(delta), 7) AS betweenness FROM d1 "
         "WHERE id <> source GROUP BY id ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _edge_betweenness_sql(edges_sql: str, pivots: list[int]) -> str:
+    """Per-edge fold: every vertex's dependency is settled exactly
+    once in ``d1``, so edge scores are one pass over
+    consecutive-level edge instances (multiplicity = one row each in
+    ``eg``), summed across pivots."""
+    r = SSSP_SQL_ROUNDS
+    parts = _brandes_sql_parts(edges_sql, pivots)
+    parts.append(
+        f"SELECT v.id AS src, w.id AS dst, "
+        f"round(sum(v.sigma / w.sigma * (1 + coalesce(dw.delta, 0))), 7) "
+        f"AS betweenness "
+        f"FROM f{r} v JOIN eg e ON e.src = v.id "
+        f"JOIN f{r} w ON w.source = v.source AND w.id = e.dst "
+        f"AND w.dist = v.dist + 1 "
+        f"LEFT JOIN d1 dw ON dw.source = w.source AND dw.id = w.id "
+        f"GROUP BY v.id, w.id ORDER BY src, dst"
     )
     return "\n".join(parts)
 
@@ -2586,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "katz": _katz_sql(eg, KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
         "eigenvector": _eigenvector_sql(eg, EIGEN_ITERS),
         "betweenness_pivots": _betweenness_sql(eg, BETWEENNESS_PIVOTS),
+        "edge_betweenness": _edge_betweenness_sql(eg, BETWEENNESS_PIVOTS),
         "assortativity": _assortativity_sql(eg),
         "community_graph": _community_graph_sql(),
         "modularity_moves": _moves_sql(eg, MOVES_ROUNDS),

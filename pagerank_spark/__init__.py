@@ -65,6 +65,7 @@ from pagerank_spark.operators.paths import (
 )
 from pagerank_spark.operators.centrality import (
     betweenness_centrality,
+    edge_betweenness,
     eigenvector_centrality,
     katz_centrality,
 )
@@ -135,6 +136,7 @@ __all__ = [
     "katz_centrality",
     "eigenvector_centrality",
     "betweenness_centrality",
+    "edge_betweenness",
     "double_sweep",
     "graph_summary",
     "derive_edges",

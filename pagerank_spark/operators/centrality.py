@@ -255,6 +255,36 @@ def betweenness_centrality(
     ``(|pivots|)·(n−2)`` — the sampled analogue of the 1/((n−1)(n−2))
     directed normalization, with n from the reached vertex set.
     """
+    levels, deltas, e = _brandes_dependencies(edges, pivots, max_iter)
+    e.unpersist()
+    out = (
+        deltas.where(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    if normalized:
+        n = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .count()
+        )
+        k = len(set(pivots))
+        denom = float(k * max(n - 2, 1))
+        out = out.select(
+            "id", (F.col("betweenness") / F.lit(denom)).alias("betweenness")
+        )
+    return out
+
+
+def _brandes_dependencies(
+    edges: DataFrame, pivots: list[int], max_iter: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Forward levels + backward vertex dependencies:
+    ``(levels, deltas, e_dst)`` where ``deltas[source, id, delta]``
+    holds each reached vertex's settled dependency (computed exactly
+    once, at its own BFS level) and ``e_dst`` is the still-persisted
+    dst-keyed edge copy (caller unpersists)."""
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
     levels = brandes_forward(edges, pivots, max_iter)
@@ -295,13 +325,53 @@ def betweenness_centrality(
             )
         )
         deltas = deltas.unionByName(new).localCheckpoint()
-    e.unpersist()
+    return levels, deltas, e
 
-    out = (
-        deltas.where(F.col("id") != F.col("source"))
-        .groupBy("id")
-        .agg(F.sum("delta").alias("betweenness"))
+
+def edge_betweenness(
+    edges: DataFrame,
+    pivots: list[int],
+    max_iter: int = 50,
+    normalized: bool = False,
+) -> DataFrame:
+    """Pivot-sampled EDGE betweenness (the Girvan-Newman edge score):
+    ``DataFrame[src, dst, betweenness]`` over directed edge instances,
+    with ``betweenness(e) = Σ_{s,t} σ_st(e)/σ_st`` sampled over
+    ``pivots`` as sources (exact when pivots is the full vertex set).
+
+    Shares the Brandes forward/backward passes with
+    :func:`betweenness_centrality`; since every vertex's dependency is
+    settled exactly once at its own BFS level, the per-edge score is
+    ONE post-pass over consecutive-level edges —
+    ``σ(v)/σ(w) · (1 + δ(w))`` summed across pivots and parallel
+    instances — not a per-level accumulation. ``normalized=True``
+    divides by ``|pivots| · (n − 1)``, the sampled count of ordered
+    source→target pairs.
+    """
+    levels, deltas, e = _brandes_dependencies(edges, pivots, max_iter)
+    w = levels.join(deltas, ["source", "id"], "left").select(
+        "source",
+        F.col("id").alias("dst"),
+        F.col("dist").alias("_dw_dist"),
+        F.col("sigma").alias("_sw"),
+        F.coalesce("delta", F.lit(0.0)).alias("_dw"),
     )
+    v = levels.select(
+        "source", F.col("id").alias("src"),
+        F.col("dist").alias("_dv_dist"), F.col("sigma").alias("_sv"),
+    )
+    out = (
+        e.join(w, "dst")
+        .join(v, ["source", "src"])
+        .where(F.col("_dw_dist") == F.col("_dv_dist") + 1)
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                F.col("_sv") / F.col("_sw") * (F.lit(1.0) + F.col("_dw"))
+            ).alias("betweenness")
+        )
+    )
+    e.unpersist()
     if normalized:
         n = (
             edges.select(F.col("src").alias("id"))
@@ -309,9 +379,9 @@ def betweenness_centrality(
             .distinct()
             .count()
         )
-        k = len(set(pivots))
-        denom = float(k * max(n - 2, 1))
+        denom = float(len(set(pivots)) * max(n - 1, 1))
         out = out.select(
-            "id", (F.col("betweenness") / F.lit(denom)).alias("betweenness")
+            "src", "dst",
+            (F.col("betweenness") / F.lit(denom)).alias("betweenness"),
         )
     return out

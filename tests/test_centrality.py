@@ -483,3 +483,74 @@ def test_new_single_pass_ops_no_cartesian(spark):
     ):
         plan = explain_summary(df)
         assert "CartesianProduct" not in plan
+
+
+def _brandes_edges(adj, ids, sources):
+    """Per-EDGE dependency sums (Girvan-Newman scores), multiplicities
+    as distinct parallel paths — each instance carries the same share."""
+    ebc: dict[tuple[int, int], float] = {}
+    for s in sources:
+        sigma = {v: 0.0 for v in ids}
+        dist = {v: -1 for v in ids}
+        sigma[s], dist[s] = 1.0, 0
+        order, q = [], deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v, m in adj.get(u, {}).items():
+                if dist[v] < 0:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += m * sigma[u]
+        delta = {v: 0.0 for v in ids}
+        for u in reversed(order):
+            for v, m in adj.get(u, {}).items():
+                if dist[v] == dist[u] + 1:
+                    delta[u] += m * sigma[u] / sigma[v] * (1.0 + delta[v])
+        for u in order:
+            for v, m in adj.get(u, {}).items():
+                if dist[v] == dist[u] + 1:
+                    ebc[(u, v)] = ebc.get((u, v), 0.0) + m * sigma[u] / sigma[v] * (
+                        1.0 + delta[v]
+                    )
+    return ebc
+
+
+def test_edge_betweenness_exact_all_pivots(spark):
+    from pagerank_spark.operators.centrality import edge_betweenness
+
+    pairs = _random_pairs(83, 16, 50)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ids = sorted({x for p in pairs for x in p})
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(e, pivots=ids).collect()
+    }
+    adj = _multi_adj(pairs)
+    want = _brandes_edges(adj, ids, ids)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_edge_betweenness_bridge_dominates(spark):
+    import itertools
+
+    from pagerank_spark.operators.centrality import edge_betweenness
+
+    # two directed cliques with one bridge: the bridge edge carries
+    # every cross-clique shortest path
+    c1, c2 = list(range(4)), list(range(4, 8))
+    pairs = (
+        [(a, b) for a, b in itertools.permutations(c1, 2)]
+        + [(a, b) for a, b in itertools.permutations(c2, 2)]
+        + [(0, 4)]
+    )
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ids = c1 + c2
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(e, pivots=ids).collect()
+    }
+    assert max(got, key=got.get) == (0, 4)
