@@ -76,13 +76,16 @@ EXTRA = [
     "assortativity",
     "community_graph",
     "tfidf_top_terms",
+    "modularity_moves",
+    "k_truss",
+    "edge_betweenness",
 ]
 
 SCALE_N = 2_000_000
 SCALE_E = 100_000_000
 SCALE_P = 32
 SCALE_ITERS = 6
-SCALE_PAIRS = [(2, 8), (8, 32)]  # primary (N, 4N), secondary
+SCALE_PAIRS = [(2, 8), (1, 4), (8, 32)]  # primary (N, 4N), corroborating, saturation
 
 
 def _new_spark(cores: int, mem="48g"):

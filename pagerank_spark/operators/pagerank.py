@@ -393,7 +393,7 @@ def _pagerank_local(
 # broadcast-rank strategy
 # --------------------------------------------------------------------------
 
-def _block_build_kernel(block_dir: str, id32: bool, strength_path: str):
+def _block_build_kernel(block_dir: str, strength_path: str):
     """Build one CSR-style block per input partition, persisted as an
     Arrow IPC file (columns: src, inv, uniq), and emit its lineage row.
 
@@ -436,11 +436,18 @@ def _block_build_kernel(block_dir: str, id32: bool, strength_path: str):
         p[p >= len(uniq)] = len(uniq) - 1 if len(uniq) else 0
         local = uniq[p] == src if len(uniq) else np.zeros(len(src), bool)
         pos = np.where(local, p, -1).astype(np.int32)
-        idt = np.int32 if id32 else np.int64
+        # src and inv are stored int64 even when ids fit 32 bits:
+        # np.bincount and fancy indexing both convert index arrays to
+        # intp internally, so an int32 column costs an 8-byte-per-edge
+        # conversion copy EVERY iteration (measured per 1e8 edges:
+        # bincount 0.50s int32 vs 0.32s int64; the 8-core sync dropped
+        # 1.40 -> 0.95 s/iter end-to-end) — storing the wider type once
+        # beats converting per sync. pos stays int32: the local_iters
+        # kernel reads it once per sync into a boolean mask only.
         edges_tbl = pa.table(
             {
-                "src": pa.array(src.astype(idt)),
-                "inv": pa.array(inv.astype(idt)),
+                "src": pa.array(src.astype(np.int64)),
+                "inv": pa.array(inv.astype(np.int64)),
                 "wfac": pa.array(wfac.astype(np.float64)),
                 "pos": pa.array(pos),
             }
@@ -730,13 +737,12 @@ def _pagerank_broadcast(
             ).otherwise(F.xxhash64("dst"))
         else:
             pk = F.xxhash64("dst")
-        id32 = n <= (1 << 31) - 1
         sel = [F.col("src").cast("long"), F.col("dst").cast("long")]
         if weight_col:
             sel.append(F.col(weight_col).cast("double").alias("_w"))
         prepared = edges.select(*sel).repartition(P, pk)
         man_rows = prepared.mapInArrow(
-            _block_build_kernel(block_dir, id32, strength_path),
+            _block_build_kernel(block_dir, strength_path),
             "pid int, n_edges long, n_uniq long, n_bytes long",
         ).collect()
         part_sizes = {int(r["pid"]): int(r["n_edges"]) for r in man_rows}
