@@ -546,6 +546,18 @@ def q_tfidf_top_terms(spark, sf_dir):
 MOVES_ROUNDS = 4
 
 
+def q_modularity_moves_weighted(spark, sf_dir):
+    """Weighted local-move sweep (Newman 2004 weighted Q) over the
+    canonical graph's integer weights — the production corpus-graph
+    form (contract_graph output is always weighted)."""
+    from pagerank_spark.operators.labelprop import greedy_modularity_moves
+
+    return greedy_modularity_moves(
+        _edges_weighted(spark, sf_dir), max_iter=MOVES_ROUNDS,
+        weight_col="weight",
+    ).orderBy("id")
+
+
 def q_modularity_moves(spark, sf_dir):
     """Synchronous Louvain-style local-move sweep at fixed rounds —
     every vertex adopts the neighboring community with the best ΔQ,
@@ -1389,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "community_graph": q_community_graph,
         "modularity_moves": q_modularity_moves,
+        "modularity_moves_weighted": q_modularity_moves_weighted,
         "k_truss": q_k_truss,
         "tfidf_top_terms": q_tfidf_top_terms,
         # north-star corpus path
@@ -2128,30 +2141,49 @@ def _ktruss_sql(edges_sql: str, k: int, rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _moves_sql(edges_sql: str, rounds: int) -> str:
+def _moves_sql(edges_sql: str, rounds: int, weighted: bool = False) -> str:
     """Unrolled synchronous local-move sweep: per round one community
     strength table, one (vertex, community) edge-weight aggregation
     (with the explicit 0-weight stay candidate), the ΔQ expression in
     the engine's exact operation order, and the (gain desc, label asc)
-    argmax."""
-    parts = [
-        f"WITH eg AS ({edges_sql}),",
-        "simple AS (SELECT DISTINCT least(src, dst) AS a, "
-        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
-        "kk AS (SELECT id, CAST(count(*) AS DOUBLE) AS k FROM "
-        "(SELECT a AS id FROM simple UNION ALL SELECT b FROM simple) "
-        "GROUP BY id),",
-        "ww AS (SELECT CAST(count(*) AS DOUBLE) AS w FROM simple),",
-        "sym AS (SELECT a AS src, b AS dst FROM simple "
-        "UNION ALL SELECT b, a FROM simple),",
-        "g0 AS (SELECT id, id AS label FROM kk),",
-    ]
+    argmax. ``weighted`` collapses parallel edges by summed weight
+    (Newman 2004 weighted Q convention, matching the engine)."""
+    if weighted:
+        graph_parts = [
+            "simple AS (SELECT least(src, dst) AS a, "
+            "greatest(src, dst) AS b, sum(weight) AS ew FROM eg "
+            "WHERE src <> dst GROUP BY 1, 2),",
+            "kk AS (SELECT id, CAST(sum(ew) AS DOUBLE) AS k FROM "
+            "(SELECT a AS id, ew FROM simple "
+            "UNION ALL SELECT b, ew FROM simple) GROUP BY id),",
+            "ww AS (SELECT CAST(sum(ew) AS DOUBLE) AS w FROM simple),",
+            "sym AS (SELECT a AS src, b AS dst, ew FROM simple "
+            "UNION ALL SELECT b, a, ew FROM simple),",
+        ]
+        msg_w = "s.ew"
+    else:
+        graph_parts = [
+            "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+            "kk AS (SELECT id, CAST(count(*) AS DOUBLE) AS k FROM "
+            "(SELECT a AS id FROM simple UNION ALL SELECT b FROM simple) "
+            "GROUP BY id),",
+            "ww AS (SELECT CAST(count(*) AS DOUBLE) AS w FROM simple),",
+            "sym AS (SELECT a AS src, b AS dst FROM simple "
+            "UNION ALL SELECT b, a FROM simple),",
+        ]
+        msg_w = "1.0"
+    parts = (
+        [f"WITH eg AS ({edges_sql}),"]
+        + graph_parts
+        + ["g0 AS (SELECT id, id AS label FROM kk),"]
+    )
     for k in range(1, rounds + 1):
         parts += [
             f"t{k} AS (SELECT g.label, sum(kk.k) AS tot FROM g{k-1} g "
             f"JOIN kk ON g.id = kk.id GROUP BY g.label),",
             f"c{k} AS (SELECT id, c, sum(w) AS kvc FROM ("
-            f"SELECT s.src AS id, g.label AS c, 1.0 AS w FROM sym s "
+            f"SELECT s.src AS id, g.label AS c, {msg_w} AS w FROM sym s "
             f"JOIN g{k-1} g ON s.dst = g.id "
             f"UNION ALL SELECT id, label AS c, 0.0 FROM g{k-1}) "
             f"GROUP BY id, c),",
@@ -2629,6 +2661,9 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_sql(eg),
         "community_graph": _community_graph_sql(),
         "modularity_moves": _moves_sql(eg, MOVES_ROUNDS),
+        "modularity_moves_weighted": _moves_sql(
+            _W_EDGES_SQL, MOVES_ROUNDS, weighted=True
+        ),
         "k_truss": _ktruss_sql(eg, TRUSS_K, TRUSS_SQL_ROUNDS),
         "tfidf_top_terms": _tfidf_sql(TFIDF_K),
         "modularity_mod4": (

@@ -338,6 +338,36 @@ class LinkGraph:
             kept, weight_col=self.weight_col, mapping=self.mapping
         )
 
+    def save(self, path: str) -> None:
+        """Persist the graph under ``path``: ``edges/`` (and
+        ``mapping/`` when densified) as parquet, plus a one-row
+        ``meta/`` parquet carrying n and the weight column name —
+        everything goes through Spark writers, so any Hadoop-compatible
+        filesystem works (no driver-local file I/O)."""
+        spark = self.edges.sparkSession
+        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        if self.mapping is not None:
+            self.mapping.write.mode("overwrite").parquet(f"{path}/mapping")
+        spark.createDataFrame(
+            [(self.n, self.weight_col, self.mapping is not None)],
+            "n long, weight_col string, has_mapping boolean",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LinkGraph":
+        """Reload a graph written by :meth:`save`."""
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        return cls(
+            edges=spark.read.parquet(f"{path}/edges"),
+            n=meta["n"],
+            weight_col=meta["weight_col"],
+            mapping=(
+                spark.read.parquet(f"{path}/mapping")
+                if meta["has_mapping"]
+                else None
+            ),
+        )
+
     def with_original_ids(self, result: DataFrame, id_col: str = "id") -> DataFrame:
         """Join a dense-id result back to original ids (post-densify)."""
         if self.mapping is None:

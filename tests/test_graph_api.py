@@ -101,3 +101,24 @@ def test_linkgraph_subgraph(spark):
     # DataFrame form, composed with an operator result (k-core vertices)
     core = g.k_core(0)
     assert g.subgraph(core).edges.count() == 4
+
+
+def test_linkgraph_save_load_roundtrip(spark, tmp_path):
+    from pagerank_spark.testing import synth_corpus
+
+    g = LinkGraph.from_corpus(synth_corpus(spark, n_repos=10, files_per_repo=3))
+    p = str(tmp_path / "graph")
+    g.save(p)
+    g2 = LinkGraph.load(spark, p)
+    assert g2.n == g.n and g2.weight_col == g.weight_col
+    assert g2.mapping is not None and g2.mapping.count() == g.mapping.count()
+    a = {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()}
+    b = {(r["src"], r["dst"], r["weight"]) for r in g2.edges.collect()}
+    assert a == b
+    # unweighted, no-mapping graph round-trips too
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    p2 = str(tmp_path / "plain")
+    LinkGraph(edges=e, n=3).save(p2)
+    g3 = LinkGraph.load(spark, p2)
+    assert g3.n == 3 and g3.weight_col is None and g3.mapping is None
+    assert g3.edges.count() == 2
