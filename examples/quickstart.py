@@ -55,6 +55,20 @@ def main():
     print("random-walk sample:")
     g.random_walks(length=3, walks_per_vertex=1).orderBy("walk_id", "step").show(8)
 
+    # 2b. centrality family + community pipeline
+    print("eigenvector centrality (top 3):")
+    g.eigenvector_centrality(max_iter=8).orderBy(F.desc("eigenvector")).show(3)
+    print("betweenness (pivot-sampled, top 3):")
+    pivots = [r["src"] for r in g.edges.select("src").distinct().limit(5).collect()]
+    g.betweenness_centrality(pivots).orderBy(F.desc("betweenness")).show(3)
+    print("assortativity:")
+    g.degree_assortativity().show()
+    lab = g.greedy_modularity_moves(max_iter=4)
+    coarse = g.contract(lab)
+    print("communities:", lab.select("label").distinct().count(),
+          "-> coarse graph edges:", coarse.edges.count())
+    print("4-truss edges:", g.k_truss(4).count())
+
     # 3. training-data pipeline over the documents/embeddings tables
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     print("docs:", docs.count(), "-> after near-dedup:", dedup_near(docs, 0.8).count())
