@@ -427,6 +427,21 @@ def q_harmonic_pivots(spark, sf_dir):
     )
 
 
+def q_closeness_weighted(spark, sf_dir):
+    """Weighted pivot closeness — the keyed Bellman-Ford form over the
+    integer-weighted canonical graph."""
+    from pagerank_spark.operators.paths import closeness_centrality
+
+    return (
+        closeness_centrality(
+            _edges_weighted(spark, sf_dir), HARMONIC_PIVOTS,
+            weight_col="weight",
+        )
+        .select("id", F.round("closeness", 7).alias("closeness"))
+        .orderBy("id")
+    )
+
+
 def q_closeness_pivots(spark, sf_dir):
     """Pivot-estimated closeness (inverse mean distance from the
     reaching pivots) — same keyed BFS as harmonic, different fold."""
@@ -1394,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_mod4": q_modularity_mod4,
         "harmonic_pivots": q_harmonic_pivots,
         "closeness_pivots": q_closeness_pivots,
+        "closeness_weighted": q_closeness_weighted,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "betweenness_pivots": q_betweenness_pivots,
@@ -1680,27 +1696,44 @@ def _sssp_levels_sql(src_cte: str, prefix: str, rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _pivot_bfs_parts(edges_sql: str, pivots: list[int]) -> list[str]:
+def _pivot_bfs_parts(
+    edges_sql: str, pivots: list[int], weighted: bool = False
+) -> list[str]:
     """Shared keyed multi-source BFS unroll (source column carried
     through every level): CTE chain ``h0..h{SSSP_SQL_ROUNDS}`` over
-    ``eg``; callers append their centrality fold."""
+    ``eg``; callers append their centrality fold. ``weighted`` relaxes
+    with ``dist + weight`` over double distances (keyed
+    Bellman-Ford)."""
     r = SSSP_SQL_ROUNDS
     seeds = ", ".join(f"({int(p)})" for p in pivots)
+    dist0 = "CAST(0 AS DOUBLE)" if weighted else "CAST(0 AS BIGINT)"
+    step = "x.dist + e.weight" if weighted else "x.dist + 1"
     parts = [
         f"WITH eg AS ({edges_sql}),",
         f"h0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) "
-        f"AS id, CAST(0 AS BIGINT) AS dist FROM (VALUES {seeds}) t(s)),",
+        f"AS id, {dist0} AS dist FROM (VALUES {seeds}) t(s)),",
     ]
     for k in range(1, r + 1):
         parts.append(
             f"h{k} AS MATERIALIZED (SELECT source, id, min(dist) AS dist "
             f"FROM (SELECT source, id, dist FROM h{k-1} UNION ALL "
-            f"SELECT x.source, e.dst AS id, x.dist + 1 AS dist "
+            f"SELECT x.source, e.dst AS id, {step} AS dist "
             f"FROM eg e JOIN h{k-1} x ON e.src = x.id) "
             f"GROUP BY source, id),"
         )
     parts[-1] = parts[-1].rstrip(",")
     return parts
+
+
+def _closeness_weighted_sql(edges_sql: str, pivots: list[int]) -> str:
+    r = SSSP_SQL_ROUNDS
+    parts = _pivot_bfs_parts(edges_sql, pivots, weighted=True)
+    parts.append(
+        f"SELECT id, round(CAST(count(*) AS DOUBLE) / sum(dist), 7) "
+        f"AS closeness FROM h{r} "
+        "WHERE dist > 0 GROUP BY id ORDER BY id"
+    )
+    return "\n".join(parts)
 
 
 def _harmonic_sql(edges_sql: str, pivots: list[int]) -> str:
@@ -2654,6 +2687,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "harmonic_pivots": _harmonic_sql(eg, HARMONIC_PIVOTS),
         "closeness_pivots": _closeness_sql(eg, HARMONIC_PIVOTS),
+        "closeness_weighted": _closeness_weighted_sql(
+            _W_EDGES_SQL, HARMONIC_PIVOTS
+        ),
         "katz": _katz_sql(eg, KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
         "eigenvector": _eigenvector_sql(eg, EIGEN_ITERS),
         "betweenness_pivots": _betweenness_sql(eg, BETWEENNESS_PIVOTS),

@@ -132,11 +132,16 @@ def double_sweep(edges: DataFrame, start: int = 0) -> DataFrame:
 
 
 def multi_source_bfs(
-    edges: DataFrame, sources: list[int], max_iter: int = 50
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 50,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Per-source BFS levels in ONE keyed frontier:
-    ``DataFrame[source: long, id: long, dist: long]`` for every
-    (source, reached vertex) pair.
+    """Per-source shortest distances in ONE keyed frontier:
+    ``DataFrame[source: long, id: long, dist]`` for every (source,
+    reached vertex) pair — ``dist`` is ``long`` hops unweighted,
+    ``double`` with ``weight_col`` (keyed Bellman-Ford over positive
+    weights, same contract as :func:`shortest_paths`).
 
     Unlike ``shortest_paths`` (which folds sources with min), distances
     stay per-source — the input to closeness/harmonic centrality
@@ -148,17 +153,24 @@ def multi_source_bfs(
         raise ValueError("sources must be non-empty")
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
-    e = edges.select("src", "dst").repartition(P, "src").persist()
+    if weight_col:
+        e = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("_w")
+        )
+        seed = [(int(s), int(s), 0.0) for s in set(sources)]
+        schema = "source long, id long, dist double"
+    else:
+        e = edges.select("src", "dst", F.lit(1).cast("long").alias("_w"))
+        seed = [(int(s), int(s), 0) for s in set(sources)]
+        schema = "source long, id long, dist long"
+    e = e.repartition(P, "src").persist()
     e.count()
-    state = spark.createDataFrame(
-        [(int(s), int(s), 0) for s in set(sources)],
-        "source long, id long, dist long",
-    )
+    state = spark.createDataFrame(seed, schema)
 
     def _step(d: DataFrame, _round: int) -> DataFrame:
         relaxed = e.join(d.withColumnRenamed("id", "src"), "src").select(
             "source", F.col("dst").alias("id"),
-            (F.col("dist") + 1).alias("dist"),
+            (F.col("dist") + F.col("_w")).alias("dist"),
         )
         return (
             d.unionByName(relaxed)
@@ -169,10 +181,14 @@ def multi_source_bfs(
     ctx = {"sig": None}
 
     def _converged(_prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        # count + order-insensitive xor checksum (not sum(dist): float
+        # sums can absorb a real improvement — same rationale as
+        # shortest_paths)
         row = new.agg(
-            F.count(F.lit(1)).alias("c"), F.sum("dist").alias("s")
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("source", "id", "dist")).alias("h"),
         ).collect()[0]
-        sig = (int(row["c"]), row["s"])
+        sig = (int(row["c"]), int(row["h"] or 0))
         if sig == ctx["sig"]:
             return True  # monotone lattice fixpoint (same as shortest_paths)
         ctx["sig"] = sig
@@ -190,7 +206,8 @@ def multi_source_bfs(
 
 
 def harmonic_centrality(
-    edges: DataFrame, pivots: list[int], max_iter: int = 50
+    edges: DataFrame, pivots: list[int], max_iter: int = 50,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Pivot-estimated harmonic centrality: ``DataFrame[id, harmonic]``
     with ``harmonic(v) = Σ_{p ∈ pivots, d(p,v) > 0} 1 / d(p → v)``.
@@ -202,7 +219,7 @@ def harmonic_centrality(
     unreachable from every pivot don't appear (harmonic contribution
     0, matching the 1/∞ convention).
     """
-    d = multi_source_bfs(edges, pivots, max_iter)
+    d = multi_source_bfs(edges, pivots, max_iter, weight_col=weight_col)
     return (
         d.where(F.col("dist") > 0)
         .groupBy("id")
@@ -211,7 +228,8 @@ def harmonic_centrality(
 
 
 def closeness_centrality(
-    edges: DataFrame, pivots: list[int], max_iter: int = 50
+    edges: DataFrame, pivots: list[int], max_iter: int = 50,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Pivot-estimated closeness: ``DataFrame[id, closeness]`` with
     ``closeness(v) = k_v / Σ_{p ∈ pivots, d(p,v)>0} d(p → v)`` where
@@ -220,8 +238,10 @@ def closeness_centrality(
     sampling contract as :func:`harmonic_centrality`; exact directed
     closeness when ``pivots`` is the full vertex set). Vertices no
     pivot reaches don't appear (closeness 0 by the 1/∞ convention).
-    One keyed multi-source BFS regardless of pivot count."""
-    d = multi_source_bfs(edges, pivots, max_iter)
+    One keyed multi-source BFS regardless of pivot count;
+    ``weight_col`` switches to weighted distances (keyed
+    Bellman-Ford)."""
+    d = multi_source_bfs(edges, pivots, max_iter, weight_col=weight_col)
     return (
         d.where(F.col("dist") > 0)
         .groupBy("id")

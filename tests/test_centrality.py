@@ -554,3 +554,37 @@ def test_edge_betweenness_bridge_dominates(spark):
         for r in edge_betweenness(e, pivots=ids).collect()
     }
     assert max(got, key=got.get) == (0, 4)
+
+
+def test_weighted_multi_source_matches_sssp(spark):
+    from pagerank_spark.operators.paths import (
+        closeness_centrality,
+        multi_source_bfs,
+        shortest_paths,
+    )
+
+    pairs = _random_pairs(91, 20, 70)
+    rows = [(s, d, float(1 + (s + d) % 3)) for s, d in pairs]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    pivots = [0, 3, 7]
+    keyed = {
+        (r["source"], r["id"]): r["dist"]
+        for r in multi_source_bfs(e, pivots, weight_col="w").collect()
+    }
+    for p in pivots:
+        solo = {
+            r["id"]: r["dist"]
+            for r in shortest_paths(e, [p], weight_col="w").collect()
+        }
+        mine = {i: d for (s, i), d in keyed.items() if s == p}
+        assert mine == solo, p
+    cl = {
+        r["id"]: r["closeness"]
+        for r in closeness_centrality(e, pivots, weight_col="w").collect()
+    }
+    want = {}
+    for (s, i), d in keyed.items():
+        if d > 0:
+            want.setdefault(i, []).append(d)
+    for i, ds in want.items():
+        assert abs(cl[i] - len(ds) / sum(ds)) < 1e-12
