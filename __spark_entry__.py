@@ -1233,6 +1233,45 @@ def q_events_hourly_stream(spark, sf_dir):
     )
 
 
+def q_dedup_stream(spark, sf_dir):
+    """Streaming exact dedup: per-content-hash keeper/copy counts
+    maintained by the state store; the drained complete-mode table
+    must equal the batch md5 group-by."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.dedup import (
+        read_docs_stream,
+        streaming_exact_dedup,
+    )
+
+    d = tempfile.mkdtemp(prefix="dedup_gate_")
+    ck = tempfile.mkdtemp(prefix="dedup_gate_ck_")
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/docs", dirs_exist_ok=True)
+        src_dir = f"{d}/docs"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    agg = streaming_exact_dedup(read_docs_stream(spark, src_dir))
+    name = "gate_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).orderBy("content_hash")
+
+
 def q_user_degrees_stream(spark, sf_dir):
     """Streaming incremental degrees: running per-user event counts
     maintained by the state store; the drained complete-mode table must
@@ -1461,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "user_sessions_stream": q_user_sessions_stream,
         "user_degrees_stream": q_user_degrees_stream,
+        "dedup_stream": q_dedup_stream,
         "pricing_rollup": q_pricing_rollup,
         "urgent_not_big_spenders": q_urgent_not_big_spenders,
         "customers_without_orders": q_customers_without_orders,
@@ -2873,6 +2913,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value "
             "FROM s GROUP BY user_id, session_seq "
             "ORDER BY user_id, session_seq"
+        ),
+        "dedup_stream": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keeper, "
+            "count(*) AS copies FROM documents GROUP BY 1 "
+            "ORDER BY content_hash"
         ),
         "user_degrees_stream": (
             "SELECT user_id AS src, count(*) AS out_deg FROM events "

@@ -354,3 +354,42 @@ def test_extract_features_injected_codec_called_once_per_asset(spark, assets):
     assert len(out) == n
     for r in out:
         assert r["feature"] == [float(r["n_bytes"])] * 4
+
+
+def test_streaming_dedup_multi_batch(spark, tmp_path):
+    """Duplicates split ACROSS micro-batches still fold into one state
+    row — the state store carries the hash across files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pagerank_spark.streaming.dedup import (
+        read_docs_stream,
+        streaming_exact_dedup,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows1 = {"doc_id": [1, 2], "text": ["same", "only"],
+             "lang": ["en"] * 2, "source": ["a"] * 2, "n_chars": [4, 4]}
+    rows2 = {"doc_id": [3], "text": ["same"],
+             "lang": ["en"], "source": ["b"], "n_chars": [4]}
+    pq.write_table(pa.table(rows1), str(d / "p1.parquet"))
+    pq.write_table(pa.table(rows2), str(d / "p2.parquet"))
+    agg = streaming_exact_dedup(read_docs_stream(spark, str(d)))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dedup_mb")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["content_hash"]: (r["keeper"], r["copies"])
+        for r in spark.table("dedup_mb").collect()
+    }
+    assert len(got) == 2
+    assert (1, 2) in got.values()  # "same" kept doc 1, counted twice
+    assert (2, 1) in got.values()
