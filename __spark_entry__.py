@@ -387,6 +387,20 @@ def q_scc(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_condensation(spark, sf_dir):
+    """SCC condensation DAG: contract the sparse graph by its SCC
+    labels (self-loops dropped) — the classic compose of two engine
+    operators, weight = inter-component edge multiplicity."""
+    from pagerank_spark.operators.cooccur import contract_graph
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    e = _edges_sparse(spark, sf_dir)
+    labels = strongly_connected_components(e)
+    return contract_graph(
+        e, labels, label_col="component", drop_self=True
+    ).orderBy("src", "dst")
+
+
 def q_scc_giant(spark, sf_dir):
     """SCC on the full canonical graph with the DISTRIBUTED coloring
     path forced — the dense graph collapses to one giant component
@@ -438,6 +452,20 @@ def q_closeness_weighted(spark, sf_dir):
             weight_col="weight",
         )
         .select("id", F.round("closeness", 7).alias("closeness"))
+        .orderBy("id")
+    )
+
+
+def q_harmonic_weighted(spark, sf_dir):
+    """Weighted pivot harmonic centrality (keyed Bellman-Ford)."""
+    from pagerank_spark.operators.paths import harmonic_centrality
+
+    return (
+        harmonic_centrality(
+            _edges_weighted(spark, sf_dir), HARMONIC_PIVOTS,
+            weight_col="weight",
+        )
+        .select("id", F.round("harmonic", 7).alias("harmonic"))
         .orderBy("id")
     )
 
@@ -1439,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_vertices_md5": q_sample_vertices_md5,
         "random_walks_md5": q_random_walks_md5,
         "scc": q_scc,
+        "condensation": q_condensation,
         "scc_giant": q_scc_giant,
         "double_sweep": q_double_sweep,
         "graph_summary": q_graph_summary,
@@ -1449,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_pivots": q_harmonic_pivots,
         "closeness_pivots": q_closeness_pivots,
         "closeness_weighted": q_closeness_weighted,
+        "harmonic_weighted": q_harmonic_weighted,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "betweenness_pivots": q_betweenness_pivots,
@@ -1765,6 +1795,16 @@ def _pivot_bfs_parts(
     return parts
 
 
+def _harmonic_weighted_sql(edges_sql: str, pivots: list[int]) -> str:
+    r = SSSP_SQL_ROUNDS
+    parts = _pivot_bfs_parts(edges_sql, pivots, weighted=True)
+    parts.append(
+        f"SELECT id, round(sum(1.0 / dist), 7) AS harmonic FROM h{r} "
+        "WHERE dist > 0 GROUP BY id ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
 def _closeness_weighted_sql(edges_sql: str, pivots: list[int]) -> str:
     r = SSSP_SQL_ROUNDS
     parts = _pivot_bfs_parts(edges_sql, pivots, weighted=True)
@@ -2009,6 +2049,29 @@ def _scc_sql(edges_sql: str) -> str:
         "SELECT v.id, least(v.id, coalesce(min(m.w), v.id)) AS component "
         "FROM v LEFT JOIN mutual m ON m.v = v.id "
         "GROUP BY v.id ORDER BY v.id"
+    )
+
+
+def _condensation_sql(edges_sql: str) -> str:
+    """SCC labels by transitive closure, then endpoint relabel +
+    collapse (inter-component edges only)."""
+    return (
+        f"WITH RECURSIVE eg AS ({edges_sql}), "
+        "d AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst), "
+        "v AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)), "
+        "reach(a, b) AS (SELECT src, dst FROM d UNION "
+        "SELECT r.a, d.dst FROM reach r JOIN d ON r.b = d.src), "
+        "mutual AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 "
+        "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a), "
+        "lab AS (SELECT v.id, least(v.id, coalesce(min(m.w), v.id)) "
+        "AS component FROM v LEFT JOIN mutual m ON m.v = v.id "
+        "GROUP BY v.id) "
+        "SELECT a.component AS src, b.component AS dst, "
+        "count(*) AS weight FROM eg e "
+        "JOIN lab a ON e.src = a.id JOIN lab b ON e.dst = b.id "
+        "WHERE a.component <> b.component "
+        "GROUP BY 1, 2 ORDER BY src, dst"
     )
 
 
@@ -2701,6 +2764,7 @@ def oracle_sql() -> dict[str, str]:
             eg, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED
         ),
         "scc": _scc_sql(_SPARSE_EDGES_SQL),
+        "condensation": _condensation_sql(_SPARSE_EDGES_SQL),
         "scc_giant": _scc_sql(eg),
         "double_sweep": _double_sweep_sql(eg),
         "graph_summary": _summary_sql(eg),
@@ -2728,6 +2792,9 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_pivots": _harmonic_sql(eg, HARMONIC_PIVOTS),
         "closeness_pivots": _closeness_sql(eg, HARMONIC_PIVOTS),
         "closeness_weighted": _closeness_weighted_sql(
+            _W_EDGES_SQL, HARMONIC_PIVOTS
+        ),
+        "harmonic_weighted": _harmonic_weighted_sql(
             _W_EDGES_SQL, HARMONIC_PIVOTS
         ),
         "katz": _katz_sql(eg, KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
