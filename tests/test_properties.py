@@ -106,3 +106,33 @@ def test_cc_matches_union_find(spark, pairs):
         if a == b:
             want.setdefault(a, a)
     assert got == want
+
+
+@given(pairs=graphs)
+@SET
+def test_contract_preserves_weight_and_truss_within_core(spark, pairs):
+    """Invariants for every graph: (1) contraction preserves total edge
+    multiplicity under ANY labeling; (2) the k-truss edge set is
+    contained in the (k-1)-core's induced edges; (3) assortativity,
+    when defined, lies in [-1, 1]."""
+    from pagerank_spark.operators.cooccur import contract_graph
+    from pagerank_spark.operators.cores import k_core, k_truss
+    from pagerank_spark.operators.degrees import degree_assortativity
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ids = sorted({x for p in pairs for x in p})
+    labels = spark.createDataFrame(
+        [(v, v % 3) for v in ids], "id long, label long"
+    )
+    total = (
+        contract_graph(e, labels)
+        .agg({"weight": "sum"}).collect()[0][0]
+    )
+    assert total == len(pairs)
+
+    truss = {(r["a"], r["b"]) for r in k_truss(e, 4).collect()}
+    core = {r["id"] for r in k_core(e, 3).collect()}
+    assert all(a in core and b in core for a, b in truss)
+
+    r = degree_assortativity(e).collect()[0]["assortativity"]
+    assert r is None or -1.0 - 1e-12 <= r <= 1.0 + 1e-12
