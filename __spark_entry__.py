@@ -387,6 +387,33 @@ def q_scc(spark, sf_dir):
     ).orderBy("id")
 
 
+NF_SQL_ROUNDS = 40  # sparse-graph BFS fixpoint at sf0.01 is 36 rounds
+
+
+def q_neighborhood_function(spark, sf_dir):
+    """Exact neighborhood function N(r) over the sparse graph (every
+    vertex a source) — cumulative reachable-pair counts per radius."""
+    from pagerank_spark.operators.paths import neighborhood_function
+
+    return neighborhood_function(_edges_sparse(spark, sf_dir)).orderBy(
+        "radius"
+    )
+
+
+WL_ROUNDS = 2
+
+
+def q_wl_colors_md5(spark, sf_dir):
+    """1-WL color refinement with the md5-portable hash — every round
+    (neighbor-hash sum/count combine, then own|sum|count rehash)
+    replayed exactly by the unrolled oracle."""
+    from pagerank_spark.operators.wl import wl_colors
+
+    return wl_colors(
+        _edges(spark, sf_dir), rounds=WL_ROUNDS, hash_fn="md5"
+    ).orderBy("id")
+
+
 def q_condensation(spark, sf_dir):
     """SCC condensation DAG: contract the sparse graph by its SCC
     labels (self-loops dropped) — the classic compose of two engine
@@ -1468,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_md5": q_random_walks_md5,
         "scc": q_scc,
         "condensation": q_condensation,
+        "wl_colors_md5": q_wl_colors_md5,
+        "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
         "double_sweep": q_double_sweep,
         "graph_summary": q_graph_summary,
@@ -2050,6 +2079,67 @@ def _scc_sql(edges_sql: str) -> str:
         "FROM v LEFT JOIN mutual m ON m.v = v.id "
         "GROUP BY v.id ORDER BY v.id"
     )
+
+
+def _neighborhood_sql(edges_sql: str) -> str:
+    """All-sources keyed BFS unroll (seeds = the vertex set itself),
+    then per-radius counts folded cumulatively."""
+    r = NF_SQL_ROUNDS
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "vx AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        "h0 AS (SELECT id AS source, id, CAST(0 AS BIGINT) AS dist "
+        "FROM vx),",
+    ]
+    for k in range(1, r + 1):
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT source, id, min(dist) AS dist "
+            f"FROM (SELECT source, id, dist FROM h{k-1} UNION ALL "
+            f"SELECT x.source, e.dst AS id, x.dist + 1 AS dist "
+            f"FROM eg e JOIN h{k-1} x ON e.src = x.id) "
+            f"GROUP BY source, id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT radius, CAST(sum(n) OVER (ORDER BY radius "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        f"AS pairs FROM (SELECT dist AS radius, count(*) AS n FROM h{r} "
+        f"GROUP BY dist) ORDER BY radius"
+    )
+    return "\n".join(parts)
+
+
+def _wl_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled 1-WL: per round the neighbor-hash (sum, count) combine
+    (hugeint sum — exact, order-insensitive, identical string form to
+    the engine's decimal) and the own|sum|count rehash."""
+    h = lambda x: _MD5H.format(x=x)  # noqa: E731
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "vx AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        "sym AS (SELECT src, dst FROM eg UNION ALL "
+        "SELECT dst, src FROM eg),",
+        "w0 AS (SELECT id, CAST(0 AS BIGINT) AS color FROM vx),",
+    ]
+    for k in range(1, rounds + 1):
+        nbr_hash = h("CAST(w.color AS VARCHAR)")
+        parts += [
+            f"m{k} AS (SELECT s.dst AS id, "
+            f"sum(CAST({nbr_hash} AS HUGEINT)) AS sm, count(*) AS c "
+            f"FROM sym s JOIN w{k-1} w ON s.src = w.id GROUP BY s.dst),",
+            f"w{k} AS MATERIALIZED (SELECT p.id, "
+            + h(
+                "CAST(p.color AS VARCHAR) || '|' || "
+                "coalesce(CAST(m.sm AS VARCHAR), '0') || '|' || "
+                "CAST(coalesce(m.c, 0) AS VARCHAR)"
+            )
+            + f" AS color FROM w{k-1} p LEFT JOIN m{k} m ON p.id = m.id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, color FROM w{rounds} ORDER BY id")
+    return "\n".join(parts)
 
 
 def _condensation_sql(edges_sql: str) -> str:
@@ -2765,6 +2855,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scc": _scc_sql(_SPARSE_EDGES_SQL),
         "condensation": _condensation_sql(_SPARSE_EDGES_SQL),
+        "wl_colors_md5": _wl_sql(eg, WL_ROUNDS),
+        "neighborhood_function": _neighborhood_sql(_SPARSE_EDGES_SQL),
         "scc_giant": _scc_sql(eg),
         "double_sweep": _double_sweep_sql(eg),
         "graph_summary": _summary_sql(eg),

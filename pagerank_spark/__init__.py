@@ -48,6 +48,7 @@ from pagerank_spark.operators.cooccur import (
     cooccurrence_graph,
 )
 from pagerank_spark.operators.scc import strongly_connected_components
+from pagerank_spark.operators.wl import wl_colors, wl_fingerprint
 from pagerank_spark.operators.walks import random_walks
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
@@ -58,6 +59,8 @@ from pagerank_spark.operators.triangles import (
 )
 from pagerank_spark.operators.paths import (
     closeness_centrality,
+    effective_diameter,
+    neighborhood_function,
     double_sweep,
     harmonic_centrality,
     multi_source_bfs,
@@ -138,6 +141,10 @@ __all__ = [
     "betweenness_centrality",
     "edge_betweenness",
     "double_sweep",
+    "neighborhood_function",
+    "effective_diameter",
+    "wl_colors",
+    "wl_fingerprint",
     "graph_summary",
     "derive_edges",
     "cooccurrence_graph",

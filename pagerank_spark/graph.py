@@ -316,6 +316,16 @@ class LinkGraph:
 
         return degree_assortativity(self.edges)
 
+    def wl_colors(self, rounds: int = 3, directed: bool = False) -> DataFrame:
+        from pagerank_spark.operators.wl import wl_colors
+
+        return wl_colors(self.edges, rounds=rounds, directed=directed)
+
+    def effective_diameter(self, q: float = 0.9, pivots=None) -> DataFrame:
+        from pagerank_spark.operators.paths import effective_diameter
+
+        return effective_diameter(self.edges, q=q, sources=pivots)
+
     def subgraph(self, vertices) -> "LinkGraph":
         """Vertex-induced subgraph: keep edges whose BOTH endpoints are
         in ``vertices`` (a ``DataFrame[id]`` or a list of ids). Two

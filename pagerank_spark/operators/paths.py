@@ -251,3 +251,66 @@ def closeness_centrality(
             ).alias("closeness")
         )
     )
+
+
+def neighborhood_function(
+    edges: DataFrame, sources: list[int] | None = None, max_iter: int = 50
+) -> DataFrame:
+    """The (pivot-sampled) neighborhood function N(r) — how many
+    (source, vertex) pairs lie within distance r (Palmer et al., "ANF:
+    a fast and scalable tool for data mining in massive graphs",
+    KDD'02) — ``DataFrame[radius: long, pairs: long]``, cumulative,
+    radius 0 (the sources themselves) through max reached distance.
+
+    ``sources=None`` uses every vertex (the exact neighborhood
+    function — O(V·reached) keyed-state rows, affordable on small or
+    sampled graphs); a pivot list gives the standard sampling
+    estimator. One keyed multi-source BFS either way.
+    """
+    if sources is None:
+        sources = [
+            r["id"]
+            for r in (
+                edges.select(F.col("src").alias("id"))
+                .union(edges.select(F.col("dst").alias("id")))
+                .distinct()
+                .collect()
+            )
+        ]
+    d = multi_source_bfs(edges, sources, max_iter)
+    per_r = d.groupBy(F.col("dist").alias("radius")).agg(
+        F.count(F.lit(1)).alias("_new")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("radius").rowsBetween(Window.unboundedPreceding, 0)
+    return per_r.select(
+        "radius", F.sum("_new").over(w).alias("pairs")
+    )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    q: float = 0.9,
+    sources: list[int] | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """One row ``(effective_diameter, q, max_radius, pairs_total)`` —
+    the smallest radius whose cumulative pair count reaches a fraction
+    ``q`` of all reachable pairs (the standard 90%-effective-diameter
+    convention, integer form: no interpolation, deterministic).
+    """
+    nf = neighborhood_function(edges, sources, max_iter).localCheckpoint()
+    row = nf.agg(
+        F.max("pairs").alias("t"), F.max("radius").alias("m")
+    ).collect()[0]
+    total, rmax = int(row["t"] or 0), int(row["m"] or 0)
+    need = q * total
+    eff = nf.where(F.col("pairs") >= F.lit(need)).agg(
+        F.min("radius").alias("r")
+    ).collect()[0]["r"]
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(eff if eff is not None else 0), float(q), rmax, total)],
+        "effective_diameter long, q double, max_radius long, pairs_total long",
+    )

@@ -588,3 +588,46 @@ def test_weighted_multi_source_matches_sssp(spark):
             want.setdefault(i, []).append(d)
     for i, ds in want.items():
         assert abs(cl[i] - len(ds) / sum(ds)) < 1e-12
+
+
+def test_wl_colors_separate_roles(spark):
+    from pagerank_spark.operators.wl import wl_colors, wl_fingerprint
+
+    # a path 0-1-2-3-4: ends {0,4} same role, next-to-ends {1,3} same,
+    # center {2} its own — exactly three colors after 2 rounds
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["id"]: r["color"] for r in wl_colors(e, rounds=2).collect()}
+    assert got[0] == got[4] and got[1] == got[3]
+    assert len({got[0], got[1], got[2]}) == 3
+    # isomorphic relabeling -> identical fingerprint
+    e2 = spark.createDataFrame(
+        [(10, 7), (7, 99), (99, 3), (3, 52)], "src long, dst long"
+    )
+    f1 = wl_fingerprint(e, rounds=3).collect()[0]
+    f2 = wl_fingerprint(e2, rounds=3).collect()[0]
+    assert (f1["fingerprint"], f1["n_colors"]) == (f2["fingerprint"], f2["n_colors"])
+    # non-isomorphic same-size graphs -> different fingerprints
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "src long, dst long"
+    )
+    f3 = wl_fingerprint(star, rounds=3).collect()[0]
+    assert (f3["fingerprint"], f3["n_colors"]) != (f1["fingerprint"], f1["n_colors"])
+
+
+def test_wl_multiplicity_and_md5_mode(spark):
+    from pagerank_spark.operators.wl import wl_colors
+
+    # doubled edge changes the refinement: after round 1 vertex 0 has
+    # degree 2 in both graphs (same color — correct 1-WL), but round 2
+    # sees {deg-2 nbr, deg-2 nbr} vs {deg-1 nbr, deg-1 nbr} and splits
+    a = spark.createDataFrame([(0, 1), (0, 1)], "src long, dst long")
+    b = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    ca1 = {r["id"]: r["color"] for r in wl_colors(a, rounds=1, hash_fn="md5").collect()}
+    cb1 = {r["id"]: r["color"] for r in wl_colors(b, rounds=1, hash_fn="md5").collect()}
+    assert ca1[0] == cb1[0]  # degree-only at round 1
+    ca2 = {r["id"]: r["color"] for r in wl_colors(a, rounds=2, hash_fn="md5").collect()}
+    cb2 = {r["id"]: r["color"] for r in wl_colors(b, rounds=2, hash_fn="md5").collect()}
+    assert ca2[0] != cb2[0]
+    assert cb2[1] == cb2[2]
