@@ -49,6 +49,7 @@ from pagerank_spark.operators.cooccur import (
 )
 from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.wl import wl_colors, wl_fingerprint
+from pagerank_spark.operators.anf import hyper_anf
 from pagerank_spark.operators.walks import random_walks
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
@@ -142,6 +143,7 @@ __all__ = [
     "edge_betweenness",
     "double_sweep",
     "neighborhood_function",
+    "hyper_anf",
     "effective_diameter",
     "wl_colors",
     "wl_fingerprint",

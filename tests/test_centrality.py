@@ -631,3 +631,27 @@ def test_wl_multiplicity_and_md5_mode(spark):
     cb2 = {r["id"]: r["color"] for r in wl_colors(b, rounds=2, hash_fn="md5").collect()}
     assert ca2[0] != cb2[0]
     assert cb2[1] == cb2[2]
+
+
+def test_hyper_anf_tracks_exact(spark):
+    from pagerank_spark.operators.anf import hyper_anf
+    from pagerank_spark.operators.paths import neighborhood_function
+
+    pairs = _random_pairs(101, 60, 140)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    exact = {
+        r["radius"]: r["pairs"]
+        for r in neighborhood_function(e).collect()
+    }
+    approx = {
+        r["radius"]: r["pairs_est"] for r in hyper_anf(e, p=12).collect()
+    }
+    # sketch curve tracks the exact one within HLL error at p=12
+    for radius, n_exact in exact.items():
+        if radius in approx:
+            assert abs(approx[radius] - n_exact) / n_exact < 0.08, (
+                radius, n_exact, approx[radius],
+            )
+    # final plateau reached (stopping rule fired at/before exact max)
+    assert max(approx) <= max(exact) + 2
+    assert abs(approx[max(approx)] - exact[max(exact)]) / exact[max(exact)] < 0.08
