@@ -414,6 +414,33 @@ def q_wl_colors_md5(spark, sf_dir):
     ).orderBy("id")
 
 
+MIS_SQL_ROUNDS = 15  # Luby O(log V); rounds past undecided-empty are no-ops
+
+
+def q_mis_md5(spark, sf_dir):
+    """Deterministic Luby MIS (md5 round priorities) on the sparse
+    graph — every round replayed by the unrolled oracle."""
+    from pagerank_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(
+        _edges_sparse(spark, sf_dir), hash_fn="md5"
+    ).orderBy("id")
+
+
+def q_topo_levels(spark, sf_dir):
+    """Parallel build order of the SCC condensation DAG — the
+    scc → contract → longest-path-level composition (the repo-graph
+    scheduling query)."""
+    from pagerank_spark.operators.cooccur import contract_graph
+    from pagerank_spark.operators.paths import topological_levels
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    e = _edges_sparse(spark, sf_dir)
+    labels = strongly_connected_components(e)
+    dag = contract_graph(e, labels, label_col="component", drop_self=True)
+    return topological_levels(dag.select("src", "dst")).orderBy("id")
+
+
 def q_condensation(spark, sf_dir):
     """SCC condensation DAG: contract the sparse graph by its SCC
     labels (self-loops dropped) — the classic compose of two engine
@@ -1495,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_md5": q_random_walks_md5,
         "scc": q_scc,
         "condensation": q_condensation,
+        "mis_md5": q_mis_md5,
+        "topo_levels": q_topo_levels,
         "wl_colors_md5": q_wl_colors_md5,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
@@ -2140,6 +2169,72 @@ def _wl_sql(edges_sql: str, rounds: int) -> str:
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id, color FROM w{rounds} ORDER BY id")
     return "\n".join(parts)
+
+
+def _mis_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled deterministic Luby: per round md5 priorities over the
+    undecided set, the lexicographic (priority, id) neighbor minimum,
+    winners + their neighborhoods removed."""
+    h = lambda x: _MD5H.format(x=x)  # noqa: E731
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+        "sym AS (SELECT a AS src, b AS dst FROM simple "
+        "UNION ALL SELECT b, a FROM simple),",
+        "u0 AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        "mis0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0),",
+    ]
+    for r in range(1, rounds + 1):
+        pr = h(f"CAST(id AS VARCHAR) || '|' || '{r}'")
+        parts += [
+            f"p{r} AS MATERIALIZED (SELECT id, {pr} AS p FROM u{r-1}),",
+            f"nm{r} AS (SELECT s.src AS id, "
+            f"min(struct_pack(p := x.p, i := x.id)) AS nm "
+            f"FROM sym s JOIN p{r} x ON s.dst = x.id GROUP BY s.src),",
+            f"c{r} AS MATERIALIZED (SELECT q.id FROM p{r} q "
+            f"LEFT JOIN nm{r} n ON q.id = n.id "
+            f"WHERE n.nm IS NULL OR struct_pack(p := q.p, i := q.id) < n.nm),",
+            f"rm{r} AS (SELECT id FROM c{r} UNION "
+            f"SELECT s.dst FROM sym s JOIN c{r} c ON s.src = c.id),",
+            f"mis{r} AS MATERIALIZED (SELECT id FROM mis{r-1} "
+            f"UNION ALL SELECT id FROM c{r}),",
+            f"u{r} AS MATERIALIZED (SELECT id FROM u{r-1} "
+            f"WHERE id NOT IN (SELECT id FROM rm{r})),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id FROM mis{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _topo_levels_sql(edges_sql: str) -> str:
+    """Condensation DAG (transitive-closure SCC labels + relabel), then
+    longest-path levels by a bounded recursive path enumeration."""
+    return (
+        f"WITH RECURSIVE eg AS ({edges_sql}), "
+        "d AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst), "
+        "v AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)), "
+        "reach(a, b) AS (SELECT src, dst FROM d UNION "
+        "SELECT r.a, d.dst FROM reach r JOIN d ON r.b = d.src), "
+        "mutual AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 "
+        "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a), "
+        "lab AS (SELECT v.id, least(v.id, coalesce(min(m.w), v.id)) "
+        "AS component FROM v LEFT JOIN mutual m ON m.v = v.id "
+        "GROUP BY v.id), "
+        "ce AS (SELECT DISTINCT a.component AS src, b.component AS dst "
+        "FROM eg e JOIN lab a ON e.src = a.id JOIN lab b ON e.dst = b.id "
+        "WHERE a.component <> b.component), "
+        "cv AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM ce UNION ALL SELECT dst FROM ce)), "
+        "paths(id, len) AS ("
+        "SELECT id, CAST(0 AS BIGINT) FROM cv "
+        "WHERE id NOT IN (SELECT dst FROM ce) "
+        "UNION SELECT ce.dst, p.len + 1 FROM paths p "
+        "JOIN ce ON ce.src = p.id) "
+        "SELECT id, max(len) AS level FROM paths GROUP BY id ORDER BY id"
+    )
 
 
 def _condensation_sql(edges_sql: str) -> str:
@@ -2855,6 +2950,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scc": _scc_sql(_SPARSE_EDGES_SQL),
         "condensation": _condensation_sql(_SPARSE_EDGES_SQL),
+        "mis_md5": _mis_sql(_SPARSE_EDGES_SQL, MIS_SQL_ROUNDS),
+        "topo_levels": _topo_levels_sql(_SPARSE_EDGES_SQL),
         "wl_colors_md5": _wl_sql(eg, WL_ROUNDS),
         "neighborhood_function": _neighborhood_sql(_SPARSE_EDGES_SQL),
         "scc_giant": _scc_sql(eg),

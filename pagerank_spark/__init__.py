@@ -50,6 +50,7 @@ from pagerank_spark.operators.cooccur import (
 from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.wl import wl_colors, wl_fingerprint
 from pagerank_spark.operators.anf import hyper_anf
+from pagerank_spark.operators.mis import maximal_independent_set
 from pagerank_spark.operators.walks import random_walks
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
@@ -62,6 +63,7 @@ from pagerank_spark.operators.paths import (
     closeness_centrality,
     effective_diameter,
     neighborhood_function,
+    topological_levels,
     double_sweep,
     harmonic_centrality,
     multi_source_bfs,
@@ -145,6 +147,8 @@ __all__ = [
     "neighborhood_function",
     "hyper_anf",
     "effective_diameter",
+    "maximal_independent_set",
+    "topological_levels",
     "wl_colors",
     "wl_fingerprint",
     "graph_summary",

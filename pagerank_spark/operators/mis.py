@@ -1,0 +1,92 @@
+"""Maximal independent set — deterministic Luby rounds.
+
+Extension beyond the C reference: the classic symmetry-breaking
+primitive (Luby 1986, "A simple parallel algorithm for the maximal
+independent set problem") with the engine's determinism convention —
+per-round priorities are HASHES of (vertex id, round), not RNG draws,
+so the result is reproducible across runs, partitionings and engines
+(``hash_fn="md5"`` makes every round ANSI-replayable, the portable-twin
+pattern).
+
+Per round over the UNDECIDED subgraph: a vertex enters the MIS when
+its (priority, id) pair is lexicographically smaller than every
+undecided neighbor's; winners and their neighbors leave the undecided
+set. Expected O(log V) rounds; per round two bounded joins + one
+min-aggregate — the same O(V)-moves-per-round shape as LPA. Self-loops
+are dropped (a vertex is never its own neighbor), parallel edges are
+collapsed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions.text import hash64
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    max_iter: int = 50,
+    hash_fn: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``DataFrame[id: long]`` — a maximal independent set of the
+    undirected simple projection (every vertex is in the set or
+    adjacent to it; no two set members are adjacent)."""
+    spark = edges.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    simple = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    sym = simple.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(simple.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = sym.repartition(P, "src").persist()
+    undecided = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    mis = spark.createDataFrame([], "id long").localCheckpoint()
+    for rnd in range(1, max_iter + 1):
+        if undecided.isEmpty():
+            break
+        pri = undecided.select(
+            "id",
+            hash64(
+                F.concat_ws("|", F.col("id").cast("string"), F.lit(str(rnd))),
+                hash_fn,
+            ).alias("_p"),
+        ).localCheckpoint()
+        # min (priority, id) among each vertex's UNDECIDED neighbors
+        nbr_min = (
+            sym.join(pri.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min(F.struct("_p", F.col("dst").alias("_i"))).alias("_nm"))
+        )
+        # winners: smaller than every undecided neighbor, or isolated
+        # in the undecided subgraph (no undecided neighbors at all)
+        cand = (
+            pri.join(nbr_min, "id", "left")
+            .where(
+                F.col("_nm").isNull()
+                | (F.struct("_p", F.col("id").alias("_i")) < F.col("_nm"))
+            )
+            .select("id")
+            .localCheckpoint()
+        )
+        removed = cand.unionByName(
+            sym.join(cand.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+        ).distinct()
+        mis = mis.unionByName(cand).localCheckpoint()
+        undecided = undecided.join(removed, "id", "left_anti").localCheckpoint()
+    sym.unpersist()
+    return mis

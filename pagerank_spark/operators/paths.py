@@ -314,3 +314,63 @@ def effective_diameter(
         [(int(eff if eff is not None else 0), float(q), rmax, total)],
         "effective_diameter long, q double, max_radius long, pairs_total long",
     )
+
+
+def topological_levels(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """Longest-path level per vertex of a DAG:
+    ``DataFrame[id, level]`` with ``level(v) = 0`` for sources (no
+    in-edges) and ``level(v) = 1 + max(level(u) : u→v)`` otherwise —
+    the parallel build/evaluation order (vertices at one level have no
+    mutual dependencies). Compose with ``contract_graph`` over SCC
+    labels to schedule a cyclic graph's condensation.
+
+    Fixpoint on the iterate harness: levels only ever increase and are
+    bounded by the DAG depth, so the xor-checksum convergence action is
+    exact. A CYCLE never stabilizes — the loop stops at ``max_iter``
+    with a RuntimeWarning (levels on the cycle keep growing), which
+    doubles as a practical cycle detector.
+    """
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").repartition(P, "src").persist()
+    e.count()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = vertices.select("id", F.lit(0).cast("long").alias("level"))
+
+    def _step(levels: DataFrame, _round: int) -> DataFrame:
+        msgs = (
+            e.join(levels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("level") + 1).alias("_m"))
+        )
+        return vertices.join(msgs, "id", "left").select(
+            "id", F.coalesce("_m", F.lit(0)).cast("long").alias("level")
+        )
+
+    ctx = {"sig": None}
+
+    def _converged(_prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        row = new.agg(
+            F.bit_xor(F.xxhash64("id", "level")).alias("h")
+        ).collect()[0]
+        sig = int(row["h"] or 0)
+        if sig == ctx["sig"]:
+            return True
+        ctx["sig"] = sig
+        return False
+
+    out, _rounds, _done = iterate(
+        state, _step, _converged, max_iter,
+        warn=(
+            "topological_levels: no fixpoint within "
+            f"max_iter={max_iter} rounds — the graph contains a cycle; "
+            "levels on and below cycles are unbounded"
+        ),
+    )
+    e.unpersist()
+    return out

@@ -655,3 +655,40 @@ def test_hyper_anf_tracks_exact(spark):
     # final plateau reached (stopping rule fired at/before exact max)
     assert max(approx) <= max(exact) + 2
     assert abs(approx[max(approx)] - exact[max(exact)]) / exact[max(exact)] < 0.08
+
+
+def test_mis_independent_and_maximal(spark):
+    from pagerank_spark.operators.mis import maximal_independent_set
+
+    pairs = _random_pairs(111, 30, 90)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    s = {r["id"] for r in maximal_independent_set(e).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    ids = {x for p in pairs for x in p}
+    assert all(not (adj.get(v, set()) & s) for v in s)  # independent
+    assert all(v in s or (adj.get(v, set()) & s) for v in ids)  # maximal
+    # deterministic: identical across reruns
+    s2 = {r["id"] for r in maximal_independent_set(e).collect()}
+    assert s == s2
+
+
+def test_topological_levels_dag_and_cycle(spark):
+    import warnings
+
+    from pagerank_spark.operators.paths import topological_levels
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 5), (5, 3)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["level"] for r in topological_levels(e).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 4: 1, 5: 2, 3: 3}
+    c = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        topological_levels(c, max_iter=5).collect()
+    assert any("cycle" in str(x.message) for x in w)
