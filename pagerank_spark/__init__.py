@@ -50,7 +50,7 @@ from pagerank_spark.operators.cooccur import (
 from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.wl import wl_colors, wl_fingerprint
 from pagerank_spark.operators.anf import hyper_anf
-from pagerank_spark.operators.mis import maximal_independent_set
+from pagerank_spark.operators.mis import greedy_coloring, maximal_independent_set
 from pagerank_spark.operators.walks import random_walks
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
@@ -148,6 +148,7 @@ __all__ = [
     "hyper_anf",
     "effective_diameter",
     "maximal_independent_set",
+    "greedy_coloring",
     "topological_levels",
     "wl_colors",
     "wl_fingerprint",

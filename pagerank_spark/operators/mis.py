@@ -90,3 +90,81 @@ def maximal_independent_set(
         undecided = undecided.join(removed, "id", "left_anti").localCheckpoint()
     sym.unpersist()
     return mis
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    max_colors: int = 64,
+    hash_fn: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Proper vertex coloring by iterated MIS (the Jones-Plassmann
+    shape): color c goes to a maximal independent set of the still-
+    uncolored subgraph, so no edge ever joins two same-colored
+    vertices — ``DataFrame[id: long, color: long]`` with colors
+    0..k-1, k ≤ max_colors (raises if the graph needs more).
+
+    Deterministic end to end (hash priorities inherited from
+    :func:`maximal_independent_set`); uses at most Δ+1 colors like any
+    greedy scheme. Each color round runs MIS on a monotonically
+    shrinking induced subgraph — the standard distributed coloring
+    trade: O(Δ) rounds of bounded joins, no sequential vertex order.
+    """
+    spark = edges.sparkSession
+    simple = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining_v = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining_e = simple
+    colored = spark.createDataFrame([], "id long, color long").localCheckpoint()
+    for c in range(max_colors):
+        if remaining_v.isEmpty():
+            break
+        if remaining_e.isEmpty():
+            # no edges left: everything remaining takes this color
+            colored = colored.unionByName(
+                remaining_v.select("id", F.lit(c).cast("long").alias("color"))
+            ).localCheckpoint()
+            remaining_v = remaining_v.join(remaining_v, "id", "left_anti")
+            break
+        mis = maximal_independent_set(
+            remaining_e.select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            ),
+            hash_fn=hash_fn,
+            num_partitions=num_partitions,
+        ).localCheckpoint()
+        # isolated remaining vertices (no edges) are independent too
+        isolated = remaining_v.join(
+            remaining_e.select(F.col("a").alias("id"))
+            .union(remaining_e.select(F.col("b").alias("id"))),
+            "id",
+            "left_anti",
+        )
+        take = mis.unionByName(isolated).distinct().localCheckpoint()
+        colored = colored.unionByName(
+            take.select("id", F.lit(c).cast("long").alias("color"))
+        ).localCheckpoint()
+        remaining_v = remaining_v.join(take, "id", "left_anti").localCheckpoint()
+        remaining_e = (
+            remaining_e.join(take.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(take.withColumnRenamed("id", "b"), "b", "left_anti")
+            .localCheckpoint()
+        )
+    if not remaining_v.isEmpty():
+        raise ValueError(
+            f"greedy_coloring: more than max_colors={max_colors} colors "
+            "needed; raise the cap"
+        )
+    return colored

@@ -692,3 +692,31 @@ def test_topological_levels_dag_and_cycle(spark):
         warnings.simplefilter("always")
         topological_levels(c, max_iter=5).collect()
     assert any("cycle" in str(x.message) for x in w)
+
+
+def test_greedy_coloring_proper_and_deterministic(spark):
+    from pagerank_spark.operators.mis import greedy_coloring
+
+    pairs = _random_pairs(121, 25, 80)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["id"]: r["color"] for r in greedy_coloring(e).collect()}
+    ids = {x for p in pairs for x in p}
+    assert set(got) == ids
+    for a, b in pairs:
+        if a != b:
+            assert got[a] != got[b], (a, b)
+    # at most Delta+1 colors
+    deg: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a != b:
+            deg.setdefault(a, set()).add(b)
+            deg.setdefault(b, set()).add(a)
+    delta = max(len(v) for v in deg.values())
+    assert max(got.values()) <= delta
+    # deterministic across reruns
+    again = {r["id"]: r["color"] for r in greedy_coloring(e).collect()}
+    assert got == again
+    # isolated-vertices-only graph: everything color 0
+    iso = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
+    ic = {r["id"]: r["color"] for r in greedy_coloring(iso).collect()}
+    assert ic == {7: 0, 9: 0}
