@@ -68,6 +68,11 @@ def main():
     print("communities:", lab.select("label").distinct().count(),
           "-> coarse graph edges:", coarse.edges.count())
     print("4-truss edges:", g.k_truss(4).count())
+    print("WL structural roles:", g.wl_colors(rounds=3).select("color").distinct().count())
+    print("MIS size:", g.maximal_independent_set().count(),
+          "| colors used:", g.greedy_coloring().select("color").distinct().count())
+    print("effective diameter:")
+    g.effective_diameter(q=0.9).show()
 
     # 3. training-data pipeline over the documents/embeddings tables
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")

@@ -326,6 +326,37 @@ class LinkGraph:
 
         return effective_diameter(self.edges, q=q, sources=pivots)
 
+    def maximal_independent_set(self, max_iter: int = 50) -> DataFrame:
+        from pagerank_spark.operators.mis import maximal_independent_set
+
+        return maximal_independent_set(self.edges, max_iter=max_iter)
+
+    def greedy_coloring(self, max_colors: int = 64) -> DataFrame:
+        from pagerank_spark.operators.mis import greedy_coloring
+
+        return greedy_coloring(self.edges, max_colors=max_colors)
+
+    def topological_levels(self, max_iter: int = 100) -> DataFrame:
+        from pagerank_spark.operators.paths import topological_levels
+
+        return topological_levels(self.edges, max_iter=max_iter)
+
+    def hyper_anf(self, p: int = 10, max_iter: int = 50) -> DataFrame:
+        from pagerank_spark.operators.anf import hyper_anf
+
+        return hyper_anf(self.edges, p=p, max_iter=max_iter)
+
+    def k_truss_core(self, k: int) -> "LinkGraph":
+        """The k-truss as a LinkGraph (undirected simple edge set) —
+        chains into any further analysis."""
+        t = self.k_truss(k)
+        from pyspark.sql import functions as F
+
+        return LinkGraph(
+            t.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            mapping=self.mapping,
+        )
+
     def subgraph(self, vertices) -> "LinkGraph":
         """Vertex-induced subgraph: keep edges whose BOTH endpoints are
         in ``vertices`` (a ``DataFrame[id]`` or a list of ids). Two

@@ -122,3 +122,19 @@ def test_linkgraph_save_load_roundtrip(spark, tmp_path):
     g3 = LinkGraph.load(spark, p2)
     assert g3.n == 3 and g3.weight_col is None and g3.mapping is None
     assert g3.edges.count() == 2
+
+
+def test_linkgraph_round3_surface(spark):
+    from pagerank_spark.testing import DEMO_EDGES, DEMO_N, edges_df
+
+    g = LinkGraph(edges=edges_df(spark, DEMO_EDGES), n=DEMO_N)
+    mis = {r["id"] for r in g.maximal_independent_set().collect()}
+    assert mis  # non-empty on a non-empty graph
+    col = {r["id"]: r["color"] for r in g.greedy_coloring().collect()}
+    assert len(col) == DEMO_N
+    ed = g.effective_diameter().collect()[0]
+    assert ed["effective_diameter"] >= 1
+    anf = g.hyper_anf(p=10).collect()
+    assert anf[-1]["pairs_est"] > 0
+    core = g.k_truss_core(3)
+    assert core.edges.count() >= 0
