@@ -441,6 +441,23 @@ def q_topo_levels(spark, sf_dir):
     return topological_levels(dag.select("src", "dst")).orderBy("id")
 
 
+DENSEST_SQL_ROUNDS = 14  # copurchase peel fixpoint at sf0.01 is 11 rounds
+
+
+def q_densest_copurchase(spark, sf_dir):
+    """Bahmani-peel densest subgraph over the co-purchase graph — the
+    argmax-density prefix (ties -> earliest round), a genuinely
+    discriminating core (860 of 1880 vertices at sf0.01)."""
+    from pagerank_spark.operators.cooccur import cooccurrence_graph
+    from pagerank_spark.operators.cores import densest_subgraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = cooccurrence_graph(
+        li, "l_orderkey", "l_partkey", min_count=COOCCUR_MIN
+    )
+    return densest_subgraph(g).orderBy("id")
+
+
 def q_condensation(spark, sf_dir):
     """SCC condensation DAG: contract the sparse graph by its SCC
     labels (self-loops dropped) — the classic compose of two engine
@@ -1522,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_md5": q_random_walks_md5,
         "scc": q_scc,
         "condensation": q_condensation,
+        "densest_copurchase": q_densest_copurchase,
         "mis_md5": q_mis_md5,
         "topo_levels": q_topo_levels,
         "wl_colors_md5": q_wl_colors_md5,
@@ -2237,6 +2255,58 @@ def _topo_levels_sql(edges_sql: str) -> str:
     )
 
 
+_COPURCHASE_EDGES_SQL = (
+    "WITH dd AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i "
+    "FROM lineitem), "
+    "ok AS (SELECT k FROM dd GROUP BY k HAVING count(*) <= 1000) "
+    "SELECT a.i AS src, b.i AS dst FROM dd a "
+    "JOIN dd b ON a.k = b.k AND a.i < b.i JOIN ok ON a.k = ok.k "
+    "GROUP BY a.i, b.i HAVING count(*) >= 2"
+)
+
+
+def _densest_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled Bahmani peel with driver-replayed argmax: per round a
+    (|E|, |V|) stats row; the winning round = max density (double
+    division of exact counts), ties earliest; output = that round's
+    pre-peel vertex set."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "e1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+        "v1 AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)),",
+    ]
+    for r in range(2, rounds + 1):
+        parts += [
+            f"k{r} AS (SELECT id FROM (SELECT id, count(*) AS dg FROM "
+            f"(SELECT a AS id FROM e{r-1} UNION ALL SELECT b FROM e{r-1}) "
+            f"GROUP BY id) WHERE dg > (1.0 + 0.0) * "
+            f"(2.0 * (SELECT count(*) FROM e{r-1}) "
+            f"/ (SELECT count(*) FROM v{r-1}))),",
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r-1} e "
+            f"JOIN k{r} x ON e.a = x.id JOIN k{r} y ON e.b = y.id),",
+            f"v{r} AS MATERIALIZED (SELECT DISTINCT id FROM "
+            f"(SELECT a AS id FROM e{r} UNION ALL SELECT b FROM e{r})),",
+        ]
+    stats = " UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM e{r}) AS ec, "
+        f"(SELECT count(*) FROM v{r}) AS vc"
+        for r in range(1, rounds + 1)
+    )
+    allv = " UNION ALL ".join(
+        f"SELECT {r} AS r, id FROM v{r}" for r in range(1, rounds + 1)
+    )
+    parts += [
+        f"stats AS ({stats}),",
+        f"allv AS ({allv}),",
+        "pick AS (SELECT r FROM stats WHERE vc > 0 "
+        "ORDER BY CAST(ec AS DOUBLE) / vc DESC, r ASC LIMIT 1)",
+        "SELECT id FROM allv WHERE r = (SELECT r FROM pick) ORDER BY id",
+    ]
+    return "\n".join(parts)
+
+
 def _condensation_sql(edges_sql: str) -> str:
     """SCC labels by transitive closure, then endpoint relabel +
     collapse (inter-component edges only)."""
@@ -2950,6 +3020,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scc": _scc_sql(_SPARSE_EDGES_SQL),
         "condensation": _condensation_sql(_SPARSE_EDGES_SQL),
+        "densest_copurchase": _densest_sql(
+            _COPURCHASE_EDGES_SQL, DENSEST_SQL_ROUNDS
+        ),
         "mis_md5": _mis_sql(_SPARSE_EDGES_SQL, MIS_SQL_ROUNDS),
         "topo_levels": _topo_levels_sql(_SPARSE_EDGES_SQL),
         "wl_colors_md5": _wl_sql(eg, WL_ROUNDS),

@@ -30,7 +30,7 @@ from pagerank_spark.operators.degrees import (
     out_degrees,
     reciprocity,
 )
-from pagerank_spark.operators.cores import k_core, k_truss
+from pagerank_spark.operators.cores import densest_subgraph, k_core, k_truss
 from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.linkpred import link_prediction
 from pagerank_spark.operators.labelprop import (
@@ -123,6 +123,7 @@ __all__ = [
     "clustering_coefficient",
     "k_core",
     "k_truss",
+    "densest_subgraph",
     "hits",
     "link_prediction",
     "modularity",

@@ -346,6 +346,11 @@ class LinkGraph:
 
         return hyper_anf(self.edges, p=p, max_iter=max_iter)
 
+    def densest_subgraph(self, epsilon: float = 0.0) -> DataFrame:
+        from pagerank_spark.operators.cores import densest_subgraph
+
+        return densest_subgraph(self.edges, epsilon=epsilon)
+
     def k_truss_core(self, k: int) -> "LinkGraph":
         """The k-truss as a LinkGraph (undirected simple edge set) —
         chains into any further analysis."""

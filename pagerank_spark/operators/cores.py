@@ -147,3 +147,62 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         ),
     )
     return final.select("a", "b")
+
+
+def densest_subgraph(
+    edges: DataFrame, epsilon: float = 0.0, max_iter: int = 100
+) -> DataFrame:
+    """Greedy densest-subgraph approximation: ``DataFrame[id: long]``
+    — the vertex set of the densest prefix of the peel (density =
+    |E|/|V| of the undirected simple projection).
+
+    Charikar's greedy 2-approximation in its parallel form (Bahmani,
+    Kumar & Vassilvitskii, "Densest subgraph in streaming and
+    MapReduce", VLDB'12): each round removes EVERY vertex with induced
+    degree ≤ (1+ε)·average, tracking the density before each removal;
+    the best-density snapshot wins (ties → the earliest round, i.e.
+    the largest such subgraph — deterministic). ε=0 keeps the full
+    2-approximation guarantee; ε>0 trades a (2+2ε) factor for
+    O(log n / ε) rounds on adversarial graphs.
+
+    Per round: one degree aggregate + two semi-joins over a
+    monotonically shrinking edge set; snapshots are localCheckpoints
+    (O(rounds) small vertex tables). The density/argmax bookkeeping is
+    driver-side floats over exact integer counts — replayable in SQL.
+    """
+    state = _simple_undirected(edges).localCheckpoint()
+    verts = (
+        state.select(F.col("a").alias("id"))
+        .union(state.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    best_density = -1.0
+    best = verts
+    for _ in range(max_iter):
+        n_v = verts.count()
+        if n_v == 0:
+            break
+        n_e = state.count()
+        density = n_e / n_v
+        if density > best_density:
+            best_density = density
+            best = verts
+        if n_e == 0:
+            break
+        thresh = (1.0 + epsilon) * (2.0 * n_e / n_v)
+        deg = _simple_degrees(state)
+        keep = deg.where(F.col("deg") > F.lit(thresh)).select("id")
+        state = (
+            state.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        verts = (
+            state.select(F.col("a").alias("id"))
+            .union(state.select(F.col("b").alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
+    return best

@@ -720,3 +720,45 @@ def test_greedy_coloring_proper_and_deterministic(spark):
     iso = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
     ic = {r["id"]: r["color"] for r in greedy_coloring(iso).collect()}
     assert ic == {7: 0, 9: 0}
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    import itertools
+
+    from pagerank_spark.operators.cores import densest_subgraph
+
+    # sparse ring of 30 + a planted 8-clique: the clique (density 3.5)
+    # dominates the ring (density 1)
+    ring = [(i, (i + 1) % 30) for i in range(30)]
+    clique = [(100 + a, 100 + b) for a, b in itertools.combinations(range(8), 2)]
+    e = spark.createDataFrame(ring + clique, "src long, dst long")
+    got = {r["id"] for r in densest_subgraph(e).collect()}
+    assert got == {100 + i for i in range(8)}
+
+
+def test_densest_subgraph_matches_greedy_oracle(spark):
+    from pagerank_spark.operators.cores import densest_subgraph
+
+    pairs = _random_pairs(131, 40, 120)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["id"] for r in densest_subgraph(e).collect()}
+
+    edges = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    verts = {x for p in edges for x in p}
+    best_density, best = -1.0, set(verts)
+    while verts:
+        n_e, n_v = len(edges), len(verts)
+        density = n_e / n_v
+        if density > best_density:
+            best_density, best = density, set(verts)
+        if n_e == 0:
+            break
+        thresh = 2.0 * n_e / n_v
+        deg: dict[int, int] = {v: 0 for v in verts}
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v in verts if deg[v] > thresh}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        verts = {x for p in edges for x in p}
+    assert got == best
