@@ -444,6 +444,21 @@ def q_topo_levels(spark, sf_dir):
 DENSEST_SQL_ROUNDS = 14  # copurchase peel fixpoint at sf0.01 is 11 rounds
 
 
+def q_copurchase_jaccard(spark, sf_dir):
+    """Jaccard-normalized co-purchase similarity graph (weights in
+    (0,1]; support filter on the raw co-count)."""
+    from pagerank_spark.operators.cooccur import cooccurrence_graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = cooccurrence_graph(
+        li, "l_orderkey", "l_partkey", min_count=COOCCUR_MIN,
+        weighting="jaccard",
+    )
+    return g.select(
+        "src", "dst", F.round("weight", 7).alias("weight")
+    ).orderBy("src", "dst")
+
+
 def q_densest_copurchase(spark, sf_dir):
     """Bahmani-peel densest subgraph over the co-purchase graph — the
     argmax-density prefix (ties -> earliest round), a genuinely
@@ -1540,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "condensation": q_condensation,
         "densest_copurchase": q_densest_copurchase,
+        "copurchase_jaccard": q_copurchase_jaccard,
         "mis_md5": q_mis_md5,
         "topo_levels": q_topo_levels,
         "wl_colors_md5": q_wl_colors_md5,
@@ -3022,6 +3038,20 @@ def oracle_sql() -> dict[str, str]:
         "condensation": _condensation_sql(_SPARSE_EDGES_SQL),
         "densest_copurchase": _densest_sql(
             _COPURCHASE_EDGES_SQL, DENSEST_SQL_ROUNDS
+        ),
+        "copurchase_jaccard": (
+            "WITH dd AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i "
+            "FROM lineitem), "
+            "ok AS (SELECT k FROM dd GROUP BY k HAVING count(*) <= 1000), "
+            "df AS (SELECT dd.* FROM dd JOIN ok USING (k)), "
+            "itn AS (SELECT i, count(*) AS n FROM df GROUP BY i), "
+            "co AS (SELECT a.i AS src, b.i AS dst, count(*) AS c "
+            "FROM df a JOIN df b ON a.k = b.k AND a.i < b.i "
+            f"GROUP BY a.i, b.i HAVING count(*) >= {COOCCUR_MIN}) "
+            "SELECT co.src, co.dst, "
+            "round(CAST(co.c AS DOUBLE) / (x.n + y.n - co.c), 7) AS weight "
+            "FROM co JOIN itn x ON co.src = x.i JOIN itn y ON co.dst = y.i "
+            "ORDER BY src, dst"
         ),
         "mis_md5": _mis_sql(_SPARSE_EDGES_SQL, MIS_SQL_ROUNDS),
         "topo_levels": _topo_levels_sql(_SPARSE_EDGES_SQL),

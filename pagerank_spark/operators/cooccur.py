@@ -28,10 +28,30 @@ def cooccurrence_graph(
     item_col: str,
     min_count: int = 1,
     max_items_per_key: int = 1000,
+    weighting: str = "count",
 ) -> DataFrame:
     """``DataFrame[src, dst, weight]`` with src < dst — weight = number
     of distinct keys containing both items (per-key duplicates count
-    once). Items keep ``item_col``'s type; self-pairs never appear."""
+    once). Items keep ``item_col``'s type; self-pairs never appear.
+
+    ``weighting`` normalizes the raw co-count into a similarity (after
+    the ``min_count`` support filter, which always applies to the RAW
+    count — the association-rule convention):
+
+    - ``"count"`` (default): raw co-occurrence count
+    - ``"jaccard"``: ``co / (n_src + n_dst − co)`` — fraction of keys
+      containing either item that contain both
+    - ``"cosine"``: ``co / sqrt(n_src · n_dst)`` — the Salton index,
+      hub-item-robust
+
+    where ``n_x`` is the number of distinct keys containing item x
+    (computed within the ``max_items_per_key``-filtered relation, so
+    the normalization matches the pair counts). Normalized weights
+    plug into the weighted algorithm surface (PageRank, modularity
+    moves, SSSP) as similarity strengths.
+    """
+    if weighting not in ("count", "jaccard", "cosine"):
+        raise ValueError("weighting must be 'count', 'jaccard' or 'cosine'")
     d = df.select(
         F.col(key_col).alias("_k"), F.col(item_col).alias("_i")
     ).distinct()
@@ -47,11 +67,25 @@ def cooccurrence_graph(
         .join(d.select("_k", F.col("_i").alias("dst")), "_k")
         .where(F.col("src") < F.col("dst"))
     )
-    return (
+    co = (
         pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
         .where(F.col("weight") >= min_count)
     )
+    if weighting == "count":
+        return co
+    item_n = d.groupBy(F.col("_i").alias("_it")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    co = (
+        co.join(item_n.select(F.col("_it").alias("src"), F.col("_n").alias("_ns")), "src")
+        .join(item_n.select(F.col("_it").alias("dst"), F.col("_n").alias("_nd")), "dst")
+    )
+    if weighting == "jaccard":
+        w = F.col("weight") / (F.col("_ns") + F.col("_nd") - F.col("weight"))
+    else:
+        w = F.col("weight") / F.sqrt(F.col("_ns") * F.col("_nd"))
+    return co.select("src", "dst", w.alias("weight"))
 
 
 def contract_graph(

@@ -762,3 +762,25 @@ def test_densest_subgraph_matches_greedy_oracle(spark):
         edges = {(a, b) for a, b in edges if a in keep and b in keep}
         verts = {x for p in edges for x in p}
     assert got == best
+
+
+def test_cooccurrence_weighting_modes(spark):
+    from pagerank_spark.operators.cooccur import cooccurrence_graph
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "k long, i string")
+    cnt = {(r["src"], r["dst"]): r["weight"]
+           for r in cooccurrence_graph(df, "k", "i").collect()}
+    assert cnt == {("a", "b"): 2, ("a", "c"): 1}
+    jac = {(r["src"], r["dst"]): r["weight"]
+           for r in cooccurrence_graph(df, "k", "i", weighting="jaccard").collect()}
+    # n_a=3, n_b=2, co=2 -> 2/(3+2-2); n_c=1, co=1 -> 1/(3+1-1)
+    assert abs(jac[("a", "b")] - 2 / 3) < 1e-12
+    assert abs(jac[("a", "c")] - 1 / 3) < 1e-12
+    cos = {(r["src"], r["dst"]): r["weight"]
+           for r in cooccurrence_graph(df, "k", "i", weighting="cosine").collect()}
+    import math
+    assert abs(cos[("a", "b")] - 2 / math.sqrt(6)) < 1e-12
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cooccurrence_graph(df, "k", "i", weighting="dice")
