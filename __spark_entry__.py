@@ -2277,7 +2277,7 @@ _COPURCHASE_EDGES_SQL = (
     "ok AS (SELECT k FROM dd GROUP BY k HAVING count(*) <= 1000) "
     "SELECT a.i AS src, b.i AS dst FROM dd a "
     "JOIN dd b ON a.k = b.k AND a.i < b.i JOIN ok ON a.k = ok.k "
-    "GROUP BY a.i, b.i HAVING count(*) >= 2"
+    f"GROUP BY a.i, b.i HAVING count(*) >= {COOCCUR_MIN}"
 )
 
 

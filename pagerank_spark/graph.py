@@ -244,14 +244,20 @@ class LinkGraph:
     ) -> DataFrame:
         from pagerank_spark.operators.paths import harmonic_centrality
 
-        return harmonic_centrality(self.edges, pivots, max_iter=max_iter)
+        return harmonic_centrality(
+            self.edges, pivots, max_iter=max_iter,
+            weight_col=self.weight_col,
+        )
 
     def closeness_centrality(
         self, pivots: list[int], max_iter: int = 50
     ) -> DataFrame:
         from pagerank_spark.operators.paths import closeness_centrality
 
-        return closeness_centrality(self.edges, pivots, max_iter=max_iter)
+        return closeness_centrality(
+            self.edges, pivots, max_iter=max_iter,
+            weight_col=self.weight_col,
+        )
 
     def katz_centrality(
         self,
@@ -322,8 +328,18 @@ class LinkGraph:
         return wl_colors(self.edges, rounds=rounds, directed=directed)
 
     def effective_diameter(self, q: float = 0.9, pivots=None) -> DataFrame:
+        """``pivots=None`` (exact mode) is only allowed when the graph
+        is known small — the exact neighborhood function seeds a BFS
+        from EVERY vertex (O(V·reached) state); pass a pivot sample or
+        use :meth:`hyper_anf` at scale."""
         from pagerank_spark.operators.paths import effective_diameter
 
+        if pivots is None and (self.n is None or self.n > 100_000):
+            raise ValueError(
+                "effective_diameter without pivots runs the exact "
+                "all-sources form (O(V*reached) state) — pass pivots=[...] "
+                "or use hyper_anf() for large graphs"
+            )
         return effective_diameter(self.edges, q=q, sources=pivots)
 
     def maximal_independent_set(self, max_iter: int = 50) -> DataFrame:
@@ -346,10 +362,12 @@ class LinkGraph:
 
         return hyper_anf(self.edges, p=p, max_iter=max_iter)
 
-    def densest_subgraph(self, epsilon: float = 0.0) -> DataFrame:
+    def densest_subgraph(
+        self, epsilon: float = 0.0, max_iter: int = 100
+    ) -> DataFrame:
         from pagerank_spark.operators.cores import densest_subgraph
 
-        return densest_subgraph(self.edges, epsilon=epsilon)
+        return densest_subgraph(self.edges, epsilon=epsilon, max_iter=max_iter)
 
     def k_truss_core(self, k: int) -> "LinkGraph":
         """The k-truss as a LinkGraph (undirected simple edge set) —

@@ -135,8 +135,15 @@ def _merge_by_id(df: DataFrame, m: int, num_partitions: int) -> DataFrame:
                 ["id", "sk"],
             )
 
-    return df.repartition(num_partitions, "id").mapInArrow(
-        merge, "id long, sk binary"
+    # sortWithinPartitions is load-bearing: repartition alone does NOT
+    # order rows, so an id could appear mid-batch in two batches and be
+    # emitted twice with partially-merged sketches; with the partition
+    # sorted, every id is contiguous and the single-group carry at each
+    # batch boundary is exact
+    return (
+        df.repartition(num_partitions, "id")
+        .sortWithinPartitions("id")
+        .mapInArrow(merge, "id long, sk binary")
     )
 
 

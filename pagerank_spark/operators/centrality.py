@@ -370,6 +370,10 @@ def edge_betweenness(
                 F.col("_sv") / F.col("_sw") * (F.lit(1.0) + F.col("_dw"))
             ).alias("betweenness")
         )
+        # materialize while the dst-keyed edge cache is still alive —
+        # unpersisting first would make the final join recompute and
+        # reshuffle the edge table from scratch
+        .localCheckpoint()
     )
     e.unpersist()
     if normalized:

@@ -113,7 +113,10 @@ def contract_graph(
     engine operator — iterating contract → cluster → contract is the
     standard multi-level community pipeline.
     """
-    lab = labels.select("id", F.col(label_col).alias("_lab"))
+    # checkpoint before the hint-deciding count: labels often carry a
+    # whole SCC/LPA run in their lineage, and without materialization
+    # that run would execute once for the count and again per join
+    lab = labels.select("id", F.col(label_col).alias("_lab")).localCheckpoint()
     hint = "broadcast" if lab.count() <= 100_000 else "shuffle_hash"
     w = (
         F.sum(F.col(weight_col)).alias("weight")

@@ -179,9 +179,11 @@ def densest_subgraph(
     )
     best_density = -1.0
     best = verts
+    drained = False
     for _ in range(max_iter):
         n_v = verts.count()
         if n_v == 0:
+            drained = True
             break
         n_e = state.count()
         density = n_e / n_v
@@ -189,6 +191,7 @@ def densest_subgraph(
             best_density = density
             best = verts
         if n_e == 0:
+            drained = True
             break
         thresh = (1.0 + epsilon) * (2.0 * n_e / n_v)
         deg = _simple_degrees(state)
@@ -204,5 +207,16 @@ def densest_subgraph(
             .union(state.select(F.col("b").alias("id")))
             .distinct()
             .localCheckpoint()
+        )
+    if not drained:
+        import warnings
+
+        warnings.warn(
+            f"densest_subgraph: peel did not drain within "
+            f"max_iter={max_iter} rounds — the approximation guarantee "
+            "covers only the inspected prefixes; raise max_iter or set "
+            "epsilon > 0 for the O(log n / eps) round bound",
+            RuntimeWarning,
+            stacklevel=2,
         )
     return best

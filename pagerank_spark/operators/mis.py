@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions.text import hash64
+from pagerank_spark.operators.triangles import _simple_undirected
 
 
 def maximal_independent_set(
@@ -36,14 +37,7 @@ def maximal_independent_set(
     adjacent to it; no two set members are adjacent)."""
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    simple = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    simple = _simple_undirected(edges)
     sym = simple.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(simple.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -55,8 +49,10 @@ def maximal_independent_set(
         .localCheckpoint()
     )
     mis = spark.createDataFrame([], "id long").localCheckpoint()
+    exhausted = True
     for rnd in range(1, max_iter + 1):
         if undecided.isEmpty():
+            exhausted = False
             break
         pri = undecided.select(
             "id",
@@ -88,6 +84,16 @@ def maximal_independent_set(
         ).distinct()
         mis = mis.unionByName(cand).localCheckpoint()
         undecided = undecided.join(removed, "id", "left_anti").localCheckpoint()
+    if exhausted and not undecided.isEmpty():
+        import warnings
+
+        warnings.warn(
+            f"maximal_independent_set: {undecided.count()} vertices still "
+            f"undecided after max_iter={max_iter} rounds — the returned "
+            "set is independent but may not be maximal",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return mis
 
@@ -111,15 +117,7 @@ def greedy_coloring(
     trade: O(Δ) rounds of bounded joins, no sequential vertex order.
     """
     spark = edges.sparkSession
-    simple = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    simple = _simple_undirected(edges).localCheckpoint()
     remaining_v = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))

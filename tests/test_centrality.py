@@ -784,3 +784,30 @@ def test_cooccurrence_weighting_modes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cooccurrence_graph(df, "k", "i", weighting="dice")
+
+
+def test_hyper_anf_multibatch_merge(spark):
+    """Regression: the per-partition merge must be exact when one
+    partition spans MANY Arrow batches (ids not confined to batch
+    boundaries) — requires the sortWithinPartitions before the carry
+    merge."""
+    from pagerank_spark.operators.anf import hyper_anf
+    from pagerank_spark.operators.paths import neighborhood_function
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        pairs = _random_pairs(141, 50, 120)
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        exact = {
+            r["radius"]: r["pairs"] for r in neighborhood_function(e).collect()
+        }
+        approx = {
+            r["radius"]: r["pairs_est"]
+            for r in hyper_anf(e, p=12, num_partitions=1).collect()
+        }
+        for radius, n_exact in exact.items():
+            if radius in approx:
+                assert abs(approx[radius] - n_exact) / n_exact < 0.08, radius
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
