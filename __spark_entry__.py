@@ -403,6 +403,28 @@ def q_neighborhood_function(spark, sf_dir):
 WL_ROUNDS = 2
 
 
+def q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised LPA: seed every id % 50 == 0 vertex with label
+    id % 3, propagate hard labels (seeds pinned, unlabeled silent);
+    the engine runs to quiescence, the oracle unrolls the rounds."""
+    from pagerank_spark.operators.labelprop import label_propagation
+
+    e = _edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % 50 == 0)
+        .select("id", (F.col("id") % 3).alias("label"))
+    )
+    return label_propagation(
+        e, max_iter=SEEDED_LPA_SQL_ROUNDS, seeds=seeds
+    ).orderBy("id")
+
+
+SEEDED_LPA_SQL_ROUNDS = 6
+
+
 def q_wl_colors_md5(spark, sf_dir):
     """1-WL color refinement with the md5-portable hash — every round
     (neighbor-hash sum/count combine, then own|sum|count rehash)
@@ -1559,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_md5": q_mis_md5,
         "topo_levels": q_topo_levels,
         "wl_colors_md5": q_wl_colors_md5,
+        "seeded_lpa": q_seeded_lpa,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
         "double_sweep": q_double_sweep,
@@ -2170,6 +2193,36 @@ def _neighborhood_sql(edges_sql: str) -> str:
         f"AS pairs FROM (SELECT dist AS radius, count(*) AS n FROM h{r} "
         f"GROUP BY dist) ORDER BY radius"
     )
+    return "\n".join(parts)
+
+
+def _seeded_lpa_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled seeded LPA: only labeled vertices broadcast; unlabeled
+    adopt the (count desc, label asc) majority; seeds pinned."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "vs AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        "sym AS (SELECT src AS a, dst AS b FROM eg WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM eg WHERE src <> dst),",
+        "sl0 AS (SELECT id, CASE WHEN id % 50 = 0 THEN id % 3 END AS label, "
+        "id % 50 = 0 AS pin FROM vs),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"sl{k} AS MATERIALIZED (SELECT v.id, "
+            f"CASE WHEN v.pin THEN v.label "
+            f"ELSE coalesce(p.label, v.label) END AS label, v.pin "
+            f"FROM sl{k-1} v LEFT JOIN (SELECT id, label FROM ("
+            f"SELECT g.id, g.label, row_number() OVER (PARTITION BY g.id "
+            f"ORDER BY g.c DESC, g.label ASC) AS rn FROM ("
+            f"SELECT s.a AS id, x.label AS label, count(*) AS c "
+            f"FROM sym s JOIN sl{k-1} x ON s.b = x.id "
+            f"WHERE x.label IS NOT NULL GROUP BY s.a, x.label) g) "
+            f"WHERE rn = 1) p ON v.id = p.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, label FROM sl{rounds} ORDER BY id")
     return "\n".join(parts)
 
 
@@ -3056,6 +3109,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_md5": _mis_sql(_SPARSE_EDGES_SQL, MIS_SQL_ROUNDS),
         "topo_levels": _topo_levels_sql(_SPARSE_EDGES_SQL),
         "wl_colors_md5": _wl_sql(eg, WL_ROUNDS),
+        "seeded_lpa": _seeded_lpa_sql(eg, SEEDED_LPA_SQL_ROUNDS),
         "neighborhood_function": _neighborhood_sql(_SPARSE_EDGES_SQL),
         "scc_giant": _scc_sql(eg),
         "double_sweep": _double_sweep_sql(eg),

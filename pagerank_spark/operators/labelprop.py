@@ -28,12 +28,24 @@ def label_propagation(
     edges: DataFrame,
     max_iter: int = 10,
     directed: bool = False,
+    seeds: DataFrame | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """``DataFrame[id: long, label: long]`` after synchronous LPA.
 
     Stops early when no label changes in a round. Isolated endpoints
     (only self-loop neighbors) keep their current label.
+
+    ``seeds`` turns this into SEMI-SUPERVISED propagation (Zhu &
+    Ghahramani's label propagation in the hard-label form): an
+    ``(id, label)`` table of known labels — seed vertices are PINNED
+    (they broadcast but never update), every other vertex starts
+    UNLABELED (NULL) and adopts the majority among its LABELED
+    neighbors (ties → min label); unlabeled vertices never broadcast,
+    so only seed-derived labels spread. Vertices unreachable from any
+    seed return with a NULL label. The classic corpus use: propagate
+    a small set of audited quality/spam labels through the link
+    graph.
     """
     P = (
         num_partitions
@@ -68,9 +80,28 @@ def label_propagation(
     join_hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
     from pagerank_spark.plans.iterate import iterate
 
+    if seeds is not None:
+        seed_tbl = seeds.select(
+            "id", F.col("label").alias("_seed")
+        ).localCheckpoint()
+        init = vertices.join(seed_tbl, "id", "left").select(
+            "id",
+            F.col("_seed").alias("label"),
+            F.col("_seed").isNotNull().alias("_pin"),
+        )
+    else:
+        init = vertices.select(
+            "id", F.col("id").alias("label"), F.lit(False).alias("_pin")
+        )
+
     def _step(labels: DataFrame, _round: int) -> DataFrame:
+        # in seeded mode unlabeled vertices hold NULL and broadcast
+        # nothing (the isNotNull filter is a no-op unseeded)
         msgs = sym.join(
-            labels.withColumnRenamed("id", "src").hint(join_hint), "src"
+            labels.where(F.col("label").isNotNull())
+            .withColumnRenamed("id", "src")
+            .hint(join_hint),
+            "src",
         ).select(F.col("dst").alias("id"), "label")
         counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
         # argmax by (count, -label): most frequent label, ties -> min label.
@@ -78,15 +109,21 @@ def label_propagation(
             F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("top")
         ).select("id", (-F.col("top.neg")).alias("new_label"))
         # carry old + new in one frame: the change count needs no extra
-        # join, just a filter over the already-checkpointed result
+        # join, just a filter over the already-checkpointed result;
+        # pinned seeds broadcast their label but never adopt one
+        upd = F.when(F.col("_pin"), F.col("label")).otherwise(
+            F.coalesce("new_label", "label")
+        )
         return labels.join(picked, "id", "left").select(
             "id",
-            F.coalesce("new_label", "label").alias("label"),
-            (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
+            upd.alias("label"),
+            # null-safe change detection: NULL -> first label is a change
+            (~upd.eqNullSafe(F.col("label"))).alias("_chg"),
+            "_pin",
         )
 
     labels, _rounds, _done = iterate(
-        vertices.select("id", F.col("id").alias("label")),
+        init,
         _step,
         lambda _prev, new, _r: new.where(F.col("_chg")).count() == 0,
         max_iter,

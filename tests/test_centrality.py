@@ -811,3 +811,37 @@ def test_hyper_anf_multibatch_merge(spark):
                 assert abs(approx[radius] - n_exact) / n_exact < 0.08, radius
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_seeded_label_propagation(spark):
+    import itertools
+
+    from pagerank_spark.operators.labelprop import label_propagation
+
+    # two 4-cliques bridged; seed one vertex per clique with labels
+    # 100/200 -> every clique member adopts its seed's label
+    c1, c2 = list(range(4)), list(range(4, 8))
+    pairs = (
+        list(itertools.combinations(c1, 2))
+        + list(itertools.combinations(c2, 2))
+        + [(3, 4)]
+    )
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    seeds = spark.createDataFrame([(0, 100), (7, 200)], "id long, label long")
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, max_iter=10, seeds=seeds).collect()
+    }
+    assert got[0] == 100 and got[7] == 200  # pins held
+    assert all(got[v] == 100 for v in c1)
+    assert all(got[v] == 200 for v in c2)
+    # a vertex unreachable from any seed stays unlabeled (NULL)
+    e2 = spark.createDataFrame(pairs + [(20, 21)], "src long, dst long")
+    got2 = {
+        r["id"]: r["label"]
+        for r in label_propagation(e2, max_iter=10, seeds=seeds).collect()
+    }
+    assert got2[20] is None and got2[21] is None
+    # unseeded call unchanged (regression)
+    plain = label_propagation(e, max_iter=4)
+    assert set(plain.columns) == {"id", "label"}
