@@ -403,6 +403,27 @@ def q_neighborhood_function(spark, sf_dir):
 WL_ROUNDS = 2
 
 
+CONTAM_K = 8
+
+
+def q_contamination_md5(spark, sf_dir):
+    """Train/eval n-gram contamination check: odd doc_ids are the eval
+    set, even the training set; md5-portable shingle hashes."""
+    from pagerank_spark.operators.dedup import contamination
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 2 == 1)
+    tr = d.where(F.col("doc_id") % 2 == 0)
+    return (
+        contamination(ev, tr, shingle_k=CONTAM_K, hash_fn="md5")
+        .select(
+            "doc_id", "n_matches", "n_shingles",
+            F.round("overlap_ratio", 7).alias("overlap_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_seeded_lpa(spark, sf_dir):
     """Semi-supervised LPA: seed every id % 50 == 0 vertex with label
     id % 3, propagate hard labels (seeds pinned, unlabeled silent);
@@ -1582,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_levels": q_topo_levels,
         "wl_colors_md5": q_wl_colors_md5,
         "seeded_lpa": q_seeded_lpa,
+        "contamination_md5": q_contamination_md5,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
         "double_sweep": q_double_sweep,
@@ -3110,6 +3132,22 @@ def oracle_sql() -> dict[str, str]:
         "topo_levels": _topo_levels_sql(_SPARSE_EDGES_SQL),
         "wl_colors_md5": _wl_sql(eg, WL_ROUNDS),
         "seeded_lpa": _seeded_lpa_sql(eg, SEEDED_LPA_SQL_ROUNDS),
+        "contamination_md5": (
+            f"WITH sh AS ({_md5_shingle_sql(CONTAM_K)}), "
+            "ev AS (SELECT DISTINCT doc_id, h FROM "
+            "(SELECT doc_id, unnest(hl) AS h FROM sh WHERE doc_id % 2 = 1)), "
+            "tr AS (SELECT DISTINCT h FROM "
+            "(SELECT unnest(hl) AS h FROM sh WHERE doc_id % 2 = 0)), "
+            "tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev "
+            "GROUP BY doc_id), "
+            "hits AS (SELECT doc_id, count(*) AS n_matches FROM ev "
+            "WHERE h IN (SELECT h FROM tr) GROUP BY doc_id "
+            "HAVING count(*) >= 1) "
+            "SELECT h.doc_id, h.n_matches, t.n_shingles, "
+            "round(CAST(h.n_matches AS DOUBLE) / t.n_shingles, 7) "
+            "AS overlap_ratio FROM hits h JOIN tot t USING (doc_id) "
+            "ORDER BY h.doc_id"
+        ),
         "neighborhood_function": _neighborhood_sql(_SPARSE_EDGES_SQL),
         "scc_giant": _scc_sql(eg),
         "double_sweep": _double_sweep_sql(eg),

@@ -78,6 +78,7 @@ from pagerank_spark.operators.centrality import (
 from pagerank_spark.operators.summary import graph_summary
 from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.dedup import (
+    contamination,
     dedup_exact,
     dedup_near,
     exact_duplicates,
@@ -157,6 +158,7 @@ __all__ = [
     "derive_edges",
     "cooccurrence_graph",
     "dedup_exact",
+    "contamination",
     "dedup_near",
     "exact_duplicates",
     "minhash_lsh_pairs",

@@ -543,3 +543,52 @@ def ngram_jaccard_pairs(
             F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb"))
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+def contamination(
+    docs_eval: DataFrame,
+    docs_train: DataFrame,
+    shingle_k: int = 13,
+    min_matches: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Train/eval overlap detection by n-gram collision — the standard
+    LLM decontamination recipe (13-gram overlap, per GPT-3 appx C /
+    PaLM): ``(doc_id, n_matches, n_shingles, overlap_ratio)`` for
+    every EVAL document sharing at least ``min_matches`` distinct
+    ``shingle_k``-gram hashes with ANY training document.
+
+    Scale shape: both corpora reduce to DISTINCT (doc, shingle-hash) /
+    (shingle-hash) skinny rows JVM-side; the only shuffle is the
+    semi-join on the 8-byte hash — document text never moves. The
+    train side collapses to its distinct hash set (vocabulary-sized),
+    so eval cost is independent of training-corpus duplication.
+    ``overlap_ratio`` = matched / total distinct shingles of the eval
+    doc — the threshold knob decontamination pipelines tune.
+    ``hash_fn="md5"`` keeps the whole check ANSI-replayable.
+    """
+    ev = (
+        _shingle_hashes(docs_eval, id_col, text_col, shingle_k, hash_fn)
+        .select("doc_id", F.explode("hashes").alias("h"))
+        .distinct()
+    )
+    tr = (
+        _shingle_hashes(docs_train, id_col, text_col, shingle_k, hash_fn)
+        .select(F.explode("hashes").alias("h"))
+        .distinct()
+    )
+    totals = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        ev.join(tr, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .where(F.col("n_matches") >= min_matches)
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_matches",
+        "n_shingles",
+        (F.col("n_matches") / F.col("n_shingles")).alias("overlap_ratio"),
+    )

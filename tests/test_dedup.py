@@ -228,3 +228,33 @@ def test_simhash_near_pairs_split_paths_match_bruteforce(spark):
             if h <= 3:
                 want.add((a, b, h))
     assert got == want
+
+
+def test_contamination_detects_planted_overlap(spark):
+    from pagerank_spark.operators.dedup import contamination
+
+    shared = "the quick brown fox jumps over the lazy dog again and again today"
+    train = spark.createDataFrame(
+        [
+            (1, "completely unrelated training text about graphs and spark"),
+            (2, f"prefix words here {shared} suffix words there"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, f"an eval question containing {shared} verbatim"),
+            (11, "clean eval text with no overlap whatsoever in any window"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["n_shingles"])
+        for r in contamination(ev, train, shingle_k=13).collect()
+    }
+    assert 10 in got and 11 not in got
+    n_matches, n_shingles = got[10]
+    assert 1 <= n_matches <= n_shingles
+    # raising min_matches above the hit count filters the doc out
+    high = contamination(ev, train, shingle_k=13, min_matches=n_matches + 1)
+    assert high.count() == 0
