@@ -406,6 +406,40 @@ WL_ROUNDS = 2
 CONTAM_K = 8
 
 
+REP_NS = (2, 3)
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style intra-document n-gram repetition fractions."""
+    from pagerank_spark.operators.textstats import repetition_scores
+
+    return (
+        repetition_scores(_docs(spark, sf_dir), REP_NS)
+        .select(
+            "doc_id",
+            F.round("dup_2gram_frac", 7).alias("dup_2gram_frac"),
+            F.round("dup_3gram_frac", 7).alias("dup_3gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher-rule document filter (signals + keep flag)."""
+    from pagerank_spark.operators.textstats import gopher_filter
+
+    return (
+        gopher_filter(_docs(spark, sf_dir))
+        .select(
+            "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+            "stopword_ratio",
+            F.round("dup_2gram_frac", 7).alias("dup_2gram_frac"),
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_contamination_md5(spark, sf_dir):
     """Train/eval n-gram contamination check: odd doc_ids are the eval
     set, even the training set; md5-portable shingle hashes."""
@@ -1604,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors_md5": q_wl_colors_md5,
         "seeded_lpa": q_seeded_lpa,
         "contamination_md5": q_contamination_md5,
+        "repetition_scores": q_repetition_scores,
+        "gopher_filter": q_gopher_filter,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
         "double_sweep": q_double_sweep,
@@ -3252,6 +3288,40 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST({_WS_TOKENS_SQL} AS BIGINT) AS ws_tokens, "
             f"CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS bpe_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"
+        ),
+"repetition_scores": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), "
+            "sh AS (SELECT doc_id, "
+            "[array_to_string(l[i:i+1], ' ') FOR i IN range(1, greatest(len(l) - 1, 1) + 1)] AS s2, "
+            "[array_to_string(l[i:i+2], ' ') FOR i IN range(1, greatest(len(l) - 2, 1) + 1)] AS s3 "
+            "FROM toks) "
+            "SELECT doc_id, "
+            "round(CASE WHEN len(s2) > 0 THEN 1.0 - CAST(len(list_distinct(s2)) AS DOUBLE) / len(s2) ELSE 0.0 END, 7) AS dup_2gram_frac, "
+            "round(CASE WHEN len(s3) > 0 THEN 1.0 - CAST(len(list_distinct(s3)) AS DOUBLE) / len(s3) ELSE 0.0 END, 7) AS dup_3gram_frac "
+            "FROM sh ORDER BY doc_id"
+        ),
+        "gopher_filter": (
+            "WITH t AS (SELECT doc_id, text, "
+            "CAST(length(text) AS DOUBLE) AS n_chars, "
+            f"CAST({_WS_TOKENS_SQL} AS DOUBLE) AS n_tokens, "
+            f"CAST({stop_hits} AS DOUBLE) AS stop_hits, "
+            "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct "
+            "FROM documents), "
+            "q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "round(n_chars / greatest(n_tokens, 1.0), 6) AS mtl, "
+            "round(stop_hits / greatest(n_tokens, 1.0), 6) AS swr, "
+            "round(punct / greatest(n_chars, 1.0), 6) AS pr FROM t), "
+            "toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), "
+            "d AS (SELECT doc_id, CASE WHEN len(s2) > 0 THEN "
+            "1.0 - CAST(len(list_distinct(s2)) AS DOUBLE) / len(s2) ELSE 0.0 END AS dup2 FROM "
+            "(SELECT doc_id, [array_to_string(l[i:i+1], ' ') FOR i IN range(1, greatest(len(l) - 1, 1) + 1)] AS s2 FROM toks)) "
+            "SELECT q.doc_id, q.n_tokens, q.mtl AS mean_token_len, "
+            "q.pr AS punct_ratio, q.swr AS stopword_ratio, "
+            "round(d.dup2, 7) AS dup_2gram_frac, "
+            "(q.n_tokens >= 50 AND q.n_tokens <= 100000 "
+            "AND q.mtl >= 3.0 AND q.mtl <= 10.0 AND q.pr <= 0.2 "
+            "AND q.swr >= 0.01 AND d.dup2 <= 0.4) AS keep "
+            "FROM q JOIN d ON q.doc_id = d.doc_id ORDER BY q.doc_id"
         ),
         "quality_scores": (
             "WITH t AS (SELECT doc_id, text, "

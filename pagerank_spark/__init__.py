@@ -96,6 +96,8 @@ from pagerank_spark.operators.similarity import (
 from pagerank_spark.graph import LinkGraph
 from pagerank_spark.operators.textstats import (
     fingerprints,
+    gopher_filter,
+    repetition_scores,
     tfidf_top_terms,
     language_id,
     quality_scores,
@@ -132,6 +134,8 @@ __all__ = [
     "contract_graph",
     "degree_assortativity",
     "tfidf_top_terms",
+    "repetition_scores",
+    "gopher_filter",
     "random_walks",
     "sample_edges",
     "sample_per_group",

@@ -205,3 +205,71 @@ def tfidf_top_terms(
         .where(F.col("pos") <= k)
         .select("doc_id", "pos", "term", "tf", "df", "tfidf")
     )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText rules,
+    Rae et al. 2021 §A1.1): for each n in ``ns``, the fraction of
+    n-gram OCCURRENCES that are repeats of an already-seen n-gram —
+    ``(doc_id, dup_{n}gram_frac...)``, 0.0 for documents with fewer
+    than n tokens. High values mark boilerplate/keyword-stuffing.
+
+    Whole-stage-codegen expressions only (shingle array → distinct
+    count vs length); one pass, no shuffle beyond the scan.
+    """
+    from pagerank_spark.functions.text import shingles
+
+    cols = [F.col(id_col).alias("doc_id")]
+    for n in ns:
+        sh = shingles(F.col(text_col), n)
+        frac = F.when(
+            F.size(sh) > 0,
+            1.0
+            - F.size(F.array_distinct(sh)).cast("double") / F.size(sh),
+        ).otherwise(F.lit(0.0))
+        cols.append(frac.alias(f"dup_{n}gram_frac"))
+    return docs.select(*cols)
+
+
+# Gopher-style composite filter bounds (Rae et al. 2021, Table A1 —
+# simplified to the signals this engine computes portably)
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_TOKEN_LEN = 3.0
+GOPHER_MAX_MEAN_TOKEN_LEN = 10.0
+GOPHER_MAX_PUNCT_RATIO = 0.2
+GOPHER_MIN_STOPWORD_RATIO = 0.01
+GOPHER_MAX_DUP_2GRAM = 0.4
+
+
+def gopher_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Composite document-quality filter in the Gopher/MassiveText
+    style: ``(doc_id, <signals>, keep)`` where ``keep`` ands the
+    published-rule-shaped bounds over the engine's portable signals
+    (token-count window, mean token length window, punctuation-noise
+    cap, stopword floor, 2-gram repetition cap). The signals stay in
+    the output so pipelines can tune per-rule instead of re-deriving.
+    """
+    q = quality_scores(docs, id_col, text_col)
+    r = repetition_scores(docs, (2,), id_col, text_col)
+    j = q.join(r, "doc_id")
+    keep = (
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+        & (F.col("mean_token_len") >= GOPHER_MIN_MEAN_TOKEN_LEN)
+        & (F.col("mean_token_len") <= GOPHER_MAX_MEAN_TOKEN_LEN)
+        & (F.col("punct_ratio") <= GOPHER_MAX_PUNCT_RATIO)
+        & (F.col("stopword_ratio") >= GOPHER_MIN_STOPWORD_RATIO)
+        & (F.col("dup_2gram_frac") <= GOPHER_MAX_DUP_2GRAM)
+    )
+    return j.select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "dup_2gram_frac", keep.alias("keep"),
+    )

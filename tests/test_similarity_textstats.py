@@ -279,3 +279,38 @@ def test_lsh_md5_topk_matches_bucket_rerank(spark, emb, emb_np):
         ).collect()
     ]
     assert got == want[: len(got)]
+
+
+def test_repetition_scores_and_gopher_filter(spark):
+    from pagerank_spark.operators.textstats import (
+        gopher_filter,
+        repetition_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),        # all 2-grams identical
+            (2, "one two three four five"),          # all distinct
+            (3, "x"),                                # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_2gram_frac"], r["dup_3gram_frac"])
+        for r in repetition_scores(docs).collect()
+    }
+    assert got[1][0] == 0.75  # 4 bigram occurrences, 1 distinct
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
+
+    long_good = " ".join(
+        f"the word{i} and item{i} of part{i}" for i in range(12)
+    )
+    filt = spark.createDataFrame(
+        [(1, long_good), (2, "spam " * 100), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    keep = {r["doc_id"]: r["keep"] for r in gopher_filter(filt).collect()}
+    assert keep[1] is True
+    assert keep[2] is False  # pure repetition
+    assert keep[3] is False  # below the token floor
