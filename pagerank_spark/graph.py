@@ -87,6 +87,7 @@ class LinkGraph:
         item_col: str,
         min_count: int = 1,
         max_items_per_key: int = 1000,
+        weighting: str = "count",
     ) -> "LinkGraph":
         """Any ``(key, item)`` relation → weighted dense item graph
         (market-basket, co-change, shared-contributor …) ready for the
@@ -97,7 +98,8 @@ class LinkGraph:
         from pagerank_spark.operators.cooccur import cooccurrence_graph
 
         w = cooccurrence_graph(
-            df, key_col, item_col, min_count, max_items_per_key
+            df, key_col, item_col, min_count, max_items_per_key,
+            weighting=weighting,
         ).persist()
         _dense, mapping = densify_ids(w.select("src", "dst"))
         mapping = mapping.persist()
@@ -334,12 +336,23 @@ class LinkGraph:
         use :meth:`hyper_anf` at scale."""
         from pagerank_spark.operators.paths import effective_diameter
 
-        if pivots is None and (self.n is None or self.n > 100_000):
-            raise ValueError(
-                "effective_diameter without pivots runs the exact "
-                "all-sources form (O(V*reached) state) — pass pivots=[...] "
-                "or use hyper_anf() for large graphs"
-            )
+        if pivots is None:
+            from pyspark.sql import functions as F
+
+            n = self.n
+            if n is None:  # cheap count beats refusing small graphs
+                n = (
+                    self.edges.select(F.col("src").alias("id"))
+                    .union(self.edges.select(F.col("dst").alias("id")))
+                    .distinct()
+                    .count()
+                )
+            if n > 100_000:
+                raise ValueError(
+                    "effective_diameter without pivots runs the exact "
+                    "all-sources form (O(V*reached) state) — pass "
+                    "pivots=[...] or use hyper_anf() for large graphs"
+                )
         return effective_diameter(self.edges, q=q, sources=pivots)
 
     def maximal_independent_set(self, max_iter: int = 50) -> DataFrame:
@@ -370,15 +383,17 @@ class LinkGraph:
         return densest_subgraph(self.edges, epsilon=epsilon, max_iter=max_iter)
 
     def k_truss_core(self, k: int) -> "LinkGraph":
-        """The k-truss as a LinkGraph (undirected simple edge set) —
-        chains into any further analysis."""
-        t = self.k_truss(k)
+        """The k-truss as a LinkGraph — SYMMETRIZED (each undirected
+        truss edge emitted in both directions) so directed-convention
+        operators (PageRank, SCC, shortest paths) see the undirected
+        structure rather than an arbitrary a<b orientation."""
+        t = self.k_truss(k).localCheckpoint()
         from pyspark.sql import functions as F
 
-        return LinkGraph(
-            t.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-            mapping=self.mapping,
-        )
+        sym = t.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).union(t.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        return LinkGraph(sym, mapping=self.mapping)
 
     def subgraph(self, vertices) -> "LinkGraph":
         """Vertex-induced subgraph: keep edges whose BOTH endpoints are

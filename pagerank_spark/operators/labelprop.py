@@ -81,9 +81,15 @@ def label_propagation(
     from pagerank_spark.plans.iterate import iterate
 
     if seeds is not None:
-        seed_tbl = seeds.select(
-            "id", F.col("label").alias("_seed")
-        ).localCheckpoint()
+        # one seed per vertex: duplicate ids would fan the vertex into
+        # several pinned rows (breaking the one-row-per-id contract and
+        # double-counting votes); collapse to the MIN label — the
+        # engine's standard deterministic tie-break
+        seed_tbl = (
+            seeds.groupBy("id")
+            .agg(F.min("label").alias("_seed"))
+            .localCheckpoint()
+        )
         init = vertices.join(seed_tbl, "id", "left").select(
             "id",
             F.col("_seed").alias("label"),

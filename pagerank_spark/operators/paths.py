@@ -327,8 +327,10 @@ def topological_levels(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     Fixpoint on the iterate harness: levels only ever increase and are
     bounded by the DAG depth, so the xor-checksum convergence action is
     exact. A CYCLE never stabilizes — the loop stops at ``max_iter``
-    with a RuntimeWarning (levels on the cycle keep growing), which
-    doubles as a practical cycle detector.
+    with a RuntimeWarning; a DAG deeper than ``max_iter`` exhausts the
+    same budget, so the warning names both causes (raise ``max_iter``
+    above the plausible depth to use non-convergence as a cycle
+    detector).
     """
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
@@ -368,8 +370,10 @@ def topological_levels(edges: DataFrame, max_iter: int = 100) -> DataFrame:
         state, _step, _converged, max_iter,
         warn=(
             "topological_levels: no fixpoint within "
-            f"max_iter={max_iter} rounds — the graph contains a cycle; "
-            "levels on and below cycles are unbounded"
+            f"max_iter={max_iter} rounds — the graph contains a cycle "
+            "OR its longest path exceeds max_iter; raise max_iter to "
+            "distinguish (levels on and below cycles grow every round, "
+            "deep-DAG levels stabilize)"
         ),
     )
     e.unpersist()

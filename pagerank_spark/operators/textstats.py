@@ -55,6 +55,26 @@ def token_counts(
     )
 
 
+def _quality_exprs(text_col: str):
+    """The shared per-row quality expressions (used by both
+    quality_scores and gopher_filter so the corpus is scanned once)."""
+    t = F.col(text_col)
+    n_tokens = _token_count(t).cast("double")
+    n_chars = F.length(t).cast("double")
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _word_occurrences(t, w).cast("double")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": n_chars / F.greatest(n_tokens, F.lit(1.0)),
+        "stopword_ratio": stop_hits / F.greatest(n_tokens, F.lit(1.0)),
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1.0)),
+    }
+
+
 def quality_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -64,29 +84,22 @@ def quality_scores(
     quality_score in [0,1]: stopword presence (natural-language-ness)
     minus punctuation-noise penalty, clamped. Deterministic, portable.
     """
-    t = F.col(text_col)
-    n_tokens = _token_count(t).cast("double")
-    n_chars = F.length(t).cast("double")
-    stop_hits = None
-    for w in STOPWORDS:
-        c = _word_occurrences(t, w).cast("double")
-        stop_hits = c if stop_hits is None else stop_hits + c
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double")
-    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1.0))
-    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    q = _quality_exprs(text_col)
     score = F.least(
         F.greatest(
-            F.least(stop_ratio * 4, F.lit(1.0)) - punct_ratio * 2, F.lit(0.0)
+            F.least(q["stopword_ratio"] * 4, F.lit(1.0))
+            - q["punct_ratio"] * 2,
+            F.lit(0.0),
         ),
         F.lit(1.0),
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(n_chars / F.greatest(n_tokens, F.lit(1.0)), 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        q["n_chars"].cast("long").alias("n_chars"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(q["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality_score"),
     )
 
@@ -257,9 +270,25 @@ def gopher_filter(
     cap, stopword floor, 2-gram repetition cap). The signals stay in
     the output so pipelines can tune per-rule instead of re-deriving.
     """
-    q = quality_scores(docs, id_col, text_col)
-    r = repetition_scores(docs, (2,), id_col, text_col)
-    j = q.join(r, "doc_id")
+    # ONE projection computes every signal — no second corpus scan, no
+    # join (quality_scores + repetition_scores share pure per-row
+    # expressions via _quality_exprs / shingles)
+    from pagerank_spark.functions.text import shingles
+
+    q = _quality_exprs(text_col)
+    sh = shingles(F.col(text_col), 2)
+    dup2 = F.when(
+        F.size(sh) > 0,
+        1.0 - F.size(F.array_distinct(sh)).cast("double") / F.size(sh),
+    ).otherwise(F.lit(0.0))
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(q["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        dup2.alias("dup_2gram_frac"),
+    )
     keep = (
         (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
         & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
@@ -269,7 +298,7 @@ def gopher_filter(
         & (F.col("stopword_ratio") >= GOPHER_MIN_STOPWORD_RATIO)
         & (F.col("dup_2gram_frac") <= GOPHER_MAX_DUP_2GRAM)
     )
-    return j.select(
+    return sig.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stopword_ratio", "dup_2gram_frac", keep.alias("keep"),
     )

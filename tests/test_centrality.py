@@ -845,3 +845,19 @@ def test_seeded_label_propagation(spark):
     # unseeded call unchanged (regression)
     plain = label_propagation(e, max_iter=4)
     assert set(plain.columns) == {"id", "label"}
+
+
+def test_seeded_lpa_duplicate_seeds_collapse(spark):
+    from pagerank_spark.operators.labelprop import label_propagation
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(0, 200), (0, 100)], "id long, label long"
+    )
+    got = label_propagation(e, max_iter=5, seeds=seeds).collect()
+    by_id = {}
+    for r in got:
+        assert r["id"] not in by_id, "duplicate output row"
+        by_id[r["id"]] = r["label"]
+    assert by_id[0] == 100  # min-label collapse of the duplicate seeds
+    assert by_id[1] == 100 and by_id[2] == 100
