@@ -409,6 +409,25 @@ CONTAM_K = 8
 REP_NS = (2, 3)
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def q_skipgram_md5(spark, sf_dir):
+    """DeepWalk skip-gram pairs + PPMI from the md5-deterministic
+    walks — byte-identical training pairs on any partitioning."""
+    from pagerank_spark.operators.walks import skipgram_pairs
+
+    return (
+        skipgram_pairs(
+            _edges(spark, sf_dir), WALK_LEN, window=SKIPGRAM_WINDOW,
+            walks_per_vertex=WALKS_PER_VERTEX, seed=WALK_SEED,
+            hash_fn="md5",
+        )
+        .select("u", "v", "cnt", F.round("ppmi", 7).alias("ppmi"))
+        .orderBy("u", "v")
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style intra-document n-gram repetition fractions."""
     from pagerank_spark.operators.textstats import repetition_scores
@@ -1639,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_lpa": q_seeded_lpa,
         "contamination_md5": q_contamination_md5,
         "repetition_scores": q_repetition_scores,
+        "skipgram_md5": q_skipgram_md5,
         "gopher_filter": q_gopher_filter,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
@@ -1884,7 +1904,10 @@ def _clustering_sql(edges_sql: str, per_vertex: bool) -> str:
     )
 
 
-def _walks_sql(edges_sql: str, length: int, wpv: int, seed: int) -> str:
+def _walks_sql(
+    edges_sql: str, length: int, wpv: int, seed: int,
+    final: str | None = None,
+) -> str:
     """Unrolled deterministic-walk oracle: per step one candidate CTE
     (frontier ⋈ edges with the md5 step hash), a per-walk min-hash CTE,
     and the argmin frontier (min dst at the min hash — the exact
@@ -1912,14 +1935,18 @@ def _walks_sql(edges_sql: str, length: int, wpv: int, seed: int) -> str:
             f"FROM c{t} c JOIN m{t} m "
             f"ON c.walk_id = m.walk_id AND c.h = m.mh GROUP BY c.walk_id),",
         ]
-    parts[-1] = parts[-1].rstrip(",")
-    parts.append(
-        " UNION ALL ".join(
-            f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
-            for t in range(0, length + 1)
-        )
-        + " ORDER BY walk_id, step"
+    wt = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+        for t in range(0, length + 1)
     )
+    if final is None:
+        parts[-1] = parts[-1].rstrip(",")
+        parts.append(wt + " ORDER BY walk_id, step")
+    else:
+        # the final fragment CONTINUES the CTE chain (it begins with
+        # its own CTE definitions), so the wt entry keeps its comma
+        parts.append(f"wt AS ({wt}),")
+        parts.append(final)
     return "\n".join(parts)
 
 
@@ -3141,6 +3168,25 @@ def oracle_sql() -> dict[str, str]:
             + _MD5H.format(x=f"CAST(dst AS VARCHAR) || ':{SAMPLE_SEED}'")
             + f" % 1048576 < {int(round(0.5 * 1048576))} "
             "ORDER BY src, dst"
+        ),
+        "skipgram_md5": _walks_sql(
+            _EDGES_SQL, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED,
+            final=(
+                f"pr AS (SELECT a.vertex AS u, b.vertex AS v, "
+                f"count(*) AS cnt FROM wt a JOIN wt b "
+                f"ON a.walk_id = b.walk_id AND a.step <> b.step "
+                f"AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW} "
+                f"GROUP BY a.vertex, b.vertex), "
+                "cu AS (SELECT u, sum(cnt) AS c FROM pr GROUP BY u), "
+                "cv AS (SELECT v, sum(cnt) AS c FROM pr GROUP BY v), "
+                "tt AS (SELECT sum(cnt) AS t FROM pr) "
+                "SELECT pr.u, pr.v, pr.cnt, "
+                "round(greatest(ln(CAST(pr.cnt AS DOUBLE) "
+                "* (SELECT t FROM tt) "
+                "/ (CAST(cu.c AS DOUBLE) * cv.c)), 0.0), 7) AS ppmi "
+                "FROM pr JOIN cu ON pr.u = cu.u JOIN cv ON pr.v = cv.v "
+                "ORDER BY pr.u, pr.v"
+            ),
         ),
         "random_walks_md5": _walks_sql(
             eg, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED

@@ -51,7 +51,7 @@ from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.wl import wl_colors, wl_fingerprint
 from pagerank_spark.operators.anf import hyper_anf
 from pagerank_spark.operators.mis import greedy_coloring, maximal_independent_set
-from pagerank_spark.operators.walks import random_walks
+from pagerank_spark.operators.walks import random_walks, skipgram_pairs
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
@@ -137,6 +137,7 @@ __all__ = [
     "repetition_scores",
     "gopher_filter",
     "random_walks",
+    "skipgram_pairs",
     "sample_edges",
     "sample_per_group",
     "sample_vertices_induced",

@@ -96,3 +96,65 @@ def random_walks(
     for s in steps[1:]:
         out = out.unionByName(s)
     return out
+
+
+def skipgram_pairs(
+    edges: DataFrame,
+    length: int,
+    window: int = 2,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    with_ppmi: bool = True,
+) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walks — the
+    DeepWalk co-occurrence stage (Perozzi et al. KDD'14):
+    ``(u, v, cnt[, ppmi])`` where cnt counts ordered (center, context)
+    co-occurrences within ``window`` steps inside one walk, and
+    ``ppmi`` is the positive pointwise mutual information
+    ``max(ln(cnt·T / (c_u·c_v)), 0)`` (Levy & Goldberg 2014: the
+    implicit word2vec factorization target) with c_u/c_v the center/
+    context marginals and T the total pair count.
+
+    One self-join of the walk table keyed on walk_id (each walk is
+    tiny, so the join blows up by ≤ 2·window per row), then
+    map-side-combinable counts; the PPMI marginals are two O(distinct
+    pairs) aggregates and one broadcast scalar. Fully deterministic —
+    the same corpus gives byte-identical training pairs on any
+    partitioning (``hash_fn="md5"`` makes it ANSI-replayable).
+    """
+    w = random_walks(
+        edges, length, walks_per_vertex, seed=seed, hash_fn=hash_fn
+    ).localCheckpoint()
+    a = w.select("walk_id", F.col("step").alias("_sa"), F.col("vertex").alias("u"))
+    b = w.select("walk_id", F.col("step").alias("_sb"), F.col("vertex").alias("v"))
+    pairs = (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("_sa") != F.col("_sb"))
+            & (F.abs(F.col("_sa") - F.col("_sb")) <= window)
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    if not with_ppmi:
+        return pairs
+    cu = pairs.groupBy("u").agg(F.sum("cnt").alias("_cu"))
+    cv = pairs.groupBy("v").agg(F.sum("cnt").alias("_cv"))
+    tot = pairs.agg(F.sum("cnt").alias("_t"))
+    return (
+        pairs.join(cu, "u")
+        .join(cv, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "u", "v", "cnt",
+            F.greatest(
+                F.log(
+                    F.col("cnt").cast("double") * F.col("_t")
+                    / (F.col("_cu").cast("double") * F.col("_cv"))
+                ),
+                F.lit(0.0),
+            ).alias("ppmi"),
+        )
+    )

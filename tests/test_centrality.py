@@ -861,3 +861,38 @@ def test_seeded_lpa_duplicate_seeds_collapse(spark):
         by_id[r["id"]] = r["label"]
     assert by_id[0] == 100  # min-label collapse of the duplicate seeds
     assert by_id[1] == 100 and by_id[2] == 100
+
+
+def test_skipgram_pairs_from_walks(spark):
+    import math
+
+    from pagerank_spark.operators.walks import random_walks, skipgram_pairs
+
+    pairs_in = _random_pairs(151, 15, 45)
+    e = spark.createDataFrame(pairs_in, "src long, dst long")
+    walks = random_walks(e, 4, 2, seed=7, hash_fn="md5").collect()
+    byw: dict[int, dict[int, int]] = {}
+    for r in walks:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    want: dict[tuple[int, int], int] = {}
+    for steps in byw.values():
+        for sa, u in steps.items():
+            for sb, v in steps.items():
+                if sa != sb and abs(sa - sb) <= 2:
+                    want[(u, v)] = want.get((u, v), 0) + 1
+    got = {
+        (r["u"], r["v"]): (r["cnt"], r["ppmi"])
+        for r in skipgram_pairs(
+            e, 4, window=2, walks_per_vertex=2, seed=7, hash_fn="md5"
+        ).collect()
+    }
+    assert {k: c for k, (c, _) in got.items()} == want
+    T = sum(want.values())
+    cu: dict[int, int] = {}
+    cv: dict[int, int] = {}
+    for (u, v), c in want.items():
+        cu[u] = cu.get(u, 0) + c
+        cv[v] = cv.get(v, 0) + c
+    for (u, v), (c, ppmi) in got.items():
+        expect = max(math.log(c * T / (cu[u] * cv[v])), 0.0)
+        assert abs(ppmi - expect) < 1e-12
