@@ -686,6 +686,24 @@ def q_katz(spark, sf_dir):
     )
 
 
+def q_katz_weighted(spark, sf_dir):
+    """Weighted Katz (edge weights scale the gather) at fixed
+    iterations — unrolled weighted-gather oracle."""
+    from pagerank_spark.operators.centrality import katz_centrality
+
+    return (
+        katz_centrality(
+            _edges_weighted(spark, sf_dir),
+            alpha=KATZ_ALPHA,
+            beta=KATZ_BETA,
+            max_iter=KATZ_ITERS,
+            weight_col="weight",
+        )
+        .select("id", F.round("katz", 7).alias("katz"))
+        .orderBy("id")
+    )
+
+
 EIGEN_ITERS = 8
 
 
@@ -1673,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_weighted": q_closeness_weighted,
         "harmonic_weighted": q_harmonic_weighted,
         "katz": q_katz,
+        "katz_weighted": q_katz_weighted,
         "eigenvector": q_eigenvector,
         "betweenness_pivots": q_betweenness_pivots,
         "edge_betweenness": q_edge_betweenness,
@@ -2040,9 +2059,14 @@ def _closeness_sql(edges_sql: str, pivots: list[int]) -> str:
     return "\n".join(parts)
 
 
-def _katz_sql(edges_sql: str, iters: int, alpha: float, beta: float) -> str:
-    """Unrolled Katz gather: x_k = beta + alpha·Σ_{(u→v)} x_{k-1}(u),
-    x_0 = beta; duplicate edges carry multiplicity as in the engine."""
+def _katz_sql(
+    edges_sql: str, iters: int, alpha: float, beta: float,
+    weighted: bool = False,
+) -> str:
+    """Unrolled Katz gather: x_k = beta + alpha·Σ_{(u→v)} w·x_{k-1}(u),
+    x_0 = beta; duplicate edges carry multiplicity as in the engine
+    (``weighted`` multiplies by the edge weight)."""
+    msg = "e.weight * x.katz" if weighted else "x.katz"
     parts = [
         f"WITH eg AS ({edges_sql}),",
         "v AS (SELECT DISTINCT id FROM "
@@ -2054,7 +2078,7 @@ def _katz_sql(edges_sql: str, iters: int, alpha: float, beta: float) -> str:
             f"x{k} AS MATERIALIZED (SELECT v.id, "
             f"CAST({beta!r} AS DOUBLE) + CAST({alpha!r} AS DOUBLE) "
             f"* coalesce(s.s, 0) AS katz "
-            f"FROM v LEFT JOIN (SELECT e.dst AS id, sum(x.katz) AS s "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, sum({msg}) AS s "
             f"FROM eg e JOIN x{k-1} x ON e.src = x.id GROUP BY e.dst) s "
             f"USING (id)),"
         )
@@ -3264,6 +3288,9 @@ def oracle_sql() -> dict[str, str]:
             _W_EDGES_SQL, HARMONIC_PIVOTS
         ),
         "katz": _katz_sql(eg, KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
+        "katz_weighted": _katz_sql(
+            _W_EDGES_SQL, KATZ_ITERS, KATZ_ALPHA, KATZ_BETA, weighted=True
+        ),
         "eigenvector": _eigenvector_sql(eg, EIGEN_ITERS),
         "betweenness_pivots": _betweenness_sql(eg, BETWEENNESS_PIVOTS),
         "edge_betweenness": _edge_betweenness_sql(eg, BETWEENNESS_PIVOTS),
