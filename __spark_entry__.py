@@ -719,6 +719,29 @@ def q_eigenvector(spark, sf_dir):
     )
 
 
+def q_eigenvector_weighted(spark, sf_dir):
+    """Weighted power iteration (weights scale the gather)."""
+    from pagerank_spark.operators.centrality import eigenvector_centrality
+
+    return (
+        eigenvector_centrality(
+            _edges_weighted(spark, sf_dir), max_iter=EIGEN_ITERS,
+            weight_col="weight",
+        )
+        .select("id", F.round("eigenvector", 7).alias("eigenvector"))
+        .orderBy("id")
+    )
+
+
+def q_hyper_anf(spark, sf_dir):
+    """HyperANF sketch curve (rows-only: HLL estimation has no ANSI
+    equivalent; the exact twin `neighborhood_function` is the
+    value-checked gate, and pytest pins sketch-vs-exact error)."""
+    from pagerank_spark.operators.anf import hyper_anf
+
+    return hyper_anf(_edges(spark, sf_dir), p=10).orderBy("radius")
+
+
 BETWEENNESS_PIVOTS = [0, 1, 2, 3, 4]
 
 
@@ -1693,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "katz_weighted": q_katz_weighted,
         "eigenvector": q_eigenvector,
+        "eigenvector_weighted": q_eigenvector_weighted,
+        "hyper_anf": q_hyper_anf,
         "betweenness_pivots": q_betweenness_pivots,
         "edge_betweenness": q_edge_betweenness,
         "assortativity": q_assortativity,
@@ -2089,10 +2114,13 @@ def _katz_sql(
     return "\n".join(parts)
 
 
-def _eigenvector_sql(edges_sql: str, iters: int) -> str:
+def _eigenvector_sql(
+    edges_sql: str, iters: int, weighted: bool = False
+) -> str:
     """Unrolled power iteration on Aᵀ with per-level L2 normalization —
     the authority half of ``_hits_sql`` iterated alone (norms hoisted
     into MATERIALIZED scalar CTEs, same DuckDB caveat)."""
+    msg = "e.weight * x.ev" if weighted else "x.ev"
     parts = [
         f"WITH eg AS ({edges_sql}),",
         "v AS (SELECT DISTINCT id FROM "
@@ -2102,7 +2130,7 @@ def _eigenvector_sql(edges_sql: str, iters: int) -> str:
     for k in range(1, iters + 1):
         parts += [
             f"x{k}r AS (SELECT v.id, coalesce(s.s, 0) AS s FROM v LEFT JOIN "
-            f"(SELECT e.dst AS id, sum(x.ev) AS s FROM eg e "
+            f"(SELECT e.dst AS id, sum({msg}) AS s FROM eg e "
             f"JOIN x{k-1} x ON e.src = x.id GROUP BY e.dst) s USING (id)),",
             f"x{k}n AS MATERIALIZED (SELECT sqrt(sum(s*s)) AS nrm FROM x{k}r),",
             f"x{k} AS MATERIALIZED (SELECT id, s / (CASE WHEN "
@@ -3292,6 +3320,9 @@ def oracle_sql() -> dict[str, str]:
             _W_EDGES_SQL, KATZ_ITERS, KATZ_ALPHA, KATZ_BETA, weighted=True
         ),
         "eigenvector": _eigenvector_sql(eg, EIGEN_ITERS),
+        "eigenvector_weighted": _eigenvector_sql(
+            _W_EDGES_SQL, EIGEN_ITERS, weighted=True
+        ),
         "betweenness_pivots": _betweenness_sql(eg, BETWEENNESS_PIVOTS),
         "edge_betweenness": _edge_betweenness_sql(eg, BETWEENNESS_PIVOTS),
         "assortativity": _assortativity_sql(eg),
