@@ -193,6 +193,9 @@ def test_driver_contract_key_consistency():
         "doc_fingerprints", "minhash_bands", "minhash_dup_pairs",
         "simhash", "simhash_near_pairs", "simhash_dedup",
         "dedup_near_docs", "pagerank_two_phase",
+        # HLL sketch estimation has no ANSI equivalent; the exact
+        # neighborhood_function twin carries the value check
+        "hyper_anf",
     }
     assert q - o == allowed_rows_only
 
