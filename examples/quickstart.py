@@ -80,6 +80,15 @@ def main():
     print("near-dup pairs:", minhash_lsh_pairs(docs, verify_threshold=0.8).count())
     quality_scores(docs).orderBy(F.desc("quality_score")).show(3)
     language_id(docs).groupBy("pred_lang").count().show()
+    from pagerank_spark import contamination, gopher_filter
+    from pyspark.sql import functions as _F
+    gf = gopher_filter(docs)
+    print("gopher filter keep rate:")
+    gf.groupBy("keep").count().show()
+    ev = docs.where(_F.col("doc_id") % 2 == 1)
+    tr = docs.where(_F.col("doc_id") % 2 == 0)
+    print("contaminated eval docs (8-gram overlap):",
+          contamination(ev, tr, shingle_k=8).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.where(F.col("vec_id") == 0).first()["embedding"]
     print("nearest neighbours of vec 0:")
