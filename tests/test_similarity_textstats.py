@@ -314,3 +314,15 @@ def test_repetition_scores_and_gopher_filter(spark):
     assert keep[1] is True
     assert keep[2] is False  # pure repetition
     assert keep[3] is False  # below the token floor
+
+
+def test_gopher_filter_single_scan_plan(spark):
+    """The composite filter must stay ONE codegen projection — no
+    Exchange (shuffle) anywhere in its plan."""
+    from pagerank_spark.operators.textstats import gopher_filter
+    from pagerank_spark.plans.inspect import explain_summary
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    assert "Exchange" not in explain_summary(gopher_filter(docs))
