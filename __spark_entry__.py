@@ -719,6 +719,26 @@ def q_eigenvector(spark, sf_dir):
     )
 
 
+PPR_KEYED_SEEDS = [0, 1, 2]
+PPR_KEYED_ITERS = 6
+
+
+def q_ppr_keyed(spark, sf_dir):
+    """Multi-seed personalized PageRank in one keyed pass (fixed
+    iterations; per-seed semantics equal the single-seed engine)."""
+    from pagerank_spark.operators.centrality import (
+        personalized_pagerank_keyed,
+    )
+
+    return (
+        personalized_pagerank_keyed(
+            _edges(spark, sf_dir), PPR_KEYED_SEEDS, iters=PPR_KEYED_ITERS
+        )
+        .select("seed", "id", F.round("rank", 7).alias("rank"))
+        .orderBy("seed", "id")
+    )
+
+
 def q_eigenvector_weighted(spark, sf_dir):
     """Weighted power iteration (weights scale the gather)."""
     from pagerank_spark.operators.centrality import eigenvector_centrality
@@ -1717,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_weighted": q_katz_weighted,
         "eigenvector": q_eigenvector,
         "eigenvector_weighted": q_eigenvector_weighted,
+        "ppr_keyed": q_ppr_keyed,
         "hyper_anf": q_hyper_anf,
         "betweenness_pivots": q_betweenness_pivots,
         "edge_betweenness": q_edge_betweenness,
@@ -2187,6 +2208,50 @@ def _brandes_sql_parts(edges_sql: str, pivots: list[int]) -> list[str]:
         )
     parts[-1] = parts[-1].rstrip(",")
     return parts
+
+
+def _ppr_keyed_sql(
+    edges_sql: str, seeds: list[int], iters: int, d: float = 0.85
+) -> str:
+    """Unrolled keyed PPR: per iteration one weighted gather keyed on
+    (seed, dst), a per-seed dangling-mass aggregate, and the seed-row
+    teleport+redistribution injection. Float literals reproduce the
+    engine's exact doubles (repr of the Python values)."""
+    seeds_vals = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
+    tele = repr(1.0 - d)
+    df = repr(float(d))
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        f"pw AS (SELECT e.src, e.dst, {df} / o.od AS w FROM eg e "
+        "JOIN (SELECT src, count(*) AS od FROM eg GROUP BY src) o "
+        "ON e.src = o.src),",
+        "dang AS (SELECT DISTINCT dst AS id FROM eg "
+        "WHERE dst NOT IN (SELECT src FROM eg)),",
+        f"sds AS (SELECT CAST(s AS BIGINT) AS seed "
+        f"FROM (VALUES {seeds_vals}) t(s)),",
+        "p0 AS (SELECT seed, seed AS id, CAST(1.0 AS DOUBLE) AS rank "
+        "FROM sds),",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            f"g{k} AS (SELECT p.seed, e.dst AS id, sum(e.w * p.rank) "
+            f"AS rank FROM pw e JOIN p{k-1} p ON e.src = p.id "
+            f"GROUP BY p.seed, e.dst),",
+            f"dm{k} AS (SELECT seed, sum(rank) AS dm FROM p{k-1} "
+            f"WHERE id IN (SELECT id FROM dang) GROUP BY seed),",
+            f"p{k} AS MATERIALIZED (SELECT seed, id, sum(rank) AS rank "
+            f"FROM (SELECT seed, id, rank FROM g{k} "
+            f"UNION ALL SELECT s.seed, s.seed AS id, "
+            f"{tele} + {df} * coalesce(m.dm, 0) AS rank "
+            f"FROM sds s LEFT JOIN dm{k} m ON s.seed = m.seed) "
+            f"GROUP BY seed, id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT seed, id, round(rank, 7) AS rank FROM p{iters} "
+        "ORDER BY seed, id"
+    )
+    return "\n".join(parts)
 
 
 def _betweenness_sql(edges_sql: str, pivots: list[int]) -> str:
@@ -3322,6 +3387,9 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": _eigenvector_sql(eg, EIGEN_ITERS),
         "eigenvector_weighted": _eigenvector_sql(
             _W_EDGES_SQL, EIGEN_ITERS, weighted=True
+        ),
+        "ppr_keyed": _ppr_keyed_sql(
+            _EDGES_SQL, PPR_KEYED_SEEDS, PPR_KEYED_ITERS
         ),
         "betweenness_pivots": _betweenness_sql(eg, BETWEENNESS_PIVOTS),
         "edge_betweenness": _edge_betweenness_sql(eg, BETWEENNESS_PIVOTS),

@@ -74,6 +74,7 @@ from pagerank_spark.operators.centrality import (
     edge_betweenness,
     eigenvector_centrality,
     katz_centrality,
+    personalized_pagerank_keyed,
 )
 from pagerank_spark.operators.summary import graph_summary
 from pagerank_spark.operators.derive import derive_edges
@@ -150,6 +151,7 @@ __all__ = [
     "eigenvector_centrality",
     "betweenness_centrality",
     "edge_betweenness",
+    "personalized_pagerank_keyed",
     "double_sweep",
     "neighborhood_function",
     "hyper_anf",

@@ -389,3 +389,91 @@ def edge_betweenness(
             (F.col("betweenness") / F.lit(denom)).alias("betweenness"),
         )
     return out
+
+
+def personalized_pagerank_keyed(
+    edges: DataFrame,
+    seeds: list[int],
+    d: float = 0.85,
+    iters: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank for MANY seeds in one keyed pass:
+    ``DataFrame[seed: long, id: long, rank: double]`` after exactly
+    ``iters`` synchronous iterations per seed — the batched
+    node-similarity form (PPR rows are the standard graph-recsys /
+    node-embedding feature; one keyed computation replaces |S|
+    sequential runs, the same consolidation as ``multi_source_bfs``).
+
+    Semantics per seed match the engine's single-seed
+    ``pagerank(personalize=[s], dangling="redistribute")``: teleport
+    and dangling mass land entirely on the seed, duplicate edges carry
+    mass. Only REACHED (nonzero-rank) vertices appear — state is
+    O(Σ reached), bounded by the seed count.
+
+    Per iteration: one join moving the O(state) rank side against the
+    once-partitioned edge table, a map-side-combined (seed, dst)
+    aggregate, and one tiny per-seed dangling aggregate.
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    spark = edges.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    ew = (
+        edges.join(out_deg, "src")
+        .select(
+            "src", "dst", (F.lit(float(d)) / F.col("_od")).alias("_w")
+        )
+        .repartition(P, "src")
+        .persist()
+    )
+    ew.count()
+    # dangling detection needs the vertex's out-degree, incl. zero
+    dangling = (
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
+        .join(
+            edges.select(F.col("src").alias("id")).distinct(),
+            "id",
+            "left_anti",
+        )
+        .localCheckpoint()
+    )
+    state = spark.createDataFrame(
+        [(int(s), int(s), 1.0) for s in set(seeds)],
+        "seed long, id long, rank double",
+    )
+    for _ in range(iters):
+        gathered = (
+            ew.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy("seed", F.col("dst").alias("id"))
+            .agg(F.sum(F.col("_w") * F.col("rank")).alias("rank"))
+        )
+        dm = (
+            state.join(dangling, "id", "left_semi")
+            .groupBy("seed")
+            .agg(F.sum("rank").alias("_dm"))
+        )
+        seed_rows = (
+            spark.createDataFrame(
+                [(int(s),) for s in set(seeds)], "seed long"
+            )
+            .join(dm, "seed", "left")
+            .select(
+                "seed",
+                F.col("seed").alias("id"),
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(float(d)) * F.coalesce("_dm", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        state = (
+            gathered.unionByName(seed_rows)
+            .groupBy("seed", "id")
+            .agg(F.sum("rank").alias("rank"))
+            .localCheckpoint()
+        )
+    ew.unpersist()
+    return state

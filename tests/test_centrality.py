@@ -896,3 +896,33 @@ def test_skipgram_pairs_from_walks(spark):
     for (u, v), (c, ppmi) in got.items():
         expect = max(math.log(c * T / (cu[u] * cv[v])), 0.0)
         assert abs(ppmi - expect) < 1e-12
+
+
+def test_keyed_ppr_matches_single_seed_engine(spark):
+    from pagerank_spark.operators.centrality import personalized_pagerank_keyed
+    from pagerank_spark.operators.pagerank import pagerank
+
+    pairs = _random_pairs(161, 20, 70)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    seeds = [0, 3, 7]
+    keyed = {
+        (r["seed"], r["id"]): r["rank"]
+        for r in personalized_pagerank_keyed(e, seeds, iters=8).collect()
+    }
+    n = len({x for p in pairs for x in p})
+    for s in seeds:
+        solo = pagerank(
+            e, n=None, personalize=[s], dangling="redistribute",
+            eps=0.0, max_iter=8,
+        ).ranks.collect()
+        mine = {i: r for (sd, i), r in keyed.items() if sd == s}
+        for row in solo:
+            got = mine.get(row["id"], 0.0)
+            assert abs(got - row["rank"]) < 1e-9, (s, row["id"])
+    # per-seed mass conservation
+    import collections
+    mass = collections.defaultdict(float)
+    for (s, _), r in keyed.items():
+        mass[s] += r
+    for s in seeds:
+        assert abs(mass[s] - 1.0) < 1e-9
