@@ -258,6 +258,25 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_hits_weighted(spark, sf_dir):
+    """Weighted HITS (weights scale both gathers) at fixed
+    iterations."""
+    from pagerank_spark.operators.hits import hits
+
+    return (
+        hits(
+            _edges_weighted(spark, sf_dir), max_iter=HITS_ITERS,
+            weight_col="weight",
+        )
+        .select(
+            "id",
+            F.round("hub", 7).alias("hub"),
+            F.round("authority", 7).alias("authority"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Per-vertex clustering coefficient (closed-wedge fraction) —
     reuses the degree-oriented triangle join plus the degree table."""
@@ -1700,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths_bfs": q_shortest_paths_bfs,
         "shortest_paths_weighted": q_shortest_paths_weighted,
         "hits": q_hits,
+        "hits_weighted": q_hits_weighted,
         "clustering_coeff": q_clustering_coeff,
         "clustering_global": q_clustering_global,
         "degree_histogram": q_degree_histogram,
@@ -1890,7 +1910,7 @@ def _pagerank_fixed_sql() -> str:
     return _pr_cte_sql(_EDGES_SQL, PR_FIXED_ITERS)
 
 
-def _hits_sql(edges_sql: str, iters: int) -> str:
+def _hits_sql(edges_sql: str, iters: int, weighted: bool = False) -> str:
     """Unrolled HITS: per level one authority gather + L2 normalize,
     then one hub gather + L2 normalize; norms hoisted into MATERIALIZED
     scalar CTEs (a scalar subquery inside the per-row select would
@@ -1906,14 +1926,14 @@ def _hits_sql(edges_sql: str, iters: int) -> str:
     for k in range(1, iters + 1):
         parts += [
             f"a{k}r AS (SELECT v.id, coalesce(s.s, 0) AS s FROM v LEFT JOIN "
-            f"(SELECT e.dst AS id, sum(h.hub) AS s FROM eg e "
+            f"(SELECT e.dst AS id, sum({'e.weight * h.hub' if weighted else 'h.hub'}) AS s FROM eg e "
             f"JOIN h{k-1} h ON e.src = h.id GROUP BY e.dst) s USING (id)),",
             f"a{k}n AS MATERIALIZED (SELECT sqrt(sum(s*s)) AS nrm FROM a{k}r),",
             f"a{k} AS MATERIALIZED (SELECT id, s / (CASE WHEN "
             f"(SELECT nrm FROM a{k}n) > 0 THEN (SELECT nrm FROM a{k}n) "
             f"ELSE 1.0 END) AS authority FROM a{k}r),",
             f"h{k}r AS (SELECT v.id, coalesce(s.s, 0) AS s FROM v LEFT JOIN "
-            f"(SELECT e.src AS id, sum(a.authority) AS s FROM eg e "
+            f"(SELECT e.src AS id, sum({'e.weight * a.authority' if weighted else 'a.authority'}) AS s FROM eg e "
             f"JOIN a{k} a ON e.dst = a.id GROUP BY e.src) s USING (id)),",
             f"h{k}n AS MATERIALIZED (SELECT sqrt(sum(s*s)) AS nrm FROM h{k}r),",
             f"h{k} AS MATERIALIZED (SELECT id, s / (CASE WHEN "
@@ -3232,6 +3252,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "hits": _hits_sql(_EDGES_SQL, HITS_ITERS),
+        "hits_weighted": _hits_sql(_W_EDGES_SQL, HITS_ITERS, weighted=True),
         "clustering_coeff": _clustering_sql(eg, per_vertex=True),
         "clustering_global": _clustering_sql(eg, per_vertex=False),
         "degree_histogram": (

@@ -187,7 +187,10 @@ class LinkGraph:
     def hits(self, max_iter: int = 20, tol: float | None = None) -> DataFrame:
         from pagerank_spark.operators.hits import hits
 
-        return hits(self.edges, max_iter=max_iter, tol=tol)
+        return hits(
+            self.edges, max_iter=max_iter, tol=tol,
+            weight_col=self.weight_col,
+        )
 
     def clustering_coefficient(self, per_vertex: bool = True) -> DataFrame:
         from pagerank_spark.operators.triangles import clustering_coefficient

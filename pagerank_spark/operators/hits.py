@@ -68,6 +68,7 @@ def hits(
     edges: DataFrame,
     max_iter: int = 20,
     tol: float | None = None,
+    weight_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """``DataFrame[id: long, hub: double, authority: double]``.
@@ -75,11 +76,16 @@ def hits(
     Runs exactly ``max_iter`` rounds when ``tol`` is None (the
     fixed-iteration form an external oracle can replay); with ``tol``
     set, stops early once the L1 delta of both score vectors drops
-    below it (one extra comparison join per round).
+    below it (one extra comparison join per round). ``weight_col``
+    scales both gathers by the edge weight (weighted HITS — the
+    natural form on contracted/co-occurrence graphs).
     """
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    e = edges.select("src", "dst")
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    e = edges.select(*cols)
+    if weight_col:
+        e = e.withColumn(weight_col, F.col(weight_col).cast("double"))
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -106,6 +112,8 @@ def hits(
         e_src = e.repartition(P, "src").persist()
         e_dst = e.repartition(P, "dst").persist()
 
+    wmul = (lambda c: F.col(weight_col) * c) if weight_col else (lambda c: c)
+
     def _step(state: DataFrame, _round: int) -> DataFrame:
         a_raw = (
             e_src.join(
@@ -113,7 +121,7 @@ def hits(
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("authority"))
+            .agg(F.sum(wmul(F.col("hub"))).alias("authority"))
         )
         a_full = vertices.join(a_raw, "id", "left").select(
             "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
@@ -127,7 +135,7 @@ def hits(
                 "dst",
             )
             .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("authority").alias("hub"))
+            .agg(F.sum(wmul(F.col("authority"))).alias("hub"))
         )
         h_full = vertices.join(h_raw, "id", "left").select(
             "id", F.coalesce("hub", F.lit(0.0)).alias("hub")

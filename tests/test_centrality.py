@@ -926,3 +926,31 @@ def test_keyed_ppr_matches_single_seed_engine(spark):
         mass[s] += r
     for s in seeds:
         assert abs(mass[s] - 1.0) < 1e-9
+
+
+def test_hits_weighted_matches_numpy(spark):
+    from pagerank_spark.operators.hits import hits
+
+    pairs = _random_pairs(171, 18, 60)
+    rows = [(s, d, 1.0 + ((s * 3 + d) % 4)) for s, d in pairs]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits(e, max_iter=5, weight_col="w").collect()
+    }
+    ids = sorted({x for s, d, _ in rows for x in (s, d)})
+    idx = {v: i for i, v in enumerate(ids)}
+    W = np.zeros((len(ids), len(ids)))
+    for s, d, w in rows:
+        W[idx[s], idx[d]] += w
+    h = np.ones(len(ids))
+    for _ in range(5):
+        a = W.T @ h
+        na = np.sqrt((a * a).sum())
+        a = a / na if na > 0 else a
+        h = W @ a
+        nh = np.sqrt((h * h).sum())
+        h = h / nh if nh > 0 else h
+    for v in ids:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-9
+        assert abs(got[v][1] - a[idx[v]]) < 1e-9
