@@ -967,6 +967,17 @@ def q_random_walks_md5(spark, sf_dir):
     ).orderBy("walk_id", "step")
 
 
+def q_weighted_walks_md5(spark, sf_dir):
+    """Integer-weight-biased deterministic walks (each weight unit is
+    one hash-race entry — exact rational step probabilities)."""
+    from pagerank_spark.operators.walks import random_walks
+
+    return random_walks(
+        _edges_weighted(spark, sf_dir), WALK_LEN, WALKS_PER_VERTEX,
+        seed=WALK_SEED, hash_fn="md5", weight_col="weight",
+    ).orderBy("walk_id", "step")
+
+
 def q_pagerank_fixed_join(spark, sf_dir):
     """The co-partitioned join strategy (the n > 2^26 production path)
     against the SAME unrolled-CTE oracle as the blocks/local path —
@@ -1729,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_edges_md5": q_sample_edges_md5,
         "sample_vertices_md5": q_sample_vertices_md5,
         "random_walks_md5": q_random_walks_md5,
+        "weighted_walks_md5": q_weighted_walks_md5,
         "scc": q_scc,
         "condensation": q_condensation,
         "densest_copurchase": q_densest_copurchase,
@@ -1991,7 +2003,7 @@ def _clustering_sql(edges_sql: str, per_vertex: bool) -> str:
 
 def _walks_sql(
     edges_sql: str, length: int, wpv: int, seed: int,
-    final: str | None = None,
+    final: str | None = None, weighted: bool = False,
 ) -> str:
     """Unrolled deterministic-walk oracle: per step one candidate CTE
     (frontier ⋈ edges with the md5 step hash), a per-walk min-hash CTE,
@@ -2006,14 +2018,31 @@ def _walks_sql(
         f"(SELECT unnest(range(0, {wpv})) AS k) t),",
     ]
     for t in range(1, length + 1):
-        key = (
-            f"CAST(s.walk_id AS VARCHAR) || ':{t}:' || "
-            f"CAST(e.dst AS VARCHAR) || ':{seed}'"
-        )
-        h = _MD5H.format(x=key)
+        if weighted:
+            key = (
+                f"CAST(s.walk_id AS VARCHAR) || ':{t}:' || "
+                f"CAST(e.dst AS VARCHAR) || ':' || CAST(u.k AS VARCHAR) "
+                f"|| ':{seed}'"
+            )
+            h = _MD5H.format(x=key)
+            cand = (
+                f"c{t} AS (SELECT s.walk_id, e.dst, {h} AS h "
+                f"FROM s{t-1} s JOIN eg e ON e.src = s.cur "
+                f"CROSS JOIN LATERAL (SELECT unnest(range(1, "
+                f"CAST(e.weight AS BIGINT) + 1)) AS k) u),"
+            )
+        else:
+            key = (
+                f"CAST(s.walk_id AS VARCHAR) || ':{t}:' || "
+                f"CAST(e.dst AS VARCHAR) || ':{seed}'"
+            )
+            h = _MD5H.format(x=key)
+            cand = (
+                f"c{t} AS (SELECT s.walk_id, e.dst, {h} AS h "
+                f"FROM s{t-1} s JOIN eg e ON e.src = s.cur),"
+            )
         parts += [
-            f"c{t} AS (SELECT s.walk_id, e.dst, {h} AS h "
-            f"FROM s{t-1} s JOIN eg e ON e.src = s.cur),",
+            cand,
             f"m{t} AS (SELECT walk_id, min(h) AS mh FROM c{t} "
             f"GROUP BY walk_id),",
             f"s{t} AS MATERIALIZED (SELECT c.walk_id, min(c.dst) AS cur "
@@ -3325,6 +3354,10 @@ def oracle_sql() -> dict[str, str]:
                 "FROM pr JOIN cu ON pr.u = cu.u JOIN cv ON pr.v = cv.v "
                 "ORDER BY pr.u, pr.v"
             ),
+        ),
+        "weighted_walks_md5": _walks_sql(
+            _W_EDGES_SQL, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED,
+            weighted=True,
         ),
         "random_walks_md5": _walks_sql(
             eg, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED

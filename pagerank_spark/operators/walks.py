@@ -35,17 +35,33 @@ def random_walks(
     walks_per_vertex: int = 1,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """``DataFrame[walk_id: long, step: int, vertex: long]`` — one row
     per visited position; ``walk_id = start_vertex * walks_per_vertex
     + w`` for w in [0, walks_per_vertex). Step 0 is the start vertex;
     a walk that hits an out-edge-less vertex emits no further rows.
+
+    ``weight_col`` (POSITIVE INTEGER weights) biases the next-step
+    choice ∝ weight while staying fully deterministic: each candidate
+    edge enters the hash-argmin race once PER WEIGHT UNIT (a copy
+    index joins the hash key), so a weight-3 edge wins exactly 3× as
+    often — exact rational probabilities, no RNG, no transcendental
+    float tricks, still ANSI-replayable. The per-step fan-out costs
+    O(Σw) candidate rows instead of O(deg); suitable for the engine's
+    count-weighted graphs (corpus/co-occurrence multiplicities).
     """
     if length < 0 or walks_per_vertex < 1:
         raise ValueError("length must be >= 0, walks_per_vertex >= 1")
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
-    e = edges.select("src", "dst").repartition(P, "src").persist()
+    if weight_col is not None:
+        e = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("_wt")
+        )
+    else:
+        e = edges.select("src", "dst")
+    e = e.repartition(P, "src").persist()
 
     vertices = (
         e.select(F.col("src").alias("id"))
@@ -65,19 +81,29 @@ def random_walks(
     def _step(fr: DataFrame, t: int) -> DataFrame:
         cand = e.join(
             fr.select(F.col("vertex").alias("src"), "walk_id"), "src"
-        ).select(
+        )
+        if weight_col is not None:
+            # one race entry per weight unit: copy index k joins the
+            # hash key, so P(edge wins) = w_edge / Σw exactly
+            cand = cand.select(
+                "walk_id", "dst",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("_wt").cast("int"))
+                ).alias("_k"),
+            )
+            key = F.concat_ws(
+                ":", F.col("walk_id"), F.lit(str(t)), F.col("dst"),
+                F.col("_k"), F.lit(str(seed)),
+            )
+        else:
+            key = F.concat_ws(
+                ":", F.col("walk_id"), F.lit(str(t)), F.col("dst"),
+                F.lit(str(seed)),
+            )
+        cand = cand.select(
             "walk_id",
             F.struct(
-                hash64(
-                    F.concat_ws(
-                        ":",
-                        F.col("walk_id"),
-                        F.lit(str(t)),
-                        F.col("dst"),
-                        F.lit(str(seed)),
-                    ),
-                    hash_fn,
-                ).alias("h"),
+                hash64(key, hash_fn).alias("h"),
                 F.col("dst").alias("v"),
             ).alias("hv"),
         )

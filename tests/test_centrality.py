@@ -954,3 +954,23 @@ def test_hits_weighted_matches_numpy(spark):
     for v in ids:
         assert abs(got[v][0] - h[idx[v]]) < 1e-9
         assert abs(got[v][1] - a[idx[v]]) < 1e-9
+
+
+def test_weighted_walks_bias_and_determinism(spark):
+    from pagerank_spark.operators.walks import random_walks
+
+    # 0 -> {1 (w=9), 2 (w=1)}: over many walk_ids the argmin race picks
+    # 1 about 90% of the time; and reruns are byte-identical
+    e = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1)], "src long, dst long, w long"
+    )
+    w = random_walks(e, 1, walks_per_vertex=400, seed=3, weight_col="w")
+    picks = [r["vertex"] for r in w.where("step = 1").collect()]
+    frac_heavy = picks.count(1) / len(picks)
+    assert 0.82 < frac_heavy < 0.97, frac_heavy
+    again = random_walks(e, 1, walks_per_vertex=400, seed=3, weight_col="w")
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, again.collect()))
+    # unweighted path unchanged (regression): same as weight 1 everywhere?
+    # (not identical hashes — the copy index enters the key — but valid walks)
+    u = random_walks(e.select("src", "dst"), 1, walks_per_vertex=50, seed=3)
+    assert u.where("step = 1").count() == 50
