@@ -79,6 +79,16 @@ EXTRA = [
     "modularity_moves",
     "k_truss",
     "edge_betweenness",
+    "mis_md5",
+    "topo_levels",
+    "densest_copurchase",
+    "seeded_lpa",
+    "skipgram_md5",
+    "contamination_md5",
+    "gopher_filter",
+    "wl_colors_md5",
+    "neighborhood_function",
+    "ppr_keyed",
 ]
 
 SCALE_N = 2_000_000
