@@ -132,7 +132,8 @@ def _cc_local(spark, vertices: DataFrame, e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, mode: str = "auto"
+    edges: DataFrame, max_iter: int = 50, mode: str = "auto",
+    checkpoint_dir: str | None = None, resume: bool = False,
 ) -> DataFrame:
     """``DataFrame[id: long, component: long]`` — component = min id in it.
 
@@ -140,6 +141,9 @@ def connected_components(
     present only via self-loops — label themselves). ``mode``:
     ``"auto"`` (local union-find below LOCAL_CC_MAX_E distinct simple
     edges, star contraction above), ``"local"``, or ``"stars"``.
+    ``checkpoint_dir``/``resume`` give the star-contraction loop the
+    same durable restart contract as PageRank (north_rule): per-round
+    edge-set parquet + manifest, resumed mid-fixpoint after a crash.
     """
     if mode not in ("auto", "local", "stars"):
         raise ValueError("mode must be 'auto', 'local' or 'stars'")
@@ -197,6 +201,8 @@ def connected_components(
             f"within max_iter={max_iter} rounds; labels may not be final "
             "(a non-converged edge set is not a star forest)"
         ),
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
     )
     # Converged edge set is a star forest: (u → component root). Roots
     # and isolated vertices label themselves via the left join.

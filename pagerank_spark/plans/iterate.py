@@ -20,6 +20,8 @@ here it exists exactly once.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -32,6 +34,8 @@ def iterate(
     max_iter: int,
     checkpoint: bool = True,
     warn: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, int, bool]:
     """Run ``state = step(state, round)`` until ``converged`` or
     ``max_iter`` rounds; returns ``(state, rounds_run, converged)``.
@@ -48,18 +52,57 @@ def iterate(
     - ``warn``: message to emit as a RuntimeWarning when ``max_iter``
       is exhausted without convergence (omit for fixed-round
       algorithms where running out IS the contract, e.g. LPA gates).
+    - ``checkpoint_dir``: DURABLE resumability (the north_rule's
+      restart contract, extended from PageRank to every harness
+      algorithm): after each round the state parquet plus a manifest
+      (round number, done flag) land under the directory; with
+      ``resume=True`` the loop restarts from the last persisted round
+      instead of round 0 — a killed CC/LPA/SSSP job continues where
+      it stopped. Convergence-callback closures restart fresh, which
+      at worst costs one extra detection round (the detectors are all
+      recompute-from-state). The manifest is written AFTER the state
+      parquet, so a crash between the two resumes one round back —
+      never forward into missing data.
     """
-    done = False
     rounds = 0
-    for rounds in range(1, max_iter + 1):
+    done = False
+    manifest = (
+        os.path.join(checkpoint_dir, "iterate_manifest.json")
+        if checkpoint_dir
+        else None
+    )
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    if resume and manifest and os.path.exists(manifest):
+        with open(manifest) as f:
+            meta = json.load(f)
+        rounds = int(meta["round"])
+        spark = state.sparkSession
+        state = spark.read.parquet(
+            os.path.join(checkpoint_dir, f"round_{rounds:05d}")
+        )
+        if meta.get("done"):
+            return state, rounds, True
+    start = rounds
+    for rounds in range(start + 1, max_iter + 1):
         new = step(state, rounds)
         if checkpoint:
             new = new.localCheckpoint()
-        if converged(state, new, rounds):
+        fin = converged(state, new, rounds)
+        if checkpoint_dir:
+            new.write.mode("overwrite").parquet(
+                os.path.join(checkpoint_dir, f"round_{rounds:05d}")
+            )
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"round": rounds, "done": bool(fin)}, f)
+            os.replace(tmp, manifest)
+        if fin:
             state = new
             done = True
             break
         state = new
+    rounds = max(rounds, start)
     if not done and warn is not None:
         import warnings
 

@@ -858,3 +858,47 @@ def test_weighted_modularity(spark):
     # zero-weight graph degenerates to 0
     z = spark.createDataFrame([(0, 1, 0.0)], "src long, dst long, w double")
     assert modularity(z, lab, weight_col="w").collect()[0]["modularity"] == 0.0
+
+
+def test_cc_checkpoint_resume_equality(spark, tmp_path):
+    """A CC run killed mid-fixpoint resumes from the round parquet and
+    produces labels identical to an uninterrupted run."""
+    from pagerank_spark.operators.components import connected_components
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=500, e=1500, seed=33).cache()
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(e, mode="stars").collect()
+    }
+    ck = str(tmp_path / "cc_ck")
+    # phase 1: budget only 1 round (interrupted mid-fixpoint)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        connected_components(
+            e, max_iter=1, mode="stars", checkpoint_dir=ck
+        ).collect()
+    import json
+    import os
+    meta = json.load(open(os.path.join(ck, "iterate_manifest.json")))
+    assert meta["round"] == 1 and not meta["done"]
+    # phase 2: resume to convergence
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            e, mode="stars", checkpoint_dir=ck, resume=True
+        ).collect()
+    }
+    assert got == want
+    meta = json.load(open(os.path.join(ck, "iterate_manifest.json")))
+    assert meta["done"]
+    # resuming a DONE manifest short-circuits to the stored state
+    again = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            e, mode="stars", checkpoint_dir=ck, resume=True
+        ).collect()
+    }
+    assert again == want
+    e.unpersist()
