@@ -76,6 +76,25 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keep, id_col, "left_semi")
 
 
+def _content_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, rep)`` — byte-identical-content groups.
+
+    ``rep`` is the minimum doc id among documents with the same md5
+    content hash (the canonical group representative). This is the
+    degenerate-bucket guard shared by the MinHash-LSH family: running
+    the band self-join at REP granularity means a flood of N
+    byte-identical boilerplate documents contributes ONE row per band
+    bucket instead of N (which would make the within-bucket join
+    O(N^2) before any ``distinct``). The shuffle here carries only
+    (hash, id) skinny rows — document text never moves.
+    """
+    ch = content_hashes(docs, id_col, text_col)
+    reps = ch.groupBy("content_hash").agg(F.min("doc_id").alias("rep"))
+    return ch.join(reps, "content_hash").select("doc_id", "rep")
+
+
 def _shingle_hashes(
     docs: DataFrame, id_col: str, text_col: str, k: int,
     hash_fn: str = "xxhash64",
@@ -188,22 +207,25 @@ def _bands_from_hashes(
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_rep_pairs(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_k: int = 3,
-    num_perm: int = 64,
-    bands: int = 16,
-    seed: int = 42,
-    verify_threshold: float | None = 0.7,
-    hash_fn: str = "xxhash64",
-) -> DataFrame:
-    """Candidate near-duplicate pairs ``(a, b, jaccard)`` with a < b.
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_perm: int,
+    bands: int,
+    seed: int,
+    verify_threshold: float | None,
+    hash_fn: str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Raw LSH band-join pairs over an (assumed content-distinct) doc
+    frame: ``(pairs, nonempty)``.
 
-    Pairs colliding in >=1 LSH band; when ``verify_threshold`` is set,
-    candidates are verified with exact shingle-set Jaccard (JVM
-    ``array_intersect``/``array_union``) and filtered.
+    ``pairs`` is ``(a, b)`` (or ``(a, b, jaccard)`` when verifying);
+    ``nonempty`` lists doc ids with a non-empty shingle set (needed by
+    callers to decide whether byte-identical copies of a doc verify at
+    Jaccard exactly 1.0 or at NULL — i.e. never), computed only on the
+    verify path.
 
     The shingle-hash table feeds BOTH the signature kernel and the
     verify join, so it is materialized once via ``localCheckpoint``
@@ -226,7 +248,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if verify_threshold is None:
-        return cand
+        return cand, None
     sh = sh_base.select("doc_id", F.array_distinct("hashes").alias("hset"))
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("hset").alias("ha")), "a")
@@ -240,7 +262,93 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
     )
-    return verified.where(F.col("jaccard") >= verify_threshold)
+    nonempty = sh_base.where(F.size("hashes") > 0).select("doc_id")
+    return verified.where(F.col("jaccard") >= verify_threshold), nonempty
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: float | None = 0.7,
+    hash_fn: str = "xxhash64",
+    collapse_identical: bool = True,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(a, b, jaccard)`` with a < b.
+
+    Pairs colliding in >=1 LSH band; when ``verify_threshold`` is set,
+    candidates are verified with exact shingle-set Jaccard (JVM
+    ``array_intersect``/``array_union``) and filtered.
+
+    ``collapse_identical=True`` (the default, and the 100 TB shape) is
+    the degenerate-bucket guard: byte-identical documents are collapsed
+    to one representative per content hash (``_content_groups``), the
+    band self-join runs at REP granularity, and surviving rep pairs are
+    expanded back to doc pairs afterwards. A flood of N identical
+    boilerplate docs therefore costs ONE band-join row instead of an
+    O(N^2) within-bucket candidate blowup. The OUTPUT is bit-identical
+    to the uncollapsed join (identical docs have identical signatures,
+    so they always collide, and verify at Jaccard exactly 1.0 — or at
+    NULL, i.e. never, when the shingle set is empty); if the pair
+    output itself is quadratic (a million identical docs), that is
+    inherent to the pairs contract — use ``dedup_near`` for the
+    linear-output cluster form.
+    """
+    if not collapse_identical:
+        pairs, _ = _lsh_rep_pairs(
+            docs, id_col, text_col, shingle_k, num_perm, bands, seed,
+            verify_threshold, hash_fn,
+        )
+        return pairs
+    mapping = _content_groups(docs, id_col, text_col).localCheckpoint()
+    rep_docs = docs.join(
+        mapping.where(F.col("doc_id") == F.col("rep")).select(
+            F.col("doc_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    rep_pairs, nonempty = _lsh_rep_pairs(
+        rep_docs, id_col, text_col, shingle_k, num_perm, bands, seed,
+        verify_threshold, hash_fn,
+    )
+    # cross-group expansion: every member of a's group pairs with every
+    # member of b's group (identical docs share a's / b's signature and
+    # hset, so collision and jaccard carry over bit-exactly)
+    ga = mapping.select(F.col("rep").alias("a"), F.col("doc_id").alias("da"))
+    gb = mapping.select(F.col("rep").alias("b"), F.col("doc_id").alias("db"))
+    extra = ["jaccard"] if verify_threshold is not None else []
+    cross = (
+        rep_pairs.join(ga, "a")
+        .join(gb, "b")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            *extra,
+        )
+    )
+    # within-group pairs: identical docs always collide (identical
+    # signatures); on the verify path they score Jaccard exactly 1.0
+    # when the shingle set is non-empty and NULL (filtered) otherwise
+    x = mapping.select("rep", F.col("doc_id").alias("a"))
+    y = mapping.select("rep", F.col("doc_id").alias("b"))
+    within = x.join(y, "rep").where(F.col("a") < F.col("b"))
+    if verify_threshold is not None:
+        if 1.0 >= verify_threshold:
+            within = within.join(
+                nonempty.select(F.col("doc_id").alias("rep")), "rep", "left_semi"
+            ).select("a", "b", F.lit(1.0).alias("jaccard"))
+        else:
+            within = within.select(
+                "a", "b", F.lit(1.0).alias("jaccard")
+            ).where(F.lit(False))
+    else:
+        within = within.select("a", "b")
+    return cross.unionByName(within)
 
 
 def _simhash_kernel():
@@ -345,14 +453,35 @@ def dedup_near(
     Composition of the engine's own operators: MinHash-LSH candidate
     pairs (verified at ``threshold`` Jaccard) form a similarity graph;
     ``connected_components`` (small-star/large-star) clusters it; the
-    component label IS the minimum doc id, which survives. Transitive
-    near-duplicate chains (A~B~C with A!~C) therefore collapse to one
-    representative — the behavior large-scale training-data dedup wants.
+    minimum doc id of each cluster survives. Transitive near-duplicate
+    chains (A~B~C with A!~C) therefore collapse to one representative —
+    the behavior large-scale training-data dedup wants.
+
+    LINEAR end-to-end — the shape to use at 100 TB: byte-identical
+    documents collapse to one representative per content hash BEFORE
+    the LSH band join (``_content_groups``), the similarity graph and
+    its connected components live at rep granularity, and group members
+    attach to their rep's cluster by a plain equi-join. A million
+    identical boilerplate docs therefore cost one graph vertex and one
+    group-by — never a pair expansion (unlike ``minhash_lsh_pairs``,
+    whose pair OUTPUT is inherently quadratic on identical docs).
+    Members join their rep's cluster only when identical copies
+    actually verify (non-empty shingle set, since identical docs score
+    Jaccard exactly 1.0 >= threshold); empty-shingle copies stay
+    isolated and survive, matching the uncollapsed pair semantics.
     """
     from pagerank_spark.operators.components import connected_components
 
-    pairs = minhash_lsh_pairs(
-        docs, id_col, text_col, shingle_k, num_perm, bands, seed,
+    mapping = _content_groups(docs, id_col, text_col).localCheckpoint()
+    rep_docs = docs.join(
+        mapping.where(F.col("doc_id") == F.col("rep")).select(
+            F.col("doc_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    pairs, nonempty = _lsh_rep_pairs(
+        rep_docs, id_col, text_col, shingle_k, num_perm, bands, seed,
         verify_threshold=threshold, hash_fn=hash_fn,
     )
     # checkpoint the (tiny) pair frame: connected_components scans its
@@ -362,10 +491,38 @@ def dedup_near(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).localCheckpoint()
     labels = connected_components(edges)
-    drop = labels.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    # every doc's cluster: its rep's component (reps absent from the
+    # near graph are their own cluster); a non-rep member merges into
+    # the rep's cluster only if identical copies verify (rep shingle
+    # set non-empty and 1.0 >= threshold) — otherwise it is isolated
+    merge_ok = F.lit(1.0 >= threshold) & F.col("ne").isNotNull()
+    doc_clusters = (
+        mapping.join(
+            labels.select(F.col("id").alias("rep"), "component"), "rep", "left"
+        )
+        .join(
+            nonempty.select(
+                F.col("doc_id").alias("rep"), F.lit(True).alias("ne")
+            ),
+            "rep",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") == F.col("rep")) | merge_ok,
+                F.coalesce("component", "rep"),
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("cluster"),
+        )
     )
-    return docs.join(drop, id_col, "left_anti")
+    keep = (
+        doc_clusters.groupBy("cluster")
+        .agg(F.min("doc_id").alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
 
 
 def _simhash_near_fp_pairs(
