@@ -968,8 +968,10 @@ def q_random_walks_md5(spark, sf_dir):
 
 
 def q_weighted_walks_md5(spark, sf_dir):
-    """Integer-weight-biased deterministic walks (each weight unit is
-    one hash-race entry — exact rational step probabilities)."""
+    """Weight-biased deterministic walks via the inverse-CDF rule: the
+    per-(walk, step) hash maps to u in [0,1) and the walk takes the
+    first dst whose cumulative weight exceeds u * total — one candidate
+    row per edge for any weight magnitudes (no per-unit explode)."""
     from pagerank_spark.operators.walks import random_walks
 
     return random_walks(
@@ -2017,32 +2019,39 @@ def _walks_sql(
         f"v.id AS cur FROM v CROSS JOIN "
         f"(SELECT unnest(range(0, {wpv})) AS k) t),",
     ]
+    if weighted:
+        # the engine's weighted-edge prepare: cast double, drop
+        # non-positive weights, collapse parallel (src, dst) rows
+        parts.append(
+            "egw AS (SELECT src, dst, sum(w) AS w FROM "
+            "(SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM eg) "
+            "WHERE w > 0 GROUP BY src, dst),"
+        )
     for t in range(1, length + 1):
         if weighted:
-            key = (
-                f"CAST(s.walk_id AS VARCHAR) || ':{t}:' || "
-                f"CAST(e.dst AS VARCHAR) || ':' || CAST(u.k AS VARCHAR) "
-                f"|| ':{seed}'"
-            )
+            # inverse-CDF pick: u = md5hash(walk:t:seed)/2^60; take the
+            # first dst (ascending) whose running weight > u * total
+            key = f"CAST(s.walk_id AS VARCHAR) || ':{t}:{seed}'"
             h = _MD5H.format(x=key)
-            cand = (
-                f"c{t} AS (SELECT s.walk_id, e.dst, {h} AS h "
-                f"FROM s{t-1} s JOIN eg e ON e.src = s.cur "
-                f"CROSS JOIN LATERAL (SELECT unnest(range(1, "
-                f"CAST(e.weight AS BIGINT) + 1)) AS k) u),"
-            )
-        else:
-            key = (
-                f"CAST(s.walk_id AS VARCHAR) || ':{t}:' || "
-                f"CAST(e.dst AS VARCHAR) || ':{seed}'"
-            )
-            h = _MD5H.format(x=key)
-            cand = (
-                f"c{t} AS (SELECT s.walk_id, e.dst, {h} AS h "
-                f"FROM s{t-1} s JOIN eg e ON e.src = s.cur),"
-            )
+            parts += [
+                f"c{t} AS (SELECT s.walk_id, e.dst, "
+                f"sum(e.w) OVER (PARTITION BY s.walk_id ORDER BY e.dst) "
+                f"AS cum, "
+                f"sum(e.w) OVER (PARTITION BY s.walk_id) AS tot, "
+                f"{h} / 1152921504606846976.0 AS u "
+                f"FROM s{t-1} s JOIN egw e ON e.src = s.cur),",
+                f"s{t} AS MATERIALIZED (SELECT walk_id, min(dst) AS cur "
+                f"FROM c{t} WHERE cum > u * tot GROUP BY walk_id),",
+            ]
+            continue
+        key = (
+            f"CAST(s.walk_id AS VARCHAR) || ':{t}:' || "
+            f"CAST(e.dst AS VARCHAR) || ':{seed}'"
+        )
+        h = _MD5H.format(x=key)
         parts += [
-            cand,
+            f"c{t} AS (SELECT s.walk_id, e.dst, {h} AS h "
+            f"FROM s{t-1} s JOIN eg e ON e.src = s.cur),",
             f"m{t} AS (SELECT walk_id, min(h) AS mh FROM c{t} "
             f"GROUP BY walk_id),",
             f"s{t} AS MATERIALIZED (SELECT c.walk_id, min(c.dst) AS cur "

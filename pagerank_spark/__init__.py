@@ -35,6 +35,7 @@ from pagerank_spark.operators.hits import hits
 from pagerank_spark.operators.linkpred import link_prediction
 from pagerank_spark.operators.labelprop import (
     greedy_modularity_moves,
+    louvain,
     modularity,
 )
 from pagerank_spark.operators.sampling import (
@@ -132,6 +133,7 @@ __all__ = [
     "link_prediction",
     "modularity",
     "greedy_modularity_moves",
+    "louvain",
     "contract_graph",
     "degree_assortativity",
     "tfidf_top_terms",

@@ -223,10 +223,22 @@ def greedy_modularity_moves(
     weight_col: str | None = None,
     alternate: bool = False,
     num_partitions: int | None = None,
+    include_self_loops: bool = False,
 ) -> DataFrame:
     """Synchronous Louvain-style local-move sweep: each round, EVERY
     vertex simultaneously adopts the neighboring community with the
     best modularity gain — ``DataFrame[id, label]``.
+
+    ``include_self_loops=True`` gives the EXACT coarse-graph gain
+    semantics the multi-level :func:`louvain` pipeline needs: a
+    contracted community's intra-weight arrives as a self-loop, which
+    (per the ΔQ derivation) must count into the vertex strength
+    (k_v += 2·w_vv) and the total weight W, while generating NO
+    candidate messages (a self-loop stays intra-community under every
+    assignment, so it cancels out of the gain except through k and W).
+    Self-loop-only vertices then still appear in the vertex set (as
+    immovable single-vertex communities). The default (drop) preserves
+    the original single-level sweep semantics the driver gate pins.
 
     The per-vertex gain of joining community c (Blondel et al. 2008,
     "Fast unfolding of communities in large networks", the ΔQ local
@@ -287,6 +299,37 @@ def greedy_modularity_moves(
             .groupBy("id")
             .agg(F.sum("_w").alias("_k"))
         )
+    self_w_total = 0.0
+    if include_self_loops:
+        loops = edges.where(F.col("src") == F.col("dst"))
+        if weight_col is None:
+            # distinct projection, matching the unweighted simple graph:
+            # a self-loop contributes weight 1 regardless of multiplicity
+            selfw = loops.select(F.col("src").alias("id")).distinct().select(
+                "id", F.lit(1.0).alias("_sw")
+            )
+        else:
+            selfw = (
+                loops.select(
+                    F.col("src").alias("id"),
+                    F.col(weight_col).cast("double").alias("_sw"),
+                )
+                .groupBy("id")
+                .agg(F.sum("_sw").alias("_sw"))
+            )
+        selfw = selfw.localCheckpoint()
+        row = selfw.agg(F.sum("_sw").alias("s")).collect()[0]["s"]
+        self_w_total = float(row or 0.0)
+        # k_v += 2*w_vv (both endpoints of the loop), and self-loop-only
+        # vertices enter the vertex set through the union
+        strength = (
+            strength.select("id", "_k")
+            .unionByName(
+                selfw.select("id", (F.lit(2.0) * F.col("_sw")).alias("_k"))
+            )
+            .groupBy("id")
+            .agg(F.sum("_k").alias("_k"))
+        )
     sym = simple.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "_w"
     ).union(
@@ -297,7 +340,7 @@ def greedy_modularity_moves(
     sym = sym.repartition(P, "src").persist()
     strength = strength.localCheckpoint()
     w_row = simple.agg(F.sum("_w").alias("w")).collect()[0]["w"]
-    W = float(w_row or 0.0)
+    W = float(w_row or 0.0) + self_w_total
     vertices = strength.select("id")
     if labels is None:
         lab0 = vertices.select("id", F.col("id").alias("label"))
@@ -386,3 +429,78 @@ def greedy_modularity_moves(
     out, _rounds, _done = iterate(lab0, _step, _converged, max_iter)
     sym.unpersist()
     return out.select("id", "label")
+
+
+def louvain(
+    edges: DataFrame,
+    max_levels: int = 5,
+    moves_per_level: int = 4,
+    weight_col: str | None = None,
+    alternate: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full multi-level Louvain community detection (Blondel et al.
+    2008, "Fast unfolding of communities in large networks") —
+    ``DataFrame[id, label]`` on ORIGINAL vertex ids.
+
+    Each level runs a synchronous local-move sweep
+    (:func:`greedy_modularity_moves` with exact self-loop gain
+    semantics), then contracts communities to super-vertices
+    (:func:`contract_graph`, keeping intra-community weight as
+    self-loops) and recurses on the coarse graph; the level stack's
+    label mappings compose back so every original vertex carries its
+    final community. Stops when a sweep merges nothing (no vertex
+    left its own community — the pass-yields-no-improvement fixpoint,
+    which is idempotent: extra levels would replay identically, the
+    property the unrolled ANSI oracle relies on) or after
+    ``max_levels``.
+
+    Fully deterministic (ties break to the smallest community label at
+    every step), so the whole pipeline is replayable in ANSI SQL.
+
+    Scale shape: level L's graph has one super-vertex per level-(L-1)
+    community — coarse graphs collapse geometrically on community-
+    structured inputs, so the level-0 sweep dominates and costs one
+    O(E) message aggregation per round over a hash-partitioned,
+    persisted edge table (see :func:`greedy_modularity_moves`); the
+    compose step is one O(V) join per level.
+    """
+    g = edges
+    wc = weight_col
+    mapping: DataFrame | None = None
+    from pagerank_spark.operators.cooccur import contract_graph
+
+    for _level in range(max_levels):
+        lab = greedy_modularity_moves(
+            g,
+            max_iter=moves_per_level,
+            weight_col=wc,
+            alternate=alternate,
+            num_partitions=num_partitions,
+            include_self_loops=True,
+        ).localCheckpoint()
+        if mapping is None:
+            mapping = lab
+        else:
+            # re-point every original vertex at its community's new
+            # label; the left join + coalesce is belt-and-braces for a
+            # community absent from the coarse sweep (cannot happen —
+            # every label survives contraction as a vertex — but a
+            # dropped row would silently lose vertices)
+            mapping = (
+                mapping.join(
+                    lab.select(
+                        F.col("id").alias("label"), F.col("label").alias("_nl")
+                    ),
+                    "label",
+                    "left",
+                )
+                .select("id", F.coalesce("_nl", "label").alias("label"))
+                .localCheckpoint()
+            )
+        if lab.where(F.col("id") != F.col("label")).count() == 0:
+            break
+        g = contract_graph(g, lab, weight_col=wc).localCheckpoint()
+        wc = "weight"
+    assert mapping is not None  # max_levels >= 1
+    return mapping

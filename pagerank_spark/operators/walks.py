@@ -42,22 +42,33 @@ def random_walks(
     + w`` for w in [0, walks_per_vertex). Step 0 is the start vertex;
     a walk that hits an out-edge-less vertex emits no further rows.
 
-    ``weight_col`` (POSITIVE INTEGER weights) biases the next-step
-    choice ∝ weight while staying fully deterministic: each candidate
-    edge enters the hash-argmin race once PER WEIGHT UNIT (a copy
-    index joins the hash key), so a weight-3 edge wins exactly 3× as
-    often — exact rational probabilities, no RNG, no transcendental
-    float tricks, still ANSI-replayable. The per-step fan-out costs
-    O(Σw) candidate rows instead of O(deg); suitable for the engine's
-    count-weighted graphs (corpus/co-occurrence multiplicities).
+    ``weight_col`` (POSITIVE weights — integer or fractional, e.g. the
+    jaccard/cosine weights of ``cooccurrence_graph``) biases the
+    next-step choice ∝ weight while staying fully deterministic, via
+    an inverse-CDF pick: the per-(walk, step) hash maps to a uniform
+    u ∈ [0, 1), and the walk takes the first out-edge (in dst order)
+    whose cumulative weight exceeds u·Σw. ONE candidate row per edge
+    — no per-weight-unit explode — so the per-step cost is O(frontier
+    degree sum) for any weight magnitudes, and the rule is exact for
+    arbitrary positive weights. Non-positive-weight edges are
+    excluded (zero probability); parallel (src, dst) rows collapse by
+    summed weight. Still ANSI-replayable: the cumulative sum is a
+    deterministic dst-ordered running sum (bit-reproducible for
+    integer-valued weights; fractional weights could in principle
+    differ by one ulp across engines at a CDF boundary).
     """
     if length < 0 or walks_per_vertex < 1:
         raise ValueError("length must be >= 0, walks_per_vertex >= 1")
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
     if weight_col is not None:
-        e = edges.select(
-            "src", "dst", F.col(weight_col).cast("long").alias("_wt")
+        e = (
+            edges.select(
+                "src", "dst", F.col(weight_col).cast("double").alias("_wt")
+            )
+            .where(F.col("_wt") > 0)
+            .groupBy("src", "dst")
+            .agg(F.sum("_wt").alias("_wt"))
         )
     else:
         e = edges.select("src", "dst")
@@ -83,23 +94,38 @@ def random_walks(
             fr.select(F.col("vertex").alias("src"), "walk_id"), "src"
         )
         if weight_col is not None:
-            # one race entry per weight unit: copy index k joins the
-            # hash key, so P(edge wins) = w_edge / Σw exactly
-            cand = cand.select(
-                "walk_id", "dst",
-                F.explode(
-                    F.sequence(F.lit(1), F.col("_wt").cast("int"))
-                ).alias("_k"),
+            # inverse-CDF pick: u = hash(walk:t:seed) ∈ [0,1); take the
+            # first dst (ascending) whose running weight exceeds u·Σw.
+            # One row per edge; both window sums share one shuffle on
+            # walk_id (the same motion the argmin groupBy needs anyway)
+            from pyspark.sql import Window
+
+            ukey = F.concat_ws(
+                ":", F.col("walk_id"), F.lit(str(t)), F.lit(str(seed))
             )
-            key = F.concat_ws(
-                ":", F.col("walk_id"), F.lit(str(t)), F.col("dst"),
-                F.col("_k"), F.lit(str(seed)),
+            h = hash64(ukey, hash_fn)
+            if hash_fn == "md5":
+                # 60-bit non-negative hash
+                u = h / F.lit(float(1 << 60))
+            else:
+                u = (h.cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+            wcum = Window.partitionBy("walk_id").orderBy("dst")
+            wtot = Window.partitionBy("walk_id")
+            picked = (
+                cand.select("walk_id", "dst", "_wt")
+                .withColumn("_cum", F.sum("_wt").over(wcum))
+                .withColumn("_tot", F.sum("_wt").over(wtot))
+                .where(F.col("_cum") > u * F.col("_tot"))
             )
-        else:
-            key = F.concat_ws(
-                ":", F.col("walk_id"), F.lit(str(t)), F.col("dst"),
-                F.lit(str(seed)),
-            )
+            # weights > 0 make _cum strictly increasing, so min(dst) is
+            # the CDF crossing; the last row always qualifies (u < 1)
+            return picked.groupBy("walk_id").agg(
+                F.min("dst").alias("vertex")
+            ).select("walk_id", "vertex")
+        key = F.concat_ws(
+            ":", F.col("walk_id"), F.lit(str(t)), F.col("dst"),
+            F.lit(str(seed)),
+        )
         cand = cand.select(
             "walk_id",
             F.struct(

@@ -974,3 +974,59 @@ def test_weighted_walks_bias_and_determinism(spark):
     # (not identical hashes — the copy index enters the key — but valid walks)
     u = random_walks(e.select("src", "dst"), 1, walks_per_vertex=50, seed=3)
     assert u.where("step = 1").count() == 50
+
+
+def test_weighted_walks_inverse_cdf_matches_python_replay(spark):
+    """The inverse-CDF rule, replayed in pure Python from the same md5
+    hash: u = h/2^60, pick the first dst (ascending) with cum > u*tot.
+    Fractional weights (the cooccurrence jaccard/cosine case) are
+    first-class; non-positive weights are excluded."""
+    import hashlib
+
+    from pagerank_spark.operators.walks import random_walks
+
+    edges = [
+        (0, 1, 0.25), (0, 2, 0.5), (0, 3, 1.75),
+        (1, 2, 3.0), (2, 0, 1.0), (2, 3, 0.0),  # 2->3 weight 0: excluded
+        (3, 0, -1.0),  # negative: excluded -> 3 is a dead end
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    seed, length, wpv = 7, 3, 4
+    got = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in random_walks(
+            e, length, walks_per_vertex=wpv, seed=seed,
+            hash_fn="md5", weight_col="w",
+        ).collect()
+    }
+    adj = {}
+    for s, d, w in edges:
+        if w > 0:
+            adj.setdefault(s, []).append((d, w))
+    for s in adj:
+        adj[s].sort()
+    vertices = {s for s, d, w in edges} | {d for s, d, w in edges}
+    want = {}
+    for v in sorted(vertices):
+        for k in range(wpv):
+            wid = v * wpv + k
+            cur = v
+            want[(wid, 0)] = cur
+            for t in range(1, length + 1):
+                outs = adj.get(cur)
+                if not outs:
+                    break
+                h = int(
+                    hashlib.md5(f"{wid}:{t}:{seed}".encode()).hexdigest()[:15],
+                    16,
+                )
+                u = h / float(1 << 60)
+                tot = sum(w for _, w in outs)
+                cum = 0.0
+                for d, w in outs:
+                    cum += w
+                    if cum > u * tot:
+                        cur = d
+                        break
+                want[(wid, t)] = cur
+    assert got == want
