@@ -146,6 +146,16 @@ def q_pagerank_converged(spark, sf_dir):
     """Flagship: converged (eps=1e-4) redistribute-mode PageRank."""
     e = _edges(spark, sf_dir)
     res = pagerank(e, dangling="redistribute")
+    # fail loudly if the engine and the oracle's NumPy replay disagree
+    # on the stopping iteration (FP-noise near eps sums in different
+    # orders) — a clear diagnostic instead of a value-hash mismatch
+    k = _converged_iters(sf_dir)
+    if res.iterations != k:
+        raise AssertionError(
+            f"engine stopped at iteration {res.iterations} but the "
+            f"oracle replay stops at {k} — residual within FP noise of "
+            "eps; unroll depth is scale-ambiguous at this sf"
+        )
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
 
@@ -181,6 +191,13 @@ def q_pagerank_weighted_converged(spark, sf_dir):
     (Page_Rank_SERIAL.c:131-143) on a converged run."""
     e = _edges_weighted(spark, sf_dir)
     res = pagerank(e, dangling="redistribute", weight_col="weight")
+    k = _converged_iters(sf_dir, weighted=True)
+    if res.iterations != k:
+        raise AssertionError(
+            f"engine stopped at iteration {res.iterations} but the "
+            f"oracle replay stops at {k} — residual within FP noise of "
+            "eps; unroll depth is scale-ambiguous at this sf"
+        )
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
 
@@ -872,6 +889,29 @@ def q_modularity_moves(spark, sf_dir):
 
     return greedy_modularity_moves(
         _edges(spark, sf_dir), max_iter=MOVES_ROUNDS
+    ).orderBy("id")
+
+
+LOUVAIN_LEVELS = 3
+LOUVAIN_ROUNDS = 3
+
+
+def q_louvain(spark, sf_dir):
+    """Full multi-level Louvain (Blondel 2008): local-move sweeps with
+    exact self-loop gains -> community contraction -> recurse, labels
+    composed back to original vertices — over the weighted co-purchase
+    graph. The oracle unrolls every level's rounds, the contraction,
+    and the compose chain."""
+    from pagerank_spark.operators.cooccur import cooccurrence_graph
+    from pagerank_spark.operators.labelprop import louvain
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = cooccurrence_graph(
+        li, "l_orderkey", "l_partkey", min_count=COOCCUR_MIN
+    )
+    return louvain(
+        g, max_levels=LOUVAIN_LEVELS, moves_per_level=LOUVAIN_ROUNDS,
+        weight_col="weight",
     ).orderBy("id")
 
 
@@ -1778,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "community_graph": q_community_graph,
         "modularity_moves": q_modularity_moves,
+        "louvain": q_louvain,
         "modularity_moves_weighted": q_modularity_moves_weighted,
         "k_truss": q_k_truss,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2584,6 +2625,15 @@ def _topo_levels_sql(edges_sql: str) -> str:
     )
 
 
+_COPURCHASE_W_EDGES_SQL = (
+    "WITH dd AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i "
+    "FROM lineitem), "
+    "ok AS (SELECT k FROM dd GROUP BY k HAVING count(*) <= 1000) "
+    "SELECT a.i AS src, b.i AS dst, count(*) AS weight FROM dd a "
+    "JOIN dd b ON a.k = b.k AND a.i < b.i JOIN ok ON a.k = ok.k "
+    f"GROUP BY a.i, b.i HAVING count(*) >= {COOCCUR_MIN}"
+)
+
 _COPURCHASE_EDGES_SQL = (
     "WITH dd AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i "
     "FROM lineitem), "
@@ -2918,6 +2968,74 @@ def _moves_sql(edges_sql: str, rounds: int, weighted: bool = False) -> str:
         ]
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id, label FROM g{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _louvain_sql(edges_sql: str, levels: int, rounds: int) -> str:
+    """Unrolled multi-level Louvain: per level the weighted graph CTEs
+    WITH exact self-loop strength (k_v includes 2*w_vv, W includes
+    self-loop weight; self-loops emit no candidate messages), ``rounds``
+    local-move rounds (the _moves_sql recipe), community contraction
+    (intra weight becomes the next level's self-loops), and the label
+    compose chain. Extra unrolled levels/rounds past the engine's
+    early-stop fixpoints are idempotent (a no-move sweep contracts to
+    the same graph), which is what makes the fixed unroll exact."""
+    parts = [f"WITH e0 AS ({edges_sql}),"]
+    for L in range(levels):
+        parts += [
+            f"sp{L} AS (SELECT least(src, dst) AS a, greatest(src, dst) "
+            f"AS b, sum(CAST(weight AS DOUBLE)) AS ew FROM e{L} "
+            f"WHERE src <> dst GROUP BY 1, 2),",
+            f"sl{L} AS (SELECT src AS id, sum(CAST(weight AS DOUBLE)) "
+            f"AS sw FROM e{L} WHERE src = dst GROUP BY src),",
+            f"kk{L} AS (SELECT id, CAST(sum(k) AS DOUBLE) AS k FROM ("
+            f"SELECT a AS id, ew AS k FROM sp{L} "
+            f"UNION ALL SELECT b, ew FROM sp{L} "
+            f"UNION ALL SELECT id, 2 * sw FROM sl{L}) GROUP BY id),",
+            f"ww{L} AS (SELECT coalesce((SELECT sum(ew) FROM sp{L}), 0.0) "
+            f"+ coalesce((SELECT sum(sw) FROM sl{L}), 0.0) AS w),",
+            f"sy{L} AS (SELECT a AS src, b AS dst, ew FROM sp{L} "
+            f"UNION ALL SELECT b, a, ew FROM sp{L}),",
+            f"g{L}x0 AS (SELECT id, id AS label FROM kk{L}),",
+        ]
+        for r in range(1, rounds + 1):
+            parts += [
+                f"t{L}x{r} AS (SELECT g.label, sum(kk.k) AS tot "
+                f"FROM g{L}x{r-1} g JOIN kk{L} kk ON g.id = kk.id "
+                f"GROUP BY g.label),",
+                f"c{L}x{r} AS (SELECT id, c, sum(w) AS kvc FROM ("
+                f"SELECT s.src AS id, g.label AS c, s.ew AS w FROM sy{L} s "
+                f"JOIN g{L}x{r-1} g ON s.dst = g.id "
+                f"UNION ALL SELECT id, label AS c, 0.0 FROM g{L}x{r-1}) "
+                f"GROUP BY id, c),",
+                f"s{L}x{r} AS (SELECT c.id, c.c, c.kvc - kk.k * (t.tot - "
+                f"CASE WHEN c.c = g.label THEN kk.k ELSE 0.0 END) "
+                f"/ (2 * (SELECT w FROM ww{L})) AS gain "
+                f"FROM c{L}x{r} c JOIN t{L}x{r} t ON c.c = t.label "
+                f"JOIN g{L}x{r-1} g ON c.id = g.id "
+                f"JOIN kk{L} kk ON c.id = kk.id),",
+                f"g{L}x{r} AS MATERIALIZED (SELECT id, c AS label FROM ("
+                f"SELECT id, c, row_number() OVER (PARTITION BY id "
+                f"ORDER BY gain DESC, c ASC) AS rn FROM s{L}x{r}) "
+                f"WHERE rn = 1),",
+            ]
+        lab = f"g{L}x{rounds}"
+        if L == 0:
+            parts.append(f"mp0 AS (SELECT id, label FROM {lab}),")
+        else:
+            parts.append(
+                f"mp{L} AS (SELECT m.id, coalesce(g.label, m.label) AS "
+                f"label FROM mp{L-1} m LEFT JOIN {lab} g ON m.label = g.id),"
+            )
+        if L + 1 < levels:
+            parts.append(
+                f"e{L+1} AS (SELECT coalesce(la.label, e.src) AS src, "
+                f"coalesce(lb.label, e.dst) AS dst, sum(e.weight) AS weight "
+                f"FROM e{L} e LEFT JOIN {lab} la ON e.src = la.id "
+                f"LEFT JOIN {lab} lb ON e.dst = lb.id GROUP BY 1, 2),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, label FROM mp{levels-1} ORDER BY id")
     return "\n".join(parts)
 
 
@@ -3459,6 +3577,9 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_sql(eg),
         "community_graph": _community_graph_sql(),
         "modularity_moves": _moves_sql(eg, MOVES_ROUNDS),
+        "louvain": _louvain_sql(
+            _COPURCHASE_W_EDGES_SQL, LOUVAIN_LEVELS, LOUVAIN_ROUNDS
+        ),
         "modularity_moves_weighted": _moves_sql(
             _W_EDGES_SQL, MOVES_ROUNDS, weighted=True
         ),

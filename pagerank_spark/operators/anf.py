@@ -106,6 +106,11 @@ def _merge_by_id(df: DataFrame, m: int, num_partitions: int) -> DataFrame:
             if carry_id is not None:
                 ids = np.concatenate([[carry_id], ids])
                 sk = np.vstack([carry_sk, sk])
+            if len(ids) == 0:
+                # empty Arrow batches are legal in mapInArrow streams;
+                # with no carry there is nothing to merge (reduceat on a
+                # zero-row matrix raises, and uids[-1] would IndexError)
+                continue
             starts = np.flatnonzero(
                 np.concatenate([[True], ids[1:] != ids[:-1]])
             )

@@ -199,6 +199,14 @@ def brandes_forward(
     (source, dst), and anti-joins the already-settled set — in a BFS
     every vertex settles at its first reachable level, so the
     anti-join is exact, not an approximation.
+
+    Each level is checkpointed ONCE as its own frame; the settled set
+    the anti-join scans is a lazy union over those frames (read-only
+    scans of already-materialized blocks), and the full result is
+    unioned once at the end. Re-checkpointing the growing union every
+    level would instead REWRITE O(reached-so-far) rows per round —
+    O(depth × reached) total writes, the dominant cost at
+    full-vertex-set exactness on a high-diameter graph.
     """
     if not pivots:
         raise ValueError("pivots must be non-empty")
@@ -211,8 +219,9 @@ def brandes_forward(
         "source long, id long, dist long, sigma double",
     ).localCheckpoint()
 
-    settled = init
+    settled_ids = init.select("source", "id")
     frontier = init
+    frames = [init]
     for level in range(1, max_iter + 1):
         msgs = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -220,7 +229,7 @@ def brandes_forward(
             .agg(F.sum("sigma").alias("sigma"))
         )
         new = (
-            msgs.join(settled.select("source", "id"), ["source", "id"], "left_anti")
+            msgs.join(settled_ids, ["source", "id"], "left_anti")
             .select(
                 "source", "id", F.lit(level).cast("long").alias("dist"), "sigma"
             )
@@ -228,9 +237,24 @@ def brandes_forward(
         )
         if new.isEmpty():
             break
-        settled = settled.unionByName(new).localCheckpoint()
+        frames.append(new)
+        settled_ids = settled_ids.unionByName(new.select("source", "id"))
         frontier = new
+    else:
+        import warnings
+
+        warnings.warn(
+            f"brandes_forward stopped at max_iter={max_iter} with a "
+            "non-empty frontier; betweenness dependencies would "
+            "accumulate over a TRUNCATED shortest-path DAG — raise "
+            "max_iter above the graph diameter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     e.unpersist()
+    settled = frames[0]
+    for f in frames[1:]:
+        settled = settled.unionByName(f)
     return settled
 
 
@@ -295,14 +319,22 @@ def _brandes_dependencies(
     lmax_row = levels.agg(F.max("dist").alias("m")).collect()[0]
     lmax = int(lmax_row["m"] or 0)
 
-    deltas = spark.createDataFrame(
+    # A vertex at dist d gets its dependency settled in the round that
+    # processes level d+1 (where it is the predecessor side) — i.e. the
+    # round IMMEDIATELY BEFORE level d is the w-side. So the w-side
+    # left join only ever needs the PREVIOUS round's frame, not a
+    # growing accumulation: per-round state is O(level size), and the
+    # full delta table is one lazy union over the per-level
+    # checkpoints at the end (no O(depth × reached) rewrite).
+    prev = spark.createDataFrame(
         [], "source long, id long, delta double"
     ).localCheckpoint()
+    frames = []
     for level in range(lmax, 0, -1):
         # w-side: vertices AT this level, with their settled dependency
         w = (
             levels.where(F.col("dist") == level)
-            .join(deltas, ["source", "id"], "left")
+            .join(prev, ["source", "id"], "left")
             .select(
                 "source",
                 F.col("id").alias("dst"),
@@ -323,8 +355,13 @@ def _brandes_dependencies(
                     F.col("_sv") / F.col("_sw") * (F.lit(1.0) + F.col("_dw"))
                 ).alias("delta")
             )
+            .localCheckpoint()
         )
-        deltas = deltas.unionByName(new).localCheckpoint()
+        frames.append(new)
+        prev = new
+    deltas = prev if not frames else frames[0]
+    for f in frames[1:]:
+        deltas = deltas.unionByName(f)
     return levels, deltas, e
 
 
@@ -429,9 +466,16 @@ def personalized_pagerank_keyed(
         .persist()
     )
     ew.count()
-    # dangling detection needs the vertex's out-degree, incl. zero
+    # dangling = any vertex that can hold rank but has no out-edges:
+    # dst-only ids PLUS off-graph seeds (a seed absent from the edge
+    # list is dangling too — without this, d of its mass would vanish
+    # every iteration and per-seed ranks would stop summing to 1)
+    seed_ids = spark.createDataFrame(
+        [(int(s),) for s in set(seeds)], "id long"
+    )
     dangling = (
         edges.select(F.col("dst").alias("id"))
+        .union(seed_ids)
         .distinct()
         .join(
             edges.select(F.col("src").alias("id")).distinct(),

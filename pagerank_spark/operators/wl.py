@@ -65,8 +65,13 @@ def wl_colors(
             colors.select(F.col("id").alias("src"), "color").hint(hint), "src"
         ).select(
             F.col("dst").alias("id"),
+            # decimal(28,0) per message: Spark widens the SUM to
+            # decimal(38,0), honoring the documented exact-no-overflow
+            # guarantee up to ~10^10 same-sign messages per vertex
+            # (decimal(19,0) summed only to (29,0), which a massive hub
+            # could overflow to NULL -> silently corrupted color)
             hash64(F.col("color").cast("string"), hash_fn)
-            .cast("decimal(19,0)")
+            .cast("decimal(28,0)")
             .alias("_h"),
         )
         agg = msgs.groupBy("id").agg(

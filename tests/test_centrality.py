@@ -1030,3 +1030,52 @@ def test_weighted_walks_inverse_cdf_matches_python_replay(spark):
                         break
                 want[(wid, t)] = cur
     assert got == want
+
+
+def test_ppr_keyed_off_graph_seed_is_dangling(spark):
+    """A seed absent from the edge list must behave as a dangling
+    vertex (its mass returns to itself), keeping per-seed rank sums at
+    exactly 1 — and an on-graph seed's ranks must be unaffected by the
+    off-graph seed riding along in the same keyed run."""
+    from pagerank_spark.operators.centrality import personalized_pagerank_keyed
+
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    both = personalized_pagerank_keyed(e, [0, 99], iters=8)
+    sums = {
+        r["seed"]: r["s"]
+        for r in both.groupBy("seed").agg(F.sum("rank").alias("s")).collect()
+    }
+    assert abs(sums[99] - 1.0) < 1e-12
+    assert abs(sums[0] - 1.0) < 1e-12
+    # the off-graph seed keeps all mass on itself
+    r99 = {r["id"]: r["rank"] for r in both.where("seed = 99").collect()}
+    assert set(r99) == {99} and abs(r99[99] - 1.0) < 1e-12
+    solo = personalized_pagerank_keyed(e, [0], iters=8)
+    a = sorted(map(tuple, solo.collect()))
+    b = sorted(map(tuple, both.where("seed = 0").select("seed", "id", "rank").collect()))
+    assert a == b
+
+
+def test_brandes_warns_on_truncation(spark):
+    """max_iter below the BFS depth leaves a non-empty frontier: the
+    forward pass must emit RuntimeWarning (the engine's standard
+    non-convergence signal) instead of silently truncating."""
+    import warnings
+
+    from pagerank_spark.operators.centrality import brandes_forward
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        brandes_forward(path, [0], max_iter=2).count()
+    assert any("max_iter" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        brandes_forward(path, [0], max_iter=10).count()
+    assert not any(issubclass(w.category, RuntimeWarning) for w in rec2)
