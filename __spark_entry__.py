@@ -559,6 +559,22 @@ def q_mis_md5(spark, sf_dir):
     ).orderBy("id")
 
 
+COLORING_SQL_COLORS = 10   # sf0.1 needs 8; extras are no-ops
+COLORING_SQL_MIS_ROUNDS = 6  # max observed 4 per color; extras are no-ops
+
+
+def q_coloring_md5(spark, sf_dir):
+    """Greedy vertex coloring by iterated deterministic-Luby MIS
+    (Jones-Plassmann shape) on the sparse graph — every color round's
+    full MIS unroll replayed by the oracle; properness is pinned by
+    pytest, the gate pins the exact (id, color) assignment."""
+    from pagerank_spark.operators.mis import greedy_coloring
+
+    return greedy_coloring(
+        _edges_sparse(spark, sf_dir), hash_fn="md5"
+    ).orderBy("id")
+
+
 def q_topo_levels(spark, sf_dir):
     """Parallel build order of the SCC condensation DAG — the
     scc → contract → longest-path-level composition (the repo-graph
@@ -1788,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_copurchase": q_densest_copurchase,
         "copurchase_jaccard": q_copurchase_jaccard,
         "mis_md5": q_mis_md5,
+        "coloring_md5": q_coloring_md5,
         "topo_levels": q_topo_levels,
         "wl_colors_md5": q_wl_colors_md5,
         "seeded_lpa": q_seeded_lpa,
@@ -2593,6 +2610,74 @@ def _mis_sql(edges_sql: str, rounds: int) -> str:
         ]
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id FROM mis{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _coloring_sql(edges_sql: str, colors: int, mis_rounds: int) -> str:
+    """Unrolled Jones-Plassmann-style greedy coloring: per color round
+    a full deterministic-Luby MIS unroll over the remaining subgraph
+    (priorities restart at round 1 each color, exactly like the
+    engine's fresh maximal_independent_set call), isolated remaining
+    vertices join the round's color, winners leave the vertex and edge
+    sets. Rounds past the engine's fixpoints are no-ops (empty sets
+    stay empty), so the fixed unroll is exact."""
+    h = lambda x: _MD5H.format(x=x)  # noqa: E731
+    # eg/rv0/re0 MATERIALIZED: the unroll references them hundreds of
+    # times and an inlined parquet scan would reopen the file per
+    # reference (EMFILE)
+    parts = [
+        f"WITH eg AS MATERIALIZED ({edges_sql}),",
+        "rv0 AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        "re0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+    ]
+    for c in range(colors):
+        parts += [
+            f"sy{c} AS MATERIALIZED (SELECT a AS src, b AS dst "
+            f"FROM re{c} UNION ALL SELECT b, a FROM re{c}),",
+            f"u{c}r0 AS (SELECT DISTINCT src AS id FROM sy{c}),",
+            f"m{c}r0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0),",
+        ]
+        for r in range(1, mis_rounds + 1):
+            pr = h(f"CAST(id AS VARCHAR) || '|' || '{r}'")
+            parts += [
+                f"p{c}r{r} AS MATERIALIZED (SELECT id, {pr} AS p "
+                f"FROM u{c}r{r-1}),",
+                f"nm{c}r{r} AS (SELECT s.src AS id, "
+                f"min(struct_pack(p := x.p, i := x.id)) AS nm "
+                f"FROM sy{c} s JOIN p{c}r{r} x ON s.dst = x.id "
+                f"GROUP BY s.src),",
+                f"cd{c}r{r} AS MATERIALIZED (SELECT q.id FROM p{c}r{r} q "
+                f"LEFT JOIN nm{c}r{r} n ON q.id = n.id "
+                f"WHERE n.nm IS NULL OR "
+                f"struct_pack(p := q.p, i := q.id) < n.nm),",
+                f"rm{c}r{r} AS (SELECT id FROM cd{c}r{r} UNION "
+                f"SELECT s.dst FROM sy{c} s JOIN cd{c}r{r} x "
+                f"ON s.src = x.id),",
+                f"m{c}r{r} AS MATERIALIZED (SELECT id FROM m{c}r{r-1} "
+                f"UNION ALL SELECT id FROM cd{c}r{r}),",
+                f"u{c}r{r} AS MATERIALIZED (SELECT id FROM u{c}r{r-1} "
+                f"WHERE id NOT IN (SELECT id FROM rm{c}r{r})),",
+            ]
+        parts += [
+            f"tk{c} AS (SELECT DISTINCT id FROM ("
+            f"SELECT id FROM m{c}r{mis_rounds} UNION ALL "
+            f"SELECT id FROM rv{c} WHERE id NOT IN "
+            f"(SELECT id FROM u{c}r0))),",
+            f"co{c} AS (SELECT id, CAST({c} AS BIGINT) AS color "
+            f"FROM tk{c}),",
+            f"rv{c+1} AS MATERIALIZED (SELECT id FROM rv{c} "
+            f"WHERE id NOT IN (SELECT id FROM tk{c})),",
+            f"re{c+1} AS MATERIALIZED (SELECT a, b FROM re{c} "
+            f"WHERE a NOT IN (SELECT id FROM tk{c}) "
+            f"AND b NOT IN (SELECT id FROM tk{c})),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    fold = " UNION ALL ".join(
+        f"SELECT id, color FROM co{c}" for c in range(colors)
+    )
+    parts.append(f"SELECT id, color FROM ({fold}) ORDER BY id")
     return "\n".join(parts)
 
 
@@ -3509,6 +3594,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY src, dst"
         ),
         "mis_md5": _mis_sql(_SPARSE_EDGES_SQL, MIS_SQL_ROUNDS),
+        "coloring_md5": _coloring_sql(
+            _SPARSE_EDGES_SQL, COLORING_SQL_COLORS, COLORING_SQL_MIS_ROUNDS
+        ),
         "topo_levels": _topo_levels_sql(_SPARSE_EDGES_SQL),
         "wl_colors_md5": _wl_sql(eg, WL_ROUNDS),
         "seeded_lpa": _seeded_lpa_sql(eg, SEEDED_LPA_SQL_ROUNDS),
