@@ -814,6 +814,28 @@ def q_hyper_anf(spark, sf_dir):
     return hyper_anf(_edges(spark, sf_dir), p=10).orderBy("radius")
 
 
+HANF_P = 6           # 64 registers: small enough for a register-level oracle
+HANF_SQL_ROUNDS = 12  # fixed unroll (rel_tol=-inf disables the adaptive stop)
+
+
+def q_hyper_anf_md5(spark, sf_dir):
+    """HyperANF md5 twin on the sparse graph: register placement from
+    the portable 60-bit hash, fixed rounds — the oracle replays the
+    whole sketch as an (id, register, rho) table (init, per-round max
+    merge, HLL estimate with linear-counting correction)."""
+    from pagerank_spark.operators.anf import hyper_anf
+
+    return (
+        hyper_anf(
+            _edges_sparse(spark, sf_dir), p=HANF_P,
+            max_iter=HANF_SQL_ROUNDS, rel_tol=float("-inf"),
+            hash_fn="md5",
+        )
+        .select("radius", F.round("pairs_est", 4).alias("pairs_est"))
+        .orderBy("radius")
+    )
+
+
 BETWEENNESS_PIVOTS = [0, 1, 2, 3, 4]
 
 
@@ -1830,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_weighted": q_eigenvector_weighted,
         "ppr_keyed": q_ppr_keyed,
         "hyper_anf": q_hyper_anf,
+        "hyper_anf_md5": q_hyper_anf_md5,
         "betweenness_pivots": q_betweenness_pivots,
         "edge_betweenness": q_edge_betweenness,
         "assortativity": q_assortativity,
@@ -2610,6 +2633,54 @@ def _mis_sql(edges_sql: str, rounds: int) -> str:
         ]
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id FROM mis{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _hyper_anf_sql(edges_sql: str, p: int, rounds: int) -> str:
+    """Register-level HyperANF replay: the sketch is just an (id,
+    register, rho) table once placement is md5-derived — init from the
+    60-bit id hash (j = low p bits, rho = trailing-zero rank of the
+    rest), per round an element-wise max merge of out-neighbors'
+    registers (one join + group-by max), then the HLL estimate (alpha
+    bias correction + linear-counting small-range rule, natural log,
+    exactly the engine's arithmetic) summed per radius. Absent
+    registers are zeros: they contribute (m - count) * 2^0 to the
+    denominator and the zeros term of the correction."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    h = _MD5H.format(x="CAST(id AS VARCHAR)")
+    parts = [
+        f"WITH eg AS MATERIALIZED ({edges_sql}),",
+        "vx AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),",
+        f"r0 AS MATERIALIZED (SELECT id, h % {m} AS j, "
+        f"CASE WHEN (h >> {p}) = 0 THEN {60 - p + 1} "
+        f"ELSE bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1 END AS rho "
+        f"FROM (SELECT id, {h} AS h FROM vx)),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT id, j, max(rho) AS rho FROM ("
+            f"SELECT id, j, rho FROM r{k-1} "
+            f"UNION ALL SELECT e.src AS id, s.j, s.rho "
+            f"FROM eg e JOIN r{k-1} s ON s.id = e.dst) GROUP BY id, j),"
+        )
+    ests = []
+    for k in range(rounds + 1):
+        ests.append(
+            f"SELECT {k} AS radius, round(sum(v_est), 4) AS pairs_est "
+            f"FROM (SELECT CASE WHEN raw <= {2.5 * m!r} AND zeros > 0 "
+            f"THEN {m} * ln({float(m)!r} / zeros) ELSE raw END AS v_est "
+            f"FROM (SELECT {alpha!r} * {m} * {m} / "
+            f"(sum(power(2.0, -rho)) + ({m} - count(*))) AS raw, "
+            f"{m} - count(*) AS zeros FROM r{k} GROUP BY id))"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT radius, pairs_est FROM ("
+        + " UNION ALL ".join(ests)
+        + ") ORDER BY radius"
+    )
     return "\n".join(parts)
 
 
@@ -3617,6 +3688,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY h.doc_id"
         ),
         "neighborhood_function": _neighborhood_sql(_SPARSE_EDGES_SQL),
+        "hyper_anf_md5": _hyper_anf_sql(
+            _SPARSE_EDGES_SQL, HANF_P, HANF_SQL_ROUNDS
+        ),
         "scc_giant": _scc_sql(eg),
         "double_sweep": _double_sweep_sql(eg),
         "graph_summary": _summary_sql(eg),

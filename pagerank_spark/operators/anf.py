@@ -49,12 +49,28 @@ def _hll_estimate_rows(reg_mat: np.ndarray) -> np.ndarray:
     return np.where(small, lin, est)
 
 
-def _init_sketches(vertices: DataFrame, p: int) -> DataFrame:
+def _init_sketches(
+    vertices: DataFrame, p: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Singleton sketch per vertex: register j(v) = rho(v), rest 0 —
-    j from the low p bits of xxhash64(id), rho = leading-zero rank of
-    the remaining bits (computed JVM-side then packed in Arrow)."""
+    j from the low p bits of the id hash, rho = leading-zero rank of
+    the remaining bits (computed JVM-side then packed in Arrow).
+
+    ``hash_fn="md5"`` uses the portable 60-bit md5 hash of the id
+    string (``functions.text.hash64``) so register placement is
+    ANSI-recomputable — the twin pattern every sketch gate uses;
+    xxhash64 (hashing the raw long) stays the production default."""
     m = 1 << p
-    hashed = vertices.select("id", F.xxhash64(F.col("id")).alias("_h"))
+    if hash_fn == "md5":
+        from pagerank_spark.functions.text import hash64
+
+        hashed = vertices.select(
+            "id", hash64(F.col("id").cast("string"), "md5").alias("_h")
+        )
+        bits = 60
+    else:
+        hashed = vertices.select("id", F.xxhash64(F.col("id")).alias("_h"))
+        bits = 64
 
     def pack(batches):
         for batch in batches:
@@ -72,7 +88,7 @@ def _init_sketches(vertices: DataFrame, p: int) -> DataFrame:
                     np.log2(np.maximum(lowbit, np.uint64(1)).astype(np.float64))
                     + 1.0
                 ).astype(np.uint8)
-            rho[rest == 0] = np.uint8(64 - p + 1)
+            rho[rest == 0] = np.uint8(bits - p + 1)
             mat = np.zeros((len(ids), m), dtype=np.uint8)
             mat[np.arange(len(ids)), j] = rho
             yield pa.RecordBatch.from_arrays(
@@ -176,6 +192,7 @@ def hyper_anf(
     max_iter: int = 50,
     rel_tol: float = 1e-4,
     num_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate neighborhood function:
     ``DataFrame[radius: long, pairs_est: double]`` — N̂(r) for r = 0
@@ -184,6 +201,9 @@ def hyper_anf(
 
     ``p`` trades accuracy for state: 2^p one-byte registers per vertex
     (relative error ≈ 1.04/√2^p; p=10 → ~3%, 1 KB/vertex).
+    ``rel_tol=float("-inf")`` disables the adaptive stop (exactly
+    ``max_iter`` rounds — the fixed-unroll form the md5-twin gate
+    pins); ``hash_fn="md5"`` makes register placement ANSI-replayable.
     """
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -195,7 +215,9 @@ def hyper_anf(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    sketches = _merge_by_id(_init_sketches(vertices, p), m, P).localCheckpoint()
+    sketches = _merge_by_id(
+        _init_sketches(vertices, p, hash_fn), m, P
+    ).localCheckpoint()
     rows = [(0, _total_estimate(sketches, m))]
     for r in range(1, max_iter + 1):
         msgs = e.join(
