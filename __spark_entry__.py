@@ -1653,6 +1653,54 @@ def q_dedup_stream(spark, sf_dir):
     return spark.table(name).orderBy("content_hash")
 
 
+def q_near_dedup_stream(spark, sf_dir):
+    """Streaming near-dup ingest: LSH band buckets maintained in the
+    state store at distinct-content granularity (the streaming twin of
+    the batch rep-collapse guard), then the drain-time composition —
+    within-bucket candidates, exact-Jaccard verify, the shared cluster
+    tail — must equal batch dedup_near's keep set (same md5 oracle)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.dedup import (
+        near_dedup_keep_set,
+        read_docs_stream,
+        streaming_minhash_buckets,
+    )
+
+    d = tempfile.mkdtemp(prefix="neardedup_gate_")
+    ck = tempfile.mkdtemp(prefix="neardedup_gate_ck_")
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/docs", dirs_exist_ok=True)
+        src_dir = f"{d}/docs"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    agg = streaming_minhash_buckets(
+        read_docs_stream(spark, src_dir), num_perm=16, bands=16,
+        hash_fn="md5",
+    )
+    name = "gate_neardedup_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    buckets = spark.table(name).localCheckpoint()
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    keep = near_dedup_keep_set(docs, buckets, threshold=0.8, hash_fn="md5")
+    return keep.orderBy("doc_id")
+
+
 def q_user_degrees_stream(spark, sf_dir):
     """Streaming incremental degrees: running per-user event counts
     maintained by the state store; the drained complete-mode table must
@@ -1904,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions_stream": q_user_sessions_stream,
         "user_degrees_stream": q_user_degrees_stream,
         "dedup_stream": q_dedup_stream,
+        "near_dedup_stream": q_near_dedup_stream,
         "pricing_rollup": q_pricing_rollup,
         "urgent_not_big_spenders": q_urgent_not_big_spenders,
         "customers_without_orders": q_customers_without_orders,
@@ -4043,6 +4092,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(x.sh, y.sh)) <= 3 ORDER BY a, b"
         ),
         "dedup_near_docs_md5": _dedup_near_md5_sql(),
+        "near_dedup_stream": _dedup_near_md5_sql(),
         "simhash_dedup_md5": _simhash_dedup_md5_sql(),
         "lsh_buckets_md5": (
             f"SELECT vec_id, {_lsh_bucket_sql('embedding', LSH_NBITS_BUCKETS)} "

@@ -41,8 +41,12 @@ def _fanout(docs: DataFrame) -> DataFrame:
     At production scale the scan already has >= defaultParallelism
     splits and this is a no-op — no shuffle is added on the 100 TB
     path. Row-local kernels are partitioning-independent, so results
-    are unchanged.
+    are unchanged. Streaming inputs pass through untouched (micro-batch
+    parallelism is the source's concern, and ``.rdd`` is illegal on a
+    streaming frame).
     """
+    if docs.isStreaming:
+        return docs
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         return docs.repartition(target)
@@ -470,8 +474,6 @@ def dedup_near(
     Jaccard exactly 1.0 >= threshold); empty-shingle copies stay
     isolated and survive, matching the uncollapsed pair semantics.
     """
-    from pagerank_spark.operators.components import connected_components
-
     mapping = _content_groups(docs, id_col, text_col).localCheckpoint()
     rep_docs = docs.join(
         mapping.where(F.col("doc_id") == F.col("rep")).select(
@@ -484,6 +486,24 @@ def dedup_near(
         rep_docs, id_col, text_col, shingle_k, num_perm, bands, seed,
         verify_threshold=threshold, hash_fn=hash_fn,
     )
+    keep = _near_keep_ids(mapping, pairs, nonempty, threshold, id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
+def _near_keep_ids(
+    mapping: DataFrame,
+    pairs: DataFrame,
+    nonempty: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """The cluster tail shared by batch ``dedup_near`` and the
+    streaming drain (``streaming.dedup.near_dedup_keep_set``):
+    connected components over the verified rep-pair graph, group
+    members attached to their rep's cluster, min doc id per cluster —
+    one ``[id_col]`` keep row per surviving document."""
+    from pagerank_spark.operators.components import connected_components
+
     # checkpoint the (tiny) pair frame: connected_components scans its
     # input once for vertices and once for the edge set, and each scan
     # would otherwise re-run the whole LSH bucket+verify pipeline
@@ -517,12 +537,11 @@ def dedup_near(
             .alias("cluster"),
         )
     )
-    keep = (
+    return (
         doc_clusters.groupBy("cluster")
         .agg(F.min("doc_id").alias(id_col))
         .select(id_col)
     )
-    return docs.join(keep, id_col, "left_semi")
 
 
 def _simhash_near_fp_pairs(

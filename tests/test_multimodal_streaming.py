@@ -393,3 +393,71 @@ def test_streaming_dedup_multi_batch(spark, tmp_path):
     assert len(got) == 2
     assert (1, 2) in got.values()  # "same" kept doc 1, counted twice
     assert (2, 1) in got.values()
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """Band buckets maintained in the state store across micro-batches
+    (distinct-content members — a within-batch flood folds to one
+    member), then the drain composition's keep set equals batch
+    dedup_near exactly, including near-dups split across files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.dedup import dedup_near
+    from pagerank_spark.streaming.dedup import (
+        near_dedup_keep_set,
+        read_docs_stream,
+        streaming_minhash_buckets,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = base + " today"
+    flood = "identical boilerplate footer text repeated on every single page"
+    rows1 = {
+        "doc_id": [1, 2, 10, 11, 12],
+        "text": [base, "completely different text about spark engines", flood, flood, flood],
+        "lang": ["en"] * 5, "source": ["a"] * 5, "n_chars": [10] * 5,
+    }
+    rows2 = {
+        "doc_id": [3, 13],
+        "text": [near, flood],
+        "lang": ["en"] * 2, "source": ["b"] * 2, "n_chars": [10] * 2,
+    }
+    pq.write_table(pa.table(rows1), str(d / "p1.parquet"))
+    pq.write_table(pa.table(rows2), str(d / "p2.parquet"))
+    agg = streaming_minhash_buckets(
+        read_docs_stream(spark, str(d)), num_perm=16, bands=16, hash_fn="md5"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("neardedup_mb")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    buckets = spark.table("neardedup_mb").localCheckpoint()
+    # flood members collapsed to ONE content key per bucket: no bucket
+    # can exceed the number of DISTINCT contents (4), though 4 docs are
+    # byte-identical copies
+    assert buckets.where(F.size("content_keys") > 4).count() == 0
+    docs = spark.read.parquet(str(d)).select("doc_id", "text")
+    keep = near_dedup_keep_set(
+        docs, buckets, threshold=0.5, hash_fn="md5"
+    )
+    got = sorted(r["doc_id"] for r in keep.collect())
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_near(
+            docs, threshold=0.5, num_perm=16, bands=16, hash_fn="md5"
+        ).select("doc_id").collect()
+    )
+    assert got == want
+    # the cross-file near pair (1, 3) collapsed to 1; the flood to 10
+    assert 1 in got and 3 not in got
+    assert 10 in got and not any(x in got for x in (11, 12, 13))
