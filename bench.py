@@ -52,6 +52,15 @@ HEADLINE = [
     "quality_scores",
     "pricing_summary",
     "events_hourly",
+    # promoted from round-3 extras (the three slowest of the new
+    # surface — VERDICT r03 item 9): regressions here move the tracked
+    # number. r03 baselines at sf0.1: k_truss 13.4-15.6s,
+    # contamination_md5 12.4-22.6s, skipgram_md5 11.2-14.7s (solo vs
+    # shared-box; see BASELINE.md). "value" is therefore NOT directly
+    # comparable to BENCH_r01-r03 sums — compare per-query.
+    "k_truss",
+    "contamination_md5",
+    "skipgram_md5",
 ]
 
 # Round-3 operators, timed and reported under "extra_queries" WITHOUT
@@ -77,18 +86,22 @@ EXTRA = [
     "community_graph",
     "tfidf_top_terms",
     "modularity_moves",
-    "k_truss",
     "edge_betweenness",
     "mis_md5",
     "topo_levels",
     "densest_copurchase",
     "seeded_lpa",
-    "skipgram_md5",
-    "contamination_md5",
     "gopher_filter",
     "wl_colors_md5",
     "neighborhood_function",
     "ppr_keyed",
+    # round-4 additions
+    "louvain",
+    "coloring_md5",
+    "hyper_anf_md5",
+    "near_dedup_stream",
+    "weighted_walks_md5",
+    "dedup_near_docs",
 ]
 
 SCALE_N = 2_000_000
