@@ -2168,7 +2168,8 @@ def _walks_sql(
                 f"sum(e.w) OVER (PARTITION BY s.walk_id ORDER BY e.dst) "
                 f"AS cum, "
                 f"sum(e.w) OVER (PARTITION BY s.walk_id) AS tot, "
-                f"{h} / 1152921504606846976.0 AS u "
+                f"least({h} / 1152921504606846976.0, "
+                f"0.9999999999999999) AS u "
                 f"FROM s{t-1} s JOIN egw e ON e.src = s.cur),",
                 f"s{t} AS MATERIALIZED (SELECT walk_id, min(dst) AS cur "
                 f"FROM c{t} WHERE cum > u * tot GROUP BY walk_id),",

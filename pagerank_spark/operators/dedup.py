@@ -745,10 +745,14 @@ def contamination(
     doc — the threshold knob decontamination pipelines tune.
     ``hash_fn="md5"`` keeps the whole check ANSI-replayable.
     """
+    # checkpoint: the distinct (doc_id, hash) table feeds BOTH the
+    # per-doc totals and the train semi-join — without materialization
+    # the dominant shingling+hashing scan would run twice
     ev = (
         _shingle_hashes(docs_eval, id_col, text_col, shingle_k, hash_fn)
         .select("doc_id", F.explode("hashes").alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     tr = (
         _shingle_hashes(docs_train, id_col, text_col, shingle_k, hash_fn)

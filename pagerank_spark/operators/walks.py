@@ -109,6 +109,11 @@ def random_walks(
                 u = h / F.lit(float(1 << 60))
             else:
                 u = (h.cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+            # the int->double rounding can land u on exactly 1.0 (hash
+            # within ~2^-53 of the top), where no cum > u*tot row exists
+            # and the walk would silently die; clamp to the largest
+            # double < 1 (the oracle applies the identical clamp)
+            u = F.least(u, F.lit(1.0 - 2.0**-53))
             wcum = Window.partitionBy("walk_id").orderBy("dst")
             wtot = Window.partitionBy("walk_id")
             picked = (

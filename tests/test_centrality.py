@@ -1020,7 +1020,7 @@ def test_weighted_walks_inverse_cdf_matches_python_replay(spark):
                     hashlib.md5(f"{wid}:{t}:{seed}".encode()).hexdigest()[:15],
                     16,
                 )
-                u = h / float(1 << 60)
+                u = min(h / float(1 << 60), 1.0 - 2.0**-53)
                 tot = sum(w for _, w in outs)
                 cum = 0.0
                 for d, w in outs:

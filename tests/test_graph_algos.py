@@ -970,18 +970,21 @@ def test_moves_self_loop_strength_semantics(spark):
 
     # v2 has a huge self-loop (a dense contracted community) plus a
     # light tie to the 0-1 pair; without self-loop strength it would
-    # merge into {0,1}, with it the merge gain goes negative
+    # merge into {0,1}, with it the merge gain goes negative.
+    # alternate=True: the symmetric 0-1 pair would otherwise ping-pong
+    # labels forever under the all-at-once sweep (the documented
+    # failure mode the parity knob exists for)
     e = spark.createDataFrame(
         [(0, 1, 10.0), (1, 2, 1.0), (2, 2, 50.0), (3, 3, 5.0)],
         "src long, dst long, weight double",
     )
     lab = greedy_modularity_moves(
-        e, max_iter=4, weight_col="weight", include_self_loops=True
+        e, max_iter=4, weight_col="weight", include_self_loops=True,
+        alternate=True,
     )
     got = {r["id"]: r["label"] for r in lab.collect()}
     # self-loop-only vertex present and alone
     assert got[3] == 3
-    # v2 stays out of the {0,1} community: its strength (2*50+1) makes
-    # the pull negative
-    assert got[2] not in (got[0], got[1]) or got[0] != got[1]
+    # the light pair merges; v2's strength (2*50+1) keeps it out
     assert got[0] == got[1] == 0
+    assert got[2] not in (got[0], got[1])
