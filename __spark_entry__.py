@@ -495,6 +495,25 @@ def q_gopher_filter(spark, sf_dir):
     )
 
 
+def q_unigram_ppl(spark, sf_dir):
+    """CCNet-style unigram LM perplexity per document (add-0.5
+    smoothing, model fit on the corpus itself) — the model-free
+    analogue of KenLM quality ranking; bits/token and perplexity
+    rounded at 6 dp (per-doc double-sum ordering)."""
+    from pagerank_spark.operators.textstats import unigram_perplexity
+
+    return (
+        unigram_perplexity(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("bits_per_token", 6).alias("bits_per_token"),
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_contamination_md5(spark, sf_dir):
     """Train/eval n-gram contamination check: odd doc_ids are the eval
     set, even the training set; md5-portable shingle hashes."""
@@ -1055,6 +1074,23 @@ def q_weighted_walks_md5(spark, sf_dir):
     return random_walks(
         _edges_weighted(spark, sf_dir), WALK_LEN, WALKS_PER_VERTEX,
         seed=WALK_SEED, hash_fn="md5", weight_col="weight",
+    ).orderBy("walk_id", "step")
+
+
+N2V_P = 4.0    # powers of two: dyadic biased weights -> exact cum sums
+N2V_Q = 0.25
+
+
+def q_node2vec_md5(spark, sf_dir):
+    """node2vec second-order biased walks (return 1/p, distance-1 1,
+    distance-2 1/q over the undirected neighborhood test), inverse-CDF
+    deterministic picks; the oracle unrolls every step with the biased
+    candidate CASE and the adjacency LEFT JOIN."""
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        _edges(spark, sf_dir), WALK_LEN, p=N2V_P, q=N2V_Q,
+        walks_per_vertex=WALKS_PER_VERTEX, seed=WALK_SEED, hash_fn="md5",
     ).orderBy("walk_id", "step")
 
 
@@ -1869,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_vertices_md5": q_sample_vertices_md5,
         "random_walks_md5": q_random_walks_md5,
         "weighted_walks_md5": q_weighted_walks_md5,
+        "node2vec_md5": q_node2vec_md5,
         "scc": q_scc,
         "condensation": q_condensation,
         "densest_copurchase": q_densest_copurchase,
@@ -1882,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "skipgram_md5": q_skipgram_md5,
         "gopher_filter": q_gopher_filter,
+        "unigram_ppl": q_unigram_ppl,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
         "double_sweep": q_double_sweep,
@@ -2201,6 +2239,58 @@ def _walks_sql(
         # its own CTE definitions), so the wt entry keeps its comma
         parts.append(f"wt AS ({wt}),")
         parts.append(final)
+    return "\n".join(parts)
+
+
+def _node2vec_sql(
+    edges_sql: str, length: int, wpv: int, seed: int, p: float, q: float
+) -> str:
+    """Unrolled node2vec oracle: per step the biased-candidate CTE
+    (return w/p, distance-1 w via a LEFT JOIN against the distinct
+    undirected pair set, distance-2 w/q), the dst-ordered cumulative
+    window, and the inverse-CDF pick carrying (prev, cur) forward.
+    With p and q powers of two every biased weight is a dyadic
+    rational, so the cumulative sums are exact in any association
+    order and the replay is bit-exact by construction."""
+    rp, rq = repr(1.0 / p), repr(1.0 / q)
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "egd AS MATERIALIZED (SELECT DISTINCT src, dst FROM eg),",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS ua, "
+        "greatest(src, dst) AS ub FROM egd),",
+        "v AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM egd UNION ALL SELECT dst FROM egd)),",
+        f"s0 AS MATERIALIZED (SELECT v.id * {wpv} + t.k AS walk_id, "
+        f"CAST(NULL AS BIGINT) AS prev, v.id AS cur FROM v CROSS JOIN "
+        f"(SELECT unnest(range(0, {wpv})) AS k) t),",
+    ]
+    for t in range(1, length + 1):
+        key = f"CAST(walk_id AS VARCHAR) || ':{t}:{seed}'"
+        h = _MD5H.format(x=key)
+        parts += [
+            f"c{t} AS (SELECT s.walk_id, s.cur, e.dst, "
+            f"CASE WHEN s.prev IS NULL THEN 1.0 "
+            f"WHEN e.dst = s.prev THEN {rp} "
+            f"WHEN u.ua IS NOT NULL THEN 1.0 "
+            f"ELSE {rq} END AS bw "
+            f"FROM s{t-1} s JOIN egd e ON e.src = s.cur "
+            f"LEFT JOIN und u ON least(s.prev, e.dst) = u.ua "
+            f"AND greatest(s.prev, e.dst) = u.ub),",
+            f"w{t} AS (SELECT walk_id, cur, dst, "
+            f"sum(bw) OVER (PARTITION BY walk_id ORDER BY dst) AS cum, "
+            f"sum(bw) OVER (PARTITION BY walk_id) AS tot, "
+            f"least({h} / 1152921504606846976.0, 0.9999999999999999) AS u "
+            f"FROM c{t}),",
+            f"s{t} AS MATERIALIZED (SELECT walk_id, min(cur) AS prev, "
+            f"min(dst) AS cur FROM w{t} WHERE cum > u * tot "
+            f"GROUP BY walk_id),",
+        ]
+    wt = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+        for t in range(0, length + 1)
+    )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(wt + " ORDER BY walk_id, step")
     return "\n".join(parts)
 
 
@@ -3695,6 +3785,9 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_md5": _walks_sql(
             eg, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED
         ),
+        "node2vec_md5": _node2vec_sql(
+            eg, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED, N2V_P, N2V_Q
+        ),
         "scc": _scc_sql(_SPARSE_EDGES_SQL),
         "condensation": _condensation_sql(_SPARSE_EDGES_SQL),
         "densest_copurchase": _densest_sql(
@@ -3867,6 +3960,21 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN len(s2) > 0 THEN 1.0 - CAST(len(list_distinct(s2)) AS DOUBLE) / len(s2) ELSE 0.0 END, 7) AS dup_2gram_frac, "
             "round(CASE WHEN len(s3) > 0 THEN 1.0 - CAST(len(list_distinct(s3)) AS DOUBLE) / len(s3) ELSE 0.0 END, 7) AS dup_3gram_frac "
             "FROM sh ORDER BY doc_id"
+        ),
+        "unigram_ppl": (
+            "WITH tk AS MATERIALIZED (SELECT doc_id, w FROM "
+            "(SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+            "'\\s+')) AS w FROM documents) WHERE w <> ''), "
+            "ct AS MATERIALIZED (SELECT w, count(*) AS c FROM tk GROUP BY w), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc, count(*) AS tv FROM ct), "
+            "lp AS (SELECT t.doc_id, "
+            "log2((coalesce(ct.c, 0) + 0.5) / ((SELECT tc FROM tot) "
+            "+ 0.5 * ((SELECT tv FROM tot) + 1))) AS lp "
+            "FROM tk t LEFT JOIN ct ON t.w = ct.w), "
+            "pd AS (SELECT doc_id, count(*) AS n_tokens, "
+            "(- sum(lp)) / count(*) AS b FROM lp GROUP BY doc_id) "
+            "SELECT doc_id, n_tokens, round(b, 6) AS bits_per_token, "
+            "round(pow(2.0, b), 6) AS perplexity FROM pd ORDER BY doc_id"
         ),
         "gopher_filter": (
             "WITH t AS (SELECT doc_id, text, "

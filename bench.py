@@ -102,6 +102,8 @@ EXTRA = [
     "near_dedup_stream",
     "weighted_walks_md5",
     "dedup_near_docs",
+    "node2vec_md5",
+    "unigram_ppl",
 ]
 
 SCALE_N = 2_000_000

@@ -52,7 +52,11 @@ from pagerank_spark.operators.scc import strongly_connected_components
 from pagerank_spark.operators.wl import wl_colors, wl_fingerprint
 from pagerank_spark.operators.anf import hyper_anf
 from pagerank_spark.operators.mis import greedy_coloring, maximal_independent_set
-from pagerank_spark.operators.walks import random_walks, skipgram_pairs
+from pagerank_spark.operators.walks import (
+    node2vec_walks,
+    random_walks,
+    skipgram_pairs,
+)
 from pagerank_spark.operators.pagerank import pagerank, pagerank_two_phase
 from pagerank_spark.operators.components import connected_components
 from pagerank_spark.operators.labelprop import label_propagation
@@ -104,6 +108,7 @@ from pagerank_spark.operators.textstats import (
     language_id,
     quality_scores,
     token_counts,
+    unigram_perplexity,
 )
 
 __all__ = [
@@ -139,6 +144,7 @@ __all__ = [
     "tfidf_top_terms",
     "repetition_scores",
     "gopher_filter",
+    "node2vec_walks",
     "random_walks",
     "skipgram_pairs",
     "sample_edges",
@@ -181,6 +187,7 @@ __all__ = [
     "fingerprints",
     "language_id",
     "quality_scores",
+    "unigram_perplexity",
     "token_counts",
 ]
 

@@ -302,3 +302,67 @@ def gopher_filter(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stopword_ratio", "dup_2gram_frac", keep.alias("keep"),
     )
+
+
+def unigram_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020
+    rank documents by KenLM perplexity; this is the model-free unigram
+    analogue): ``(doc_id, n_tokens, bits_per_token, perplexity)`` —
+    per-document bits/token under an add-``alpha``-smoothed unigram
+    model fit on ``model_docs`` (default: the scored corpus itself).
+
+        p(w) = (c_w + alpha) / (C + alpha * (V + 1))
+        bits_per_token = -(Σ_i log2 p(w_i)) / n      (token multiplicity)
+        perplexity     = 2^bits_per_token
+
+    The ``V + 1`` reserves smoothed mass for out-of-vocabulary tokens
+    (c_w = 0), so scoring against a reference model corpus is
+    well-defined. High perplexity flags unusual token distributions —
+    gibberish, boilerplate tables, wrong-language text — the CCNet
+    head/middle/tail partition knob. Documents with zero tokens are
+    absent from the output (no defined score).
+
+    Scale shape: one explode scan per corpus (whitespace lowercase
+    tokens, whole-stage codegen), a vocabulary-sized count table
+    (broadcast below Spark's auto threshold), one join + one
+    map-side-combinable per-doc aggregate. All arithmetic is
+    ANSI-replayable (the gate's DuckDB oracle recomputes it exactly,
+    up to per-doc double-sum ordering absorbed by rounding).
+    """
+    tok = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    doc_toks = tok(docs)
+    model_toks = tok(model_docs if model_docs is not None else docs)
+    counts = model_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("_C"), F.count(F.lit(1)).alias("_V")
+    )
+    scored = (
+        doc_toks.join(counts, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log2(
+                (F.coalesce("c", F.lit(0)) + F.lit(alpha))
+                / (F.col("_C") + F.lit(alpha) * (F.col("_V") + F.lit(1)))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("lp") / F.count(F.lit(1))).alias("bits_per_token"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        F.pow(F.lit(2.0), F.col("bits_per_token")).alias("perplexity"),
+    )

