@@ -514,6 +514,61 @@ def q_unigram_ppl(spark, sf_dir):
     )
 
 
+def _pages(spark, sf_dir):
+    """Deterministic multi-line 'pages' synthesized from the documents
+    table: page p holds the texts of docs with doc_id % 40 == p joined
+    with newlines (in doc_id order), and every doc_id % 7 == 0 doc is
+    ALSO placed on page (doc_id + 13) % 40 — those ~1/7 of docs appear
+    on two pages, so their lines are corpus-level duplicates. This
+    gives the line-dedup gate real cross-document duplicated lines
+    even though the synthetic corpus has no newlines of its own."""
+    d = _docs(spark, sf_dir)
+    m1 = d.select((F.col("doc_id") % 40).alias("page_id"), "doc_id", "text")
+    m2 = d.where(F.col("doc_id") % 7 == 0).select(
+        ((F.col("doc_id") + 13) % 40).alias("page_id"), "doc_id", "text"
+    )
+    return (
+        m1.unionByName(m2)
+        .groupBy("page_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb-style exact line-level dedup over synthesized pages:
+    lines occurring on more than one page are removed from every page
+    (normalized-line identity), pages reassembled in order."""
+    from pagerank_spark.operators.dedup import line_dedup
+
+    return (
+        line_dedup(_pages(spark, sf_dir), id_col="page_id")
+        .select(
+            F.col("doc_id").alias("page_id"), "text", "n_lines", "n_removed"
+        )
+        .orderBy("page_id")
+    )
+
+
+def q_duplicated_lines(spark, sf_dir):
+    """The duplicate-line vocabulary behind line_dedup: md5 of each
+    normalized line that appears on more than one page, with its
+    distinct-page count."""
+    from pagerank_spark.operators.dedup import duplicated_lines
+
+    return (
+        duplicated_lines(_pages(spark, sf_dir), id_col="page_id")
+        .orderBy("line_hash")
+    )
+
+
 def q_contamination_md5(spark, sf_dir):
     """Train/eval n-gram contamination check: odd doc_ids are the eval
     set, even the training set; md5-portable shingle hashes."""
@@ -1920,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_md5": q_skipgram_md5,
         "gopher_filter": q_gopher_filter,
         "unigram_ppl": q_unigram_ppl,
+        "line_dedup": q_line_dedup,
+        "duplicated_lines": q_duplicated_lines,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
         "double_sweep": q_double_sweep,
@@ -3420,6 +3477,31 @@ _U64 = 1 << 64
 _I64_MAX1 = 1 << 63
 
 
+# Shared CTE prefix for the line-dedup oracles: synthesized multi-line
+# pages (mirrors _pages), exploded lines with 0-based positions, the
+# over-threshold duplicate-line vocabulary, and per-line dup flags.
+_LINE_DEDUP_CTES = (
+    "WITH pages AS MATERIALIZED ("
+    "SELECT page_id, string_agg(text, chr(10) ORDER BY doc_id) AS text FROM ("
+    "SELECT doc_id % 40 AS page_id, doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT (doc_id + 13) % 40 AS page_id, doc_id, text FROM documents "
+    "WHERE doc_id % 7 = 0) GROUP BY page_id), "
+    "lines AS MATERIALIZED (SELECT page_id, "
+    "unnest([{'pos': i - 1, 'line': ls[i]} FOR i IN range(1, len(ls) + 1)], "
+    "recursive := true) "
+    "FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages)), "
+    "dup AS MATERIALIZED (SELECT md5(lower(trim(line))) AS line_hash, "
+    "CAST(count(DISTINCT page_id) AS BIGINT) AS n_docs "
+    "FROM lines WHERE trim(line) <> '' "
+    "GROUP BY 1 HAVING count(DISTINCT page_id) > 1), "
+    "fl AS (SELECT l.page_id, l.pos, l.line, "
+    "(d.line_hash IS NOT NULL) AS is_dup "
+    "FROM lines l LEFT JOIN dup d ON trim(l.line) <> '' "
+    "AND md5(lower(trim(l.line))) = d.line_hash) "
+)
+
+
 def _md5_shingle_sql(k: int) -> str:
     """``(doc_id, hl: BIGINT[])`` — k-token shingle md5-60bit hashes,
     mirroring dedup._shingle_hashes with hash_fn='md5'."""
@@ -3975,6 +4057,16 @@ def oracle_sql() -> dict[str, str]:
             "(- sum(lp)) / count(*) AS b FROM lp GROUP BY doc_id) "
             "SELECT doc_id, n_tokens, round(b, 6) AS bits_per_token, "
             "round(pow(2.0, b), 6) AS perplexity FROM pd ORDER BY doc_id"
+        ),
+        "line_dedup": _LINE_DEDUP_CTES + (
+            "SELECT page_id, "
+            "coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos), '') AS text, "
+            "CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed "
+            "FROM fl GROUP BY page_id ORDER BY page_id"
+        ),
+        "duplicated_lines": _LINE_DEDUP_CTES + (
+            "SELECT line_hash, n_docs FROM dup ORDER BY line_hash"
         ),
         "gopher_filter": (
             "WITH t AS (SELECT doc_id, text, "

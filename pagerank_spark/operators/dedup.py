@@ -772,3 +772,93 @@ def contamination(
         "n_shingles",
         (F.col("n_matches") / F.col("n_shingles")).alias("overlap_ratio"),
     )
+
+
+def duplicated_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Lines that occur in more than ``max_docs`` distinct documents:
+    ``(line_hash, n_docs)``.
+
+    Line identity is the md5 of the lower-cased, trimmed line (CCNet's
+    normalize-before-hash rule, Wenzek et al. 2019 §3.1); blank lines
+    are never counted. Scale shape: after the split/explode the only
+    shuffle carries DISTINCT (line_hash, doc_id) skinny rows — the
+    line text itself never moves — and the doc count is a combinable
+    ``count`` over those pairs.
+    """
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), _re.escape(delim), -1)).alias("line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    return (
+        lines.where(norm != "")
+        .select(F.md5(norm).alias("line_hash"), "doc_id")
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_docs)
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Exact line-level deduplication (RefinedWeb, Penedo et al. 2023
+    §"exact deduplication"; CCNet paragraph dedup): remove from EVERY
+    document any line whose normalized form occurs in more than
+    ``max_docs`` distinct documents, and reassemble the survivors in
+    original order. Returns ``(doc_id, text, n_lines, n_removed)``;
+    a document whose every line is duplicated keeps an empty text.
+
+    Blank lines (empty after trim) are structural, not content: they
+    are never counted as duplicates and always survive.
+
+    Scale shape: the duplicate-line vocabulary is built from DISTINCT
+    (line_hash, doc_id) skinny rows (see ``duplicated_lines``) — text
+    never enters that shuffle. The flagging join keys on the 16-byte
+    hash against the (usually small) over-threshold vocabulary, and
+    reassembly is ONE groupBy(doc) with an in-memory array_sort on
+    (pos, line) — per-doc state, never corpus-wide. No driver loop,
+    no Python UDF; every expression is whole-stage-codegen eligible.
+    """
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim), -1)).alias(
+            "pos", "line"
+        ),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    dup = duplicated_lines(docs, id_col, text_col, delim, max_docs)
+    flagged = (
+        lines.withColumn("line_hash", F.when(norm != "", F.md5(norm)))
+        .join(dup, "line_hash", "left")
+        .withColumn("is_dup", F.col("n_docs").isNotNull())
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "line", "is_dup"))),
+                    lambda s: ~s["is_dup"],
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
+    )

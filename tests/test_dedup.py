@@ -321,3 +321,42 @@ def test_minhash_pairs_collapse_matches_uncollapsed(spark, docs):
             )
         )
         assert a == b
+
+
+def test_line_dedup_removes_cross_doc_lines(spark):
+    """Lines shared across docs (normalized identity) are removed from
+    EVERY doc; blank lines are structural and always survive; order is
+    preserved; an all-duplicate doc keeps an empty text."""
+    from pagerank_spark.operators.dedup import duplicated_lines, line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nBoiler Plate\n\nalso keep"),
+            (2, "  boiler plate \nother"),
+            (3, "boiler plate"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["text"] == "keep me\n\nalso keep"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 1)
+    assert out[2]["text"] == "other"
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+    dup = duplicated_lines(docs).collect()
+    assert len(dup) == 1 and dup[0]["n_docs"] == 3
+
+
+def test_line_dedup_threshold_and_within_doc(spark):
+    """max_docs raises the removal threshold, and a line repeated only
+    WITHIN one doc is never removed (distinct-doc counting)."""
+    from pagerank_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "twice\ntwice\nshared"), (2, "shared\nx"), (3, "shared")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_docs=2).collect()}
+    # 'shared' is in 3 docs > max_docs=2 -> removed; 'twice' x2 in one doc kept
+    assert out[1]["text"] == "twice\ntwice"
+    out1 = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out1[1]["text"] == "twice\ntwice"
