@@ -569,6 +569,23 @@ def q_duplicated_lines(spark, sf_dir):
     )
 
 
+def q_duplicate_spans_md5(spark, sf_dir):
+    """Lee et al. substring-dedup signal: per-doc fraction of 13-token
+    spans whose hash occurs more than once in the corpus."""
+    from pagerank_spark.operators.dedup import duplicate_spans
+
+    return (
+        duplicate_spans(_docs(spark, sf_dir), shingle_k=13, hash_fn="md5")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round("dup_span_frac", 7).alias("dup_span_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_contamination_md5(spark, sf_dir):
     """Train/eval n-gram contamination check: odd doc_ids are the eval
     set, even the training set; md5-portable shingle hashes."""
@@ -1971,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors_md5": q_wl_colors_md5,
         "seeded_lpa": q_seeded_lpa,
         "contamination_md5": q_contamination_md5,
+        "duplicate_spans_md5": q_duplicate_spans_md5,
         "repetition_scores": q_repetition_scores,
         "skipgram_md5": q_skipgram_md5,
         "gopher_filter": q_gopher_filter,
@@ -3911,6 +3929,17 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(h.n_matches AS DOUBLE) / t.n_shingles, 7) "
             "AS overlap_ratio FROM hits h JOIN tot t USING (doc_id) "
             "ORDER BY h.doc_id"
+        ),
+        "duplicate_spans_md5": (
+            f"WITH sh AS ({_md5_shingle_sql(13)}), "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(hl) AS h FROM sh), "
+            "dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) > 1) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_dup_spans, "
+            "round(CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / count(*), 7) AS dup_span_frac "
+            "FROM ex GROUP BY doc_id ORDER BY doc_id"
         ),
         "neighborhood_function": _neighborhood_sql(_SPARSE_EDGES_SQL),
         "hyper_anf_md5": _hyper_anf_sql(

@@ -862,3 +862,54 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    shingle_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-substring signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    substring dedup at 50-token granularity): for every document, the
+    fraction of its ``shingle_k``-token spans whose hash occurs more
+    than once in the corpus — in another document OR repeated within
+    the same one. ``(doc_id, n_spans, n_dup_spans, dup_span_frac)``.
+
+    This is the ranking/filtering form of substring dedup: pipelines
+    drop or trim documents above a dup_span_frac threshold instead of
+    surgically cutting the spans (which changes tokenization anyway).
+
+    Scale shape: documents reduce to (span-hash, doc_id) skinny rows
+    JVM-side (one ``transform`` over the token array, no explode of
+    text); the span-occurrence count is ONE combinable groupBy on the
+    8-byte hash, and the flagging join keys on the same hash against
+    the over-threshold vocabulary, which AQE can broadcast when small.
+    Document text never moves. ``hash_fn="md5"`` keeps every step
+    ANSI-replayable (see ``functions.text.hash64``).
+    """
+    ex = _shingle_hashes(docs, id_col, text_col, shingle_k, hash_fn).select(
+        "doc_id", F.explode("hashes").alias("h")
+    )
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") > 1)
+        .select("h")
+    )
+    return (
+        ex.join(dup.withColumn("_dup", F.lit(True)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_frac"),
+        )
+    )

@@ -360,3 +360,24 @@ def test_line_dedup_threshold_and_within_doc(spark):
     assert out[1]["text"] == "twice\ntwice"
     out1 = {r["doc_id"]: r for r in line_dedup(docs).collect()}
     assert out1[1]["text"] == "twice\ntwice"
+
+
+def test_duplicate_spans_flags_shared_and_repeated(spark):
+    """A span shared across docs or repeated within one doc counts as
+    duplicated; a unique doc scores 0."""
+    from pagerank_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # shares 'a b c' start with doc 2
+            (2, "a b c x y z"),
+            (3, "p q r p q r p q r"), # within-doc repetition
+            (4, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, shingle_k=3).collect()}
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] > 0          # 'p q r' recurs within doc 3
+    assert out[4]["n_dup_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
