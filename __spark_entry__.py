@@ -569,6 +569,35 @@ def q_duplicated_lines(spark, sf_dir):
     )
 
 
+def q_quota_per_source_md5(spark, sf_dir):
+    """Per-domain document cap: at most 7 docs per source, selected in
+    deterministic md5(key:seed) order."""
+    from pagerank_spark.operators.sampling import quota_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        quota_per_group(d, "source", 7, "doc_id", hash_fn="md5")
+        .orderBy("doc_id")
+    )
+
+
+MIXTURE_TARGETS = {"en": 0.4, "zh": 0.3, "es": 0.3}
+
+
+def q_mixture_rebalance_md5(spark, sf_dir):
+    """Domain-mixture rebalancing: largest corpus hitting the 40/30/30
+    en/zh/es target without upsampling; unlisted langs dropped."""
+    from pagerank_spark.operators.sampling import rebalance_mixture
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        rebalance_mixture(
+            d, "lang", MIXTURE_TARGETS, "doc_id", hash_fn="md5"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_duplicate_spans_md5(spark, sf_dir):
     """Lee et al. substring-dedup signal: per-doc fraction of 13-token
     spans whose hash occurs more than once in the corpus."""
@@ -1989,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_lpa": q_seeded_lpa,
         "contamination_md5": q_contamination_md5,
         "duplicate_spans_md5": q_duplicate_spans_md5,
+        "quota_per_source_md5": q_quota_per_source_md5,
+        "mixture_rebalance_md5": q_mixture_rebalance_md5,
         "repetition_scores": q_repetition_scores,
         "skipgram_md5": q_skipgram_md5,
         "gopher_filter": q_gopher_filter,
@@ -3125,6 +3156,35 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", ORACLE_SF_DIR)
 
 
+# seed-42 hash key for the deterministic-sampling oracles, mirroring
+# sampling.hash64(concat_ws(':', key, '42'), 'md5')
+_QKEY = "CAST(doc_id AS VARCHAR) || ':42'"
+
+
+def _mixture_quotas(sf_dir: str) -> dict[str, int]:
+    """Per-lang exact quotas for mixture_rebalance_md5, computed with
+    the SAME driver-side arithmetic as sampling.rebalance_mixture
+    (min-ratio achievable total, floor-to-int per group) so the oracle
+    inlines identical numbers rather than re-deriving them in SQL
+    float semantics."""
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    counts = dict(
+        duckdb.sql(
+            f"SELECT lang, count(*) FROM read_parquet('{path}') GROUP BY 1"
+        ).fetchall()
+    )
+    t_total = min(
+        counts[g] / w for g, w in MIXTURE_TARGETS.items() if w > 0
+    )
+    return {
+        g: int(w * t_total) for g, w in MIXTURE_TARGETS.items() if w > 0
+    }
+
+
 def _converged_iters(sf_dir: str, weighted: bool = False) -> int:
     key = f"{sf_dir}|w={weighted}"
     if key not in _CONV_ITERS_CACHE:
@@ -3940,6 +4000,27 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) "
             "AS DOUBLE) / count(*), 7) AS dup_span_frac "
             "FROM ex GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "quota_per_source_md5": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY "
+            f"{_MD5H.format(x=_QKEY)}, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 7 ORDER BY doc_id"
+        ),
+        "mixture_rebalance_md5": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            f"{_MD5H.format(x=_QKEY)}, doc_id) AS rn "
+            "FROM documents WHERE lang IN "
+            "(" + ", ".join(f"'{g}'" for g in MIXTURE_TARGETS) + ")) "
+            "WHERE rn <= CASE lang "
+            + " ".join(
+                f"WHEN '{g}' THEN {q}"
+                for g, q in _mixture_quotas(_oracle_sf_dir()).items()
+            )
+            + " END ORDER BY doc_id"
         ),
         "neighborhood_function": _neighborhood_sql(_SPARSE_EDGES_SQL),
         "hyper_anf_md5": _hyper_anf_sql(

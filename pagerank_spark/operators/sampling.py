@@ -143,3 +143,92 @@ def sample_per_group(
             F.col(group_col) == g, F.lit(int(round(frac * _BUCKETS)))
         ).otherwise(thr)
     return df.where(bucket < thr)
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    quota: int | dict[str, int],
+    key_col: str,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen deterministically: rows
+    rank within their group by (hash(key,seed), key) and the first
+    ``quota`` survive. The per-domain document cap every web-scale
+    corpus applies (e.g. "at most N pages per registered domain",
+    C4/Gopher-style) — hash order makes the cap a uniform sample of
+    the group rather than "whatever the crawler saw first".
+
+    ``quota`` may be a dict group-value → cap; missing groups get the
+    ``"*"`` entry if present, else are kept whole (cap = 2^63-1).
+
+    Scale shape: ONE hash-partitioned window (rank within group);
+    partial ``row_number`` needs no global sort — each group sorts
+    independently. A pathologically hot group serializes into one
+    task's sort; cap that by pre-filtering with ``sample_per_group``
+    at a few× the implied fraction before the exact rank when a group
+    is known to dwarf the quota (two-phase top-K), which keeps the
+    exact same survivors because both phases order by the same hash.
+    """
+    from pyspark.sql.window import Window
+
+    h = hash64(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))),
+        hash_fn,
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    if isinstance(quota, int):
+        cap = F.lit(quota)
+    else:
+        default = int(quota.get("*", (1 << 63) - 1))
+        cap = F.lit(default)
+        for g, q in quota.items():
+            if g == "*":
+                continue
+            cap = F.when(F.col(group_col) == g, F.lit(int(q))).otherwise(cap)
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .where(F.col("_qrn") <= cap)
+        .drop("_qrn")
+    )
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Down-sample groups to the LARGEST corpus achieving the target
+    mixture without upsampling (the domain-reweighting step of
+    data-mixture tuning, cf. DoReMi / The Pile's per-set weights):
+    with target proportions ``targets`` (summing to ~1) and observed
+    counts c_g, the achievable total is T = min_g(c_g / w_g); every
+    listed group keeps exactly ``floor(w_g * T)`` rows (deterministic
+    hash order via ``quota_per_group``), groups not listed are
+    dropped.
+
+    The per-group counts are a tiny driver-side aggregate (one row per
+    group, not per document); selection itself never leaves the
+    cluster. Raises if a target group is absent (a silent empty
+    mixture is a pipeline bug).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target weights must sum to 1 (got {total})")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1))).collect()
+    }
+    missing = [g for g, w in targets.items() if w > 0 and g not in counts]
+    if missing:
+        raise ValueError(f"target groups absent from corpus: {missing}")
+    t_total = min(counts[g] / w for g, w in targets.items() if w > 0)
+    quotas = {g: int(w * t_total) for g, w in targets.items() if w > 0}
+    kept = df.where(F.col(group_col).isin(list(quotas)))
+    return quota_per_group(kept, group_col, quotas, key_col, seed, hash_fn)

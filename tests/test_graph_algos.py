@@ -988,3 +988,45 @@ def test_moves_self_loop_strength_semantics(spark):
     # the light pair merges; v2's strength (2*50+1) keeps it out
     assert got[0] == got[1] == 0
     assert got[2] not in (got[0], got[1])
+
+
+def test_quota_per_group_caps_and_is_deterministic(spark):
+    from pagerank_spark.operators.sampling import quota_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], "doc_id long, g string"
+    )
+    out = quota_per_group(df, "g", 5, "doc_id")
+    rows = sorted((r["g"], r["doc_id"]) for r in out.collect())
+    assert len(rows) == 15
+    # deterministic: same selection on rerun and on another partitioning
+    again = sorted(
+        (r["g"], r["doc_id"])
+        for r in quota_per_group(df.repartition(7), "g", 5, "doc_id").collect()
+    )
+    assert rows == again
+    # dict quotas with default
+    out2 = quota_per_group(df, "g", {"g0": 2, "*": 4}, "doc_id")
+    per = {}
+    for r in out2.collect():
+        per[r["g"]] = per.get(r["g"], 0) + 1
+    assert per == {"g0": 2, "g1": 4, "g2": 4}
+
+
+def test_rebalance_mixture_hits_target_proportions(spark):
+    from pagerank_spark.operators.sampling import rebalance_mixture
+
+    rows = [(i, "a") for i in range(100)]
+    rows += [(1000 + i, "b") for i in range(30)]
+    rows += [(2000 + i, "c") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = rebalance_mixture(df, "g", {"a": 0.5, "b": 0.25, "c": 0.25}, "doc_id")
+    per = {}
+    for r in out.collect():
+        per[r["g"]] = per.get(r["g"], 0) + 1
+    # binding constraint: b with 30 docs at weight .25 -> T = 120
+    assert per == {"a": 60, "b": 30, "c": 30}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rebalance_mixture(df, "g", {"a": 0.5, "zz": 0.5}, "doc_id")
