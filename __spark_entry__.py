@@ -1607,6 +1607,22 @@ def q_embedding_near_dups_md5(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_semdedup_md5(spark, sf_dir):
+    """SemDeDup keep set (LSH-cluster mode, md5 planes): within each
+    sign-bucket cluster, every near-duplicate component keeps only its
+    minimum vec_id."""
+    from pagerank_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb,
+        threshold=EMB_NEAR_THRESHOLD,
+        method="lsh",
+        nbits=LSH_NBITS_PAIRS,
+        planes="md5",
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # relational delegation demos (generic SQL is Spark SQL itself)
 # ---------------------------------------------------------------------------
@@ -2086,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets_md5": q_lsh_buckets_md5,
         "lsh_topk_md5": q_lsh_topk_md5,
         "embedding_near_dups_md5": q_embedding_near_dups_md5,
+        "semdedup_md5": q_semdedup_md5,
         # relational delegation demos
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -3698,6 +3715,39 @@ _COS_SQL = (
 )
 
 
+def _semdedup_md5_sql(rounds: int = 10) -> str:
+    """SemDeDup oracle (LSH-cluster mode): sign-bucket pair graph at
+    cosine >= threshold -> min-label propagation to components -> keep
+    each component's minimum vec_id plus every unpaired vector."""
+    parts = [
+        "WITH b AS MATERIALIZED (SELECT vec_id, "
+        f"{_lsh_bucket_sql('embedding', LSH_NBITS_PAIRS)} AS bucket, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "pg AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b "
+        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
+        f"WHERE {_COS_SQL} >= {EMB_NEAR_THRESHOLD}),",
+        "vs AS (SELECT DISTINCT id FROM (SELECT a AS id FROM pg "
+        "UNION ALL SELECT b FROM pg)),",
+        "sym AS MATERIALIZED (SELECT a, b FROM pg "
+        "UNION ALL SELECT b AS a, a AS b FROM pg),",
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM vs),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, "
+            "least(l.lab, coalesce(m.ml, l.lab)) AS lab "
+            f"FROM l{k-1} l LEFT JOIN (SELECT s.a AS id, min(x.lab) AS ml "
+            f"FROM sym s JOIN l{k-1} x ON s.b = x.id GROUP BY s.a) m "
+            "USING (id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN "
+        f"(SELECT id FROM l{rounds} WHERE lab <> id) ORDER BY vec_id"
+    )
+    return "\n".join(parts)
+
+
 def _simhash_dedup_md5_sql(max_hamming: int = 3, rounds: int = 12) -> str:
     """SimHash near-dup removal oracle: brute-force Hamming<=k pairs
     over DISTINCT fingerprints (the banding has no false negatives, so
@@ -4428,6 +4478,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
             f"WHERE {_COS_SQL} >= {EMB_NEAR_THRESHOLD} ORDER BY a, b"
         ),
+        "semdedup_md5": _semdedup_md5_sql(),
         **_converged_oracles(),
     }
 

@@ -535,3 +535,88 @@ def embedding_near_duplicates(
     return pairs.select("a", "b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    method: str = "kmeans",
+    n_centroids: int = 16,
+    nbits: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes="gaussian",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings and removing, within each cluster, all but
+    one member of every group of vectors whose pairwise cosine
+    similarity reaches ``threshold``. Returns the keep set — one
+    ``[vec_id]`` row per surviving vector (the minimum id of each
+    near-duplicate component; deterministic across partitionings).
+
+    ``method="kmeans"`` (production): deterministic spherical Lloyd
+    centroids (``ivf_centroids``) + one BLAS assignment kernel.
+    ``method="lsh"``: sign-hyperplane buckets as the clustering —
+    with ``planes="md5"`` the entire pipeline (bucketing, pairing,
+    component collapse) is replayable in ANSI SQL, which is what the
+    driver gate value-checks.
+
+    Scale shape: the quadratic pair join is confined WITHIN clusters —
+    that bound is the point of SemDeDup's design (cluster count scales
+    with corpus size, cluster width stays ~constant). The shuffle
+    carries (cluster, id, vector) once; the duplicate-pair graph is
+    tiny (near-dups only) and collapses through the same distributed
+    connected-components used by text near-dedup.
+    """
+    from pagerank_spark.operators.components import connected_components
+
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty embeddings table")
+    dim = int(dim_row["d"])
+    src0 = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if method == "kmeans":
+        cents = ivf_centroids(
+            embeddings, n_centroids, iters, seed, id_col, vec_col
+        )
+        clusters = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).mapInArrow(
+            _assign_kernel(cents), "vec_id long, centroid int"
+        ).select("vec_id", F.col("centroid").cast("long").alias("cluster"))
+    elif method == "lsh":
+        clusters = lsh_cosine_buckets(
+            embeddings, dim, nbits, seed, id_col, vec_col, planes=planes
+        ).select("vec_id", F.col("bucket").alias("cluster"))
+    else:
+        raise ValueError(f"method must be 'kmeans' or 'lsh': {method!r}")
+    src = src0.join(clusters, "vec_id")
+    a = src.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "cluster")
+    b = src.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "cluster")
+    cand = a.join(b, "cluster").where(F.col("a") < F.col("b"))
+    denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    cos = F.when(
+        denom > 0, _dot(F.col("va"), F.col("vb")) / denom
+    ).otherwise(F.lit(0.0))
+    dup_pairs = cand.select("a", "b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+    edges = dup_pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).localCheckpoint()
+    labels = connected_components(edges)
+    return (
+        src0.select("vec_id")
+        .join(labels.select(F.col("id").alias("vec_id"), "component"), "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("component", "vec_id").alias("_comp")
+        )
+        .groupBy("_comp")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id")
+    )

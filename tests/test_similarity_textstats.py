@@ -364,3 +364,35 @@ def test_unigram_perplexity_matches_hand_model(spark):
     )
     m = {r["doc_id"]: r["perplexity"] for r in unigram_perplexity(mixed).collect()}
     assert m[2] > m[1]
+
+
+def test_semdedup_keeps_min_id_per_duplicate_group(spark):
+    """Planted duplicate groups (identical vectors) collapse to their
+    min id in BOTH cluster modes; distinct directions all survive."""
+    import math
+
+    from pagerank_spark.operators.similarity import semdedup
+
+    def unit(i, d=8):
+        v = [0.0] * d
+        v[i % d] = 1.0
+        return v
+
+    rows = []
+    # three identical copies of direction 0 (ids 0,1,2), two of
+    # direction 1 (ids 10,11), singletons elsewhere
+    for i in (0, 1, 2):
+        rows.append((i, unit(0)))
+    for i in (10, 11):
+        rows.append((i, unit(1)))
+    rows += [(20, unit(2)), (21, unit(3)), (22, unit(4))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expected = {0, 10, 20, 21, 22}
+    for method in ("kmeans", "lsh"):
+        keep = {
+            r["vec_id"]
+            for r in semdedup(
+                emb, threshold=0.99, method=method, n_centroids=4, nbits=4
+            ).collect()
+        }
+        assert keep == expected, method
