@@ -1806,6 +1806,52 @@ def q_dedup_stream(spark, sf_dir):
     return spark.table(name).orderBy("content_hash")
 
 
+def q_gopher_stream(spark, sf_dir):
+    """Ingest-time Gopher quality filter: stateless append-mode stream
+    whose drained output must equal the batch gopher_filter."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.dedup import read_docs_stream
+    from pagerank_spark.streaming.quality import streaming_quality_filter
+
+    d = tempfile.mkdtemp(prefix="gq_gate_")
+    ck = tempfile.mkdtemp(prefix="gq_gate_ck_")
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/docs", dirs_exist_ok=True)
+        src_dir = f"{d}/docs"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    out = streaming_quality_filter(read_docs_stream(spark, src_dir))
+    name = "gate_gq_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+            "stopword_ratio",
+            F.round("dup_2gram_frac", 7).alias("dup_2gram_frac"),
+            "keep",
+        )
+        .orderBy("doc_id")
+        .localCheckpoint()
+    )
+
+
 def q_near_dedup_stream(spark, sf_dir):
     """Streaming near-dup ingest: LSH band buckets maintained in the
     state store at distinct-content granularity (the streaming twin of
@@ -2114,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_degrees_stream": q_user_degrees_stream,
         "dedup_stream": q_dedup_stream,
         "near_dedup_stream": q_near_dedup_stream,
+        "gopher_stream": q_gopher_stream,
         "pricing_rollup": q_pricing_rollup,
         "urgent_not_big_spenders": q_urgent_not_big_spenders,
         "customers_without_orders": q_customers_without_orders,
@@ -3848,7 +3895,7 @@ def oracle_sql() -> dict[str, str]:
     best_hits += " END"
     stop_hits = _textstats_common()["stop_hits"]
 
-    return {
+    out = {
         "out_degree": (
             f"SELECT src AS id, count(*) AS out_deg FROM ({eg}) GROUP BY src ORDER BY id"
         ),
@@ -4481,6 +4528,11 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_md5": _semdedup_md5_sql(),
         **_converged_oracles(),
     }
+    # the streaming quality gate is the same per-row computation at
+    # ingest; the drained stream must equal the batch answer, so it
+    # shares the batch oracle verbatim
+    out["gopher_stream"] = out["gopher_filter"]
+    return out
 
 
 def _converged_oracles() -> dict[str, str]:

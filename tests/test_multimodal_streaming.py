@@ -461,3 +461,11 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
     # the cross-file near pair (1, 3) collapsed to 1; the flood to 10
     assert 1 in got and 3 not in got
     assert 10 in got and not any(x in got for x in (11, 12, 13))
+
+
+def test_streaming_quality_filter_rejects_batch_frame(spark):
+    from pagerank_spark.streaming.quality import streaming_quality_filter
+
+    batch = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        streaming_quality_filter(batch)
