@@ -36,3 +36,39 @@ def read_corpus(spark: SparkSession, location: str, fmt: str = "parquet") -> Dat
     """
     df = read_table(spark, location, fmt)
     return df.select("repo", "path", "commit", "lang", "content")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    keys: list[str] | str = "src",
+    sort: bool = True,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist a table BUCKETED by join key — the co-located-join
+    primitive for repeated big joins (adjacency self-joins, per-round
+    rank gathers): two tables bucketed by the same keys into the same
+    bucket count join WITHOUT shuffling either side, because rows with
+    equal keys are already in matching files. At 100 TB this converts
+    every per-iteration O(E) shuffle into a local merge — pay the
+    partitioning once at write time, reuse it every query.
+
+    ``sort=True`` additionally sorts within buckets by the keys, which
+    lets the sort-merge join skip its sort step too. Bucketed writes
+    go through the session catalog (``saveAsTable``): Spark's bucket
+    metadata lives in table properties, not the parquet files.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact (a plain
+    ``read.parquet`` of the files would DROP the bucketing metadata and
+    reintroduce the join shuffle)."""
+    return spark.table(table)

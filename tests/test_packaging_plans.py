@@ -293,3 +293,32 @@ def test_snap_write_read_roundtrip(spark, tmp_path):
     assert sorted((r["src"], r["dst"]) for r in e.collect()) == sorted(
         (r["src"], r["dst"]) for r in e2.collect()
     )
+
+
+def test_bucketed_edges_join_without_exchange(spark, tmp_path):
+    """Two scans of a src-bucketed edge table join with NO Exchange on
+    either side (the pay-once partitioning that makes per-iteration
+    gathers and adjacency self-joins shuffle-free at scale)."""
+    from pagerank_spark.plans import explain_summary
+    from pagerank_spark.sources.tables import read_bucketed, write_bucketed
+
+    edges = spark.range(0, 20000).selectExpr(
+        "id % 503 AS src", "id % 509 AS dst"
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(edges, "test_e_bkt", 8, "src")
+        t = read_bucketed(spark, "test_e_bkt")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = t.alias("a").join(t.alias("b"), "src")
+        plan = explain_summary(j)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # the join still computes the right thing
+        expected = (
+            edges.alias("a").join(edges.alias("b"), "src").count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS test_e_bkt")
