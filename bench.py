@@ -104,6 +104,12 @@ EXTRA = [
     "dedup_near_docs",
     "node2vec_md5",
     "unigram_ppl",
+    "line_dedup",
+    "duplicate_spans_md5",
+    "quota_per_source_md5",
+    "mixture_rebalance_md5",
+    "semdedup_md5",
+    "gopher_stream",
 ]
 
 SCALE_N = 2_000_000
