@@ -142,6 +142,21 @@ def q_pagerank_fixed(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
 
 
+def q_pagerank_warm(spark, sf_dir):
+    """Warm-start continuation: 5 leak-mode iterations resumed via
+    init_ranks from a fixed-5 run must equal a cold fixed-10 run
+    bit-for-bit (shares the fixed10 unrolled-CTE oracle) — the
+    daily-recompute pattern machine-checked."""
+    e = _edges(spark, sf_dir)
+    k1 = PR_FIXED_ITERS // 2
+    half = pagerank(e, dangling="leak", eps=0.0, max_iter=k1)
+    res = pagerank(
+        e, dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS - k1,
+        init_ranks=half.ranks,
+    )
+    return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
+
+
 def q_pagerank_converged(spark, sf_dir):
     """Flagship: converged (eps=1e-4) redistribute-mode PageRank."""
     e = _edges(spark, sf_dir)
@@ -2040,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "edge_weights": q_edge_weights,
         "pagerank_fixed10": q_pagerank_fixed,
+        "pagerank_warm": q_pagerank_warm,
         "pagerank_fixed10_join": q_pagerank_fixed_join,
         "pagerank_converged": q_pagerank_converged,
         "pagerank_personalized": q_pagerank_personalized,
@@ -3915,6 +3931,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM m JOIN od ON m.src = od.src ORDER BY m.src, m.dst"
         ),
         "pagerank_fixed10": _pagerank_fixed_sql(),
+        "pagerank_warm": _pagerank_fixed_sql(),
         "pagerank_personalized": _pr_cte_sql(
             _EDGES_SQL, PR_FIXED_ITERS, dangling="redistribute",
             personalize=PPR_SOURCES,

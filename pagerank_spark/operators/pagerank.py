@@ -180,8 +180,17 @@ def pagerank(
     weight_col: str | None = None,
     local_iters: int = 1,
     personalize: list[int] | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Compute PageRank over ``DataFrame[src: long, dst: long]``.
+
+    ``init_ranks`` warm-starts the power iteration from a previous
+    rank vector (``DataFrame[id, rank]``; missing ids start at 0).
+    PageRank's iteration is a contraction for d < 1, so the fixpoint
+    is unchanged — warm-starting only shortens the trajectory, which
+    is the daily-recompute pattern: yesterday's ranks + today's edge
+    deltas converge in a fraction of the cold iterations. A durable
+    ``resume`` checkpoint takes precedence over ``init_ranks``.
 
     ``personalize`` restricts the teleport distribution to a source
     set S (personalized PageRank): rank initializes uniform over S,
@@ -278,21 +287,36 @@ def pagerank(
                 f"personalize ids must be dense vertex ids in [0, n={n})"
             )
         personalize = pz
+    init_vec = None
+    if init_ranks is not None and mode != "join":
+        # local/broadcast keep the O(n) rank vector driver-side anyway
+        # (same order as the per-iteration combine) — materialize the
+        # warm start once; join mode keeps it distributed.
+        ipdf = init_ranks.select(
+            F.col("id").cast("long"), F.col("rank").cast("double")
+        ).toPandas()
+        iids = ipdf["id"].to_numpy()
+        if len(iids) and (iids.min() < 0 or iids.max() >= n):
+            raise ValueError(
+                f"init_ranks ids must be dense vertex ids in [0, n={n})"
+            )
+        init_vec = np.zeros(n, dtype=np.float64)
+        init_vec[iids] = ipdf["rank"].to_numpy(dtype=np.float64)
     if mode == "local":
         return _pagerank_local(
             edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume,
-            weight_col, personalize,
+            weight_col, personalize, init_vec,
         )
     if mode in ("broadcast", "blocks"):
         return _pagerank_broadcast(
             edges, n, d, eps, dangling, max_iter, num_partitions,
             checkpoint_dir, resume, block_dir, salt_threshold, weight_col,
-            local_iters, e_count, personalize,
+            local_iters, e_count, personalize, init_vec,
         )
     if mode == "join":
         return _pagerank_join(
             edges, n, d, eps, dangling, max_iter, num_partitions,
-            checkpoint_dir, resume, weight_col, personalize,
+            checkpoint_dir, resume, weight_col, personalize, init_ranks,
         )
     raise ValueError(f"unknown mode {mode!r}")
 
@@ -320,7 +344,7 @@ def _base_vec(n, d, dm, personalize) -> np.ndarray:
 
 def _pagerank_local(
     edges, n, d, eps, dangling, max_iter, checkpoint_dir, resume,
-    weight_col=None, personalize=None,
+    weight_col=None, personalize=None, init_vec=None,
 ):
     spark = edges.sparkSession
     cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
@@ -343,7 +367,7 @@ def _pagerank_local(
     with np.errstate(divide="ignore", invalid="ignore"):
         w_edge = d * ew / strength[src]  # defined: strength[src] > 0 per edge
 
-    rank = _init_rank(n, personalize)
+    rank = init_vec.copy() if init_vec is not None else _init_rank(n, personalize)
     start_iter = 0
     metrics: list[dict] = []
     if resume and checkpoint_dir:
@@ -623,7 +647,7 @@ def _block_spmv_kernel(
 def _pagerank_broadcast(
     edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume,
     block_dir=None, salt_threshold=None, weight_col=None, local_iters=1,
-    e_count=None, personalize=None,
+    e_count=None, personalize=None, init_vec=None,
 ):
     """Block-partitioned broadcast-rank strategy (the scale path).
 
@@ -791,7 +815,7 @@ def _pagerank_broadcast(
     )
     pids.count()
 
-    rank = _init_rank(n, personalize)
+    rank = init_vec.copy() if init_vec is not None else _init_rank(n, personalize)
     start_iter = 0
     metrics: list[dict] = []
     if resume and checkpoint_dir:
@@ -887,7 +911,7 @@ def _pagerank_broadcast(
 
 def _pagerank_join(
     edges, n, d, eps, dangling, max_iter, num_partitions, checkpoint_dir, resume,
-    weight_col=None, personalize=None,
+    weight_col=None, personalize=None, init_ranks=None,
 ):
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -920,7 +944,21 @@ def _pagerank_join(
         init_rank = F.when(
             F.col("id").isin(personalize), F.lit(1.0 / len(personalize))
         ).otherwise(F.lit(0.0))
-    ranks = vertices.select("id", init_rank.alias("rank")).localCheckpoint()
+    if init_ranks is not None:
+        ranks = (
+            vertices.join(
+                init_ranks.select(
+                    F.col("id").cast("long"),
+                    F.col("rank").cast("double").alias("_ir"),
+                ),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("_ir", F.lit(0.0)).alias("rank"))
+            .localCheckpoint()
+        )
+    else:
+        ranks = vertices.select("id", init_rank.alias("rank")).localCheckpoint()
     it, residual, converged = 0, float("inf"), False
     metrics: list[dict] = []
     if resume and checkpoint_dir:

@@ -360,3 +360,29 @@ def test_personalized_pagerank_modes_and_semantics(spark):
         pagerank(e, n=300, personalize=[500])
     with _pytest.raises(ValueError):
         pagerank(e, n=300, personalize=[0], local_iters=4)
+
+
+def test_warm_start_matches_cold_run_all_modes(spark):
+    """init_ranks continuation is bit-identical to an uninterrupted run
+    in every physical strategy, and a converged warm restart stops
+    after its mandatory do-while iteration."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(0, 30000).selectExpr(
+        "id % 499 AS src", "(id * 7) % 499 AS dst"
+    )
+    for mode in ("local", "broadcast", "join"):
+        full = pagerank(e, n=499, max_iter=10, eps=0.0, mode=mode)
+        half = pagerank(e, n=499, max_iter=5, eps=0.0, mode=mode)
+        warm = pagerank(
+            e, n=499, max_iter=5, eps=0.0, mode=mode, init_ranks=half.ranks
+        )
+        a = {r["id"]: r["rank"] for r in full.ranks.collect()}
+        b = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+        assert a == b, mode
+    conv = pagerank(e, n=499)
+    rewarm = pagerank(e, n=499, init_ranks=conv.ranks)
+    assert rewarm.iterations == 1 and rewarm.converged
+    bad = spark.createDataFrame([(9999, 1.0)], "id long, rank double")
+    with pytest.raises(ValueError):
+        pagerank(e, n=499, mode="broadcast", init_ranks=bad)
