@@ -1088,6 +1088,20 @@ def q_louvain(spark, sf_dir):
     ).orderBy("id")
 
 
+CORENESS_SQL_ROUNDS = 12  # replayed fixpoint: 11/10/5 rounds at sf0.001/0.01/0.1
+
+
+def q_coreness(spark, sf_dir):
+    """Full core decomposition via the distributed H-index fixpoint
+    (Lü et al. 2016) — per-vertex core numbers, cross-checked against
+    k_core in pytest. The oracle replays every H-index round in ANSI
+    SQL; extra rounds past the fixpoint are no-ops, so the unroll
+    depth only needs to be >= the actual round count."""
+    from pagerank_spark.operators.cores import coreness
+
+    return coreness(_edges(spark, sf_dir)).orderBy("id")
+
+
 TRUSS_K = 12
 TRUSS_SQL_ROUNDS = 7  # engine fixpoint at sf0.01 is 5 rounds; extras are no-ops
 
@@ -2131,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "modularity_moves_weighted": q_modularity_moves_weighted,
         "k_truss": q_k_truss,
+        "coreness": q_coreness,
         "tfidf_top_terms": q_tfidf_top_terms,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
@@ -3219,6 +3234,34 @@ def _kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
     return "\n".join(parts)
 
 
+def _coreness_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled H-index fixpoint (Lü et al. 2016): h0 = degree, each
+    round h(v) = max(min(t, #neighbors with min(h_nb, h_v) >= t)) over
+    the capped-value histogram — exactly the engine's fold. Extra
+    rounds past the fixpoint are no-ops."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+        "nbr AS MATERIALIZED (SELECT a AS id, b AS nb FROM simple "
+        "UNION ALL SELECT b, a FROM simple),",
+        "h0 AS MATERIALIZED (SELECT id, count(*) AS h FROM nbr GROUP BY id),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"h{r} AS MATERIALIZED (SELECT id, max(least(t, ge)) AS h FROM "
+            f"(SELECT id, t, sum(c) OVER "
+            f"(PARTITION BY id ORDER BY t DESC) AS ge FROM "
+            f"(SELECT n.id, least(p.h, q.h) AS t, count(*) AS c "
+            f"FROM nbr n JOIN h{r-1} p ON n.nb = p.id "
+            f"JOIN h{r-1} q ON n.id = q.id "
+            f"GROUP BY n.id, least(p.h, q.h))) GROUP BY id),",
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, h AS coreness FROM h{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
 # The converged-PageRank oracle: the iteration count to eps=1e-4 is a
 # deterministic property of the comparison-scale graph, computed by an
 # independent driver-side NumPy power iteration; the CTE is then
@@ -4195,6 +4238,7 @@ def oracle_sql() -> dict[str, str]:
             _W_EDGES_SQL, MOVES_ROUNDS, weighted=True
         ),
         "k_truss": _ktruss_sql(eg, TRUSS_K, TRUSS_SQL_ROUNDS),
+        "coreness": _coreness_sql(eg, CORENESS_SQL_ROUNDS),
         "tfidf_top_terms": _tfidf_sql(TFIDF_K),
         "modularity_mod4": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "

@@ -207,6 +207,11 @@ class LinkGraph:
 
         return k_truss(self.edges, k, max_iter=max_iter)
 
+    def coreness(self, max_iter: int = 200) -> DataFrame:
+        from pagerank_spark.operators.cores import coreness
+
+        return coreness(self.edges, max_iter=max_iter)
+
     def link_prediction(
         self, min_common: int = 1, max_degree: int | None = None
     ) -> DataFrame:

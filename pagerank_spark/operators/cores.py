@@ -79,6 +79,95 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     )
 
 
+def coreness(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+    """``DataFrame[id: long, coreness: long]`` — the core number of
+    every non-isolated vertex of the undirected simple graph (the
+    largest k such that the vertex survives in the k-core).
+
+    Distributed H-index fixpoint (Lü, Zhou, Zhang & Stanley, "The
+    H-index of a network node and its relation to degree and
+    coreness", Nature Communications 2016): starting from H₀ = degree,
+    each round replaces H(v) with the H-index of its neighbors' values
+    — the largest h such that at least h neighbors have H ≥ h. The
+    sequence is monotonically non-increasing and converges EXACTLY to
+    the core number, turning the inherently sequential min-degree peel
+    (Batagelj-Zaveršnik) into a Pregel-style fixpoint the iterate
+    harness runs like CC or LPA — no global priority queue, no
+    serialized peel order.
+
+    The per-round fold deliberately avoids a per-vertex sort window
+    (a 10⁸-degree hub would sort 10⁸ rows in one task): neighbor
+    values are first capped at the receiver's CURRENT H (sound — the
+    sequence is non-increasing, so the result never exceeds it) and
+    histogrammed by ``groupBy(id, value)``, shrinking the window input
+    from deg(v) rows to ≤ H(v)+1 distinct values; the H-index is then
+    ``max(min(t, #neighbors ≥ t))`` over a descending cumulative sum
+    of that compressed histogram. Per round: one O(E) message join
+    keyed by vertex + two map-side-combinable aggregations; rounds to
+    fixpoint are small on real graphs (≤ ~O(diameter)-ish in
+    practice), bounded by ``max_iter``. Convergence is one O(V)
+    changed-count action per round. Every per-round quantity is
+    integer arithmetic on deterministic inputs — the driver gate's
+    DuckDB oracle replays each round in ANSI SQL bit-for-bit.
+
+    Cross-operator invariant (machine-checked in tests):
+    ``k_core(edges, k)`` equals ``coreness(edges) ≥ k`` for every k.
+    """
+    from pyspark.sql import Window
+
+    simple = _simple_undirected(edges).localCheckpoint()
+    nbr = (
+        simple.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .union(simple.select(F.col("b").alias("id"), F.col("a").alias("nb")))
+        .localCheckpoint()
+    )
+    state = nbr.groupBy("id").agg(F.count(F.lit(1)).alias("h"))
+
+    def _step(h: DataFrame, _round: int) -> DataFrame:
+        msgs = nbr.join(
+            h.select(F.col("id").alias("nb"), F.col("h").alias("nh")), "nb"
+        ).join(h, "id")
+        hist = (
+            msgs.select("id", F.least("nh", "h").alias("t"))
+            .groupBy("id", "t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = (
+            Window.partitionBy("id")
+            .orderBy(F.desc("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            hist.select("id", "t", F.sum("c").over(w).alias("ge"))
+            .select("id", F.least("t", "ge").alias("m"))
+            .groupBy("id")
+            .agg(F.max("m").alias("h"))
+        )
+
+    def _converged(prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        return (
+            new.join(
+                prev.select("id", F.col("h").alias("_ph")), "id"
+            )
+            .where(F.col("h") != F.col("_ph"))
+            .count()
+            == 0
+        )
+
+    final, _rounds, _done = iterate(
+        state,
+        _step,
+        _converged,
+        max_iter,
+        warn=(
+            f"coreness: H-index fixpoint did not converge within "
+            f"max_iter={max_iter} rounds; values are upper bounds on "
+            "the true core numbers"
+        ),
+    )
+    return final.select("id", F.col("h").alias("coreness"))
+
+
 def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     """``DataFrame[a: long, b: long]`` (a < b) — edges of the k-truss:
     the maximal subgraph of the undirected simple graph in which every
@@ -112,14 +201,31 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         o = _orient(e, _simple_degrees(e)).localCheckpoint()
         tri = _triangles(o)
         # each (x, y, z) triangle supports its three edges; corners are
-        # oriented by degree, so re-sort endpoints to the (a < b) key
+        # oriented by degree, so re-sort endpoints to the (a < b) key.
+        # ONE scan of the triangle join: a 3-branch union re-runs the
+        # two self-joins once per edge position (the _corner_counts
+        # pitfall — measured ~2x slower per round at sf0.1); explode
+        # emits the three edges per triangle in place.
         support = (
-            tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
-            .union(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
-            .union(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
-            .select(
-                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("x", "y").alias("a"),
+                            F.greatest("x", "y").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("y", "z").alias("a"),
+                            F.greatest("y", "z").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("x", "z").alias("a"),
+                            F.greatest("x", "z").alias("b"),
+                        ),
+                    )
+                ).alias("_e")
             )
+            .select("_e.a", "_e.b")
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("_sup"))
             .where(F.col("_sup") >= k - 2)

@@ -360,6 +360,51 @@ def test_k_core_vs_peeling_oracle(spark):
     assert {r["id"] for r in k_core(loop, 1).collect()} == {1, 2}
 
 
+def test_coreness_vs_peel_and_k_core(spark):
+    """H-index fixpoint coreness equals the sequential min-degree peel
+    (Lü et al. 2016 theorem) and is consistent with k_core at every k."""
+    import heapq
+
+    from pagerank_spark.operators.cores import coreness, k_core
+
+    rng = np.random.RandomState(11)
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, 120, size=(1500, 2))
+        if a != b
+    ]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    removed: set[int] = set()
+    expect: dict[int, int] = {}
+    cur = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue
+        cur = max(cur, d)
+        expect[v] = cur
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+
+    got = {r["id"]: r["coreness"] for r in coreness(e).collect()}
+    assert got == expect
+    for k in (2, max(expect.values())):
+        assert {r["id"] for r in k_core(e, k).collect()} == {
+            v for v, c in got.items() if c >= k
+        }
+
+
 def test_degree_histogram_and_reciprocity(spark):
     from collections import Counter
 
