@@ -613,6 +613,29 @@ def q_mixture_rebalance_md5(spark, sf_dir):
     )
 
 
+DSIR_BUCKETS = 4096
+DSIR_K = 50
+
+
+def q_dsir_select_md5(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    likelihood ratios of the English subset vs the whole corpus,
+    Gumbel top-50 selection — every hash, log and Gumbel draw replayed
+    by the oracle; rounding absorbs per-doc double-sum ordering."""
+    from pagerank_spark.operators.sampling import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "text")
+    tgt = d.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select(
+        raw, tgt, DSIR_K, buckets=DSIR_BUCKETS, hash_fn="md5"
+    ).select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("key", 6).alias("key"),
+    )
+
+
 def q_duplicate_spans_md5(spark, sf_dir):
     """Lee et al. substring-dedup signal: per-doc fraction of 13-token
     spans whose hash occurs more than once in the corpus."""
@@ -2112,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_md5": q_duplicate_spans_md5,
         "quota_per_source_md5": q_quota_per_source_md5,
         "mixture_rebalance_md5": q_mixture_rebalance_md5,
+        "dsir_select_md5": q_dsir_select_md5,
         "repetition_scores": q_repetition_scores,
         "skipgram_md5": q_skipgram_md5,
         "gopher_filter": q_gopher_filter,
@@ -4178,6 +4202,37 @@ def oracle_sql() -> dict[str, str]:
                 for g, q in _mixture_quotas(_oracle_sf_dir()).items()
             )
             + " END ORDER BY doc_id"
+        ),
+        "dsir_select_md5": (
+            "WITH tl AS MATERIALIZED (SELECT doc_id, lang, "
+            "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            "x -> x <> '') AS l FROM documents), "
+            "gr AS MATERIALIZED (SELECT doc_id, lang, unnest(l || "
+            "CASE WHEN len(l) >= 2 THEN "
+            "[array_to_string(l[i:i+1], ' ') FOR i IN range(1, len(l))] "
+            "ELSE [] END) AS g FROM tl), "
+            "gb AS MATERIALIZED (SELECT doc_id, lang, "
+            + _MD5H.format(x="g || ':42'")
+            + f" % {DSIR_BUCKETS} AS b FROM gr), "
+            "rf AS MATERIALIZED (SELECT doc_id, b, count(*) AS c "
+            "FROM gb GROUP BY doc_id, b), "
+            "rc AS MATERIALIZED (SELECT b, count(*) AS rc FROM gb GROUP BY b), "
+            "tc AS MATERIALIZED (SELECT b, count(*) AS tc FROM gb "
+            "WHERE lang = 'en' GROUP BY b), "
+            "tot AS (SELECT (SELECT count(*) FROM gb) AS r_tot, "
+            "(SELECT count(*) FROM gb WHERE lang = 'en') AS t_tot), "
+            "dist AS (SELECT rc.b, "
+            f"ln(coalesce(tc.tc, 0) + 1) - ln((SELECT t_tot FROM tot) + {DSIR_BUCKETS}) "
+            f"- ln(rc.rc + 1) + ln((SELECT r_tot FROM tot) + {DSIR_BUCKETS}) AS lr "
+            "FROM rc LEFT JOIN tc ON rc.b = tc.b), "
+            "w AS (SELECT rf.doc_id, sum(rf.c * d.lr) AS lw "
+            "FROM rf JOIN dist d ON rf.b = d.b GROUP BY rf.doc_id), "
+            "ky AS (SELECT doc_id, lw, lw - ln(-ln(((" +
+            _MD5H.format(x="CAST(doc_id AS VARCHAR) || ':g:42'") +
+            f" % {1 << 53}) + 0.5) / {float(1 << 53)})) AS key FROM w) "
+            "SELECT doc_id, round(lw, 6) AS log_weight, "
+            "round(key, 6) AS key FROM ky "
+            f"ORDER BY key DESC, doc_id LIMIT {DSIR_K}"
         ),
         "neighborhood_function": _neighborhood_sql(_SPARSE_EDGES_SQL),
         "hyper_anf_md5": _hyper_anf_sql(

@@ -232,3 +232,157 @@ def rebalance_mixture(
     quotas = {g: int(w * t_total) for g, w in targets.items() if w > 0}
     kept = df.where(F.col(group_col).isin(list(quotas)))
     return quota_per_group(kept, group_col, quotas, key_col, seed, hash_fn)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023):
+    ``(doc_id, n_grams, log_weight)`` — per raw document the
+    log-likelihood ratio of a hashed-n-gram bag-of-features model fit
+    on ``target`` vs one fit on ``raw`` itself. Documents that "look
+    like" the target distribution (e.g. a curated high-quality subset)
+    get high weights; selecting by weight steers a web-scale corpus
+    toward the target domain without training a classifier.
+
+    Features are unigrams + bigrams of lowercase whitespace tokens,
+    hashed into ``buckets`` with the seeded engine hash; both feature
+    distributions are add-1 smoothed over the bucket space, so
+
+        log_weight(i) = Σ_f c_{i,f} · [ln(tc_f + 1) − ln(T + B)
+                                      − ln(rc_f + 1) + ln(R + B)]
+
+    with c the doc's bucket counts, tc/rc the target/raw bucket
+    totals, T/R the gram totals and B the bucket count. Zero-token
+    documents have no defined score and are absent (the perplexity
+    convention).
+
+    Scale shape: documents reduce to skinny ``(doc, bucket, count)``
+    rows (text never shuffles past the explode); the two corpus
+    distributions are ≤ B-row tables broadcast into one join; the
+    per-doc fold is a map-side-combinable sum. ``hash_fn="md5"`` makes
+    every hash — and therefore the whole score surface — replayable by
+    the ANSI oracle (log arithmetic is IEEE-identical cross-engine up
+    to per-doc summation order, absorbed by the gate's rounding).
+    """
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+
+    def _feats(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        )
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.concat(toks, bi)).alias("g"),
+            )
+            .select(
+                "doc_id",
+                F.pmod(
+                    hash64(
+                        F.concat_ws(":", F.col("g"), F.lit(str(seed))),
+                        hash_fn,
+                    ),
+                    F.lit(buckets),
+                ).alias("b"),
+            )
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    raw_f = _feats(raw)
+    tgt_f = _feats(target)
+    rc = raw_f.groupBy("b").agg(F.sum("c").alias("rc"))
+    tc = tgt_f.groupBy("b").agg(F.sum("c").alias("tc"))
+    dist = (
+        rc.join(tc, "b", "left")
+        .crossJoin(
+            F.broadcast(
+                rc.agg(F.sum("rc").alias("_R")).crossJoin(
+                    tc.agg(F.sum("tc").alias("_T"))
+                )
+            )
+        )
+        .select(
+            "b",
+            (
+                F.log(F.coalesce("tc", F.lit(0)) + F.lit(1))
+                - F.log(F.col("_T") + F.lit(buckets))
+                - F.log(F.col("rc") + F.lit(1))
+                + F.log(F.col("_R") + F.lit(buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        raw_f.join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lr")).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """DSIR selection: the ``k`` raw documents sampled toward the
+    target distribution — ``(doc_id, log_weight, key)``, highest key
+    first. Gumbel top-k turns importance RESAMPLING without
+    replacement into a deterministic order statistic: with
+    ``g_i = −ln(−ln(u_i))`` and u_i a (0,1) uniform derived from the
+    seeded doc-id hash, taking the top k of ``log_weight + g`` draws
+    exactly the softmax sample the DSIR paper specifies — but as a
+    pure function of (doc_id, seed), so the same k documents fall out
+    on every rerun, partitioning, and engine.
+
+    Scale shape: scoring is :func:`dsir_weights`; selection is ONE
+    ``TakeOrderedAndProject`` heap over the O(docs) score rows — no
+    global sort, nothing but (id, double) pairs move.
+    """
+    w = dsir_weights(raw, target, id_col, text_col, buckets, seed, hash_fn)
+    u = (
+        F.pmod(
+            hash64(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.lit("g"),
+                    F.lit(str(seed)),
+                ),
+                hash_fn,
+            ),
+            F.lit(1 << 53),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 53))
+    return (
+        w.select(
+            "doc_id",
+            "log_weight",
+            (F.col("log_weight") - F.log(-F.log(u))).alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1075,3 +1075,50 @@ def test_rebalance_mixture_hits_target_proportions(spark):
 
     with _pt.raises(ValueError):
         rebalance_mixture(df, "g", {"a": 0.5, "zz": 0.5}, "doc_id")
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR log-weights rank documents drawn from the target word
+    distribution above off-distribution ones, and Gumbel top-k
+    selection is deterministic across partitionings."""
+    from pagerank_spark.operators.sampling import dsir_select, dsir_weights
+
+    # target-like docs must be RARE in raw for their grams to be
+    # discriminative (p_target / q_raw > 1) — 5 of 40 docs
+    target_like = [
+        (i, "spark shuffle partition join broadcast agg " * 5)
+        for i in range(5)
+    ]
+    off = [
+        (100 + i, "zebra quartz violin umbrella " + "noise%d " % i * 6)
+        for i in range(35)
+    ]
+    docs = spark.createDataFrame(
+        target_like + off, "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(1000 + i, "spark shuffle partition join broadcast agg " * 5) for i in range(8)],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(docs, tgt, buckets=256).collect()
+    }
+    mean_t = sum(w[i] for i, _ in target_like) / len(target_like)
+    mean_o = sum(w[i] for i, _ in off) / len(off)
+    assert mean_t > mean_o
+    sel = dsir_select(docs, tgt, 5, buckets=256)
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert len(ids) == 5
+    # weight signal dominates the Gumbel noise here: all picks target-like
+    assert all(i < 100 for i in ids)
+    again = [
+        r["doc_id"]
+        for r in dsir_select(docs.repartition(7), tgt, 5, buckets=256).collect()
+    ]
+    assert ids == again
+    # zero-token docs are absent from the score surface
+    empty = spark.createDataFrame([(5000, "   ")], "doc_id long, text string")
+    assert dsir_weights(docs.union(empty), tgt).where(
+        "doc_id = 5000"
+    ).count() == 0
