@@ -71,7 +71,13 @@ def random_walks(
             .agg(F.sum("_wt").alias("_wt"))
         )
     else:
-        e = edges.select("src", "dst")
+        # the hash-argmin pick keys on (walk, step, dst): parallel
+        # (src, dst) edge instances contribute identical candidate
+        # structs, so collapsing the multigraph to its distinct edge
+        # set is result-identical and cuts per-step candidate volume
+        # by the duplication factor (the oracle's argmin over the raw
+        # edge table agrees — min over a multiset = min over its set)
+        e = edges.select("src", "dst").distinct()
     e = e.repartition(P, "src").persist()
 
     vertices = (
