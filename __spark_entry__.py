@@ -479,6 +479,18 @@ def q_skipgram_md5(spark, sf_dir):
     )
 
 
+def q_span_dedup_md5(spark, sf_dir):
+    """Lee et al. substring dedup, removal form: tokens covered by any
+    duplicated 13-token span are cut and the survivors reassembled in
+    order — text surgery value-checked byte-for-byte."""
+    from pagerank_spark.operators.dedup import remove_duplicate_spans
+
+    return (
+        remove_duplicate_spans(_docs(spark, sf_dir), shingle_k=13, hash_fn="md5")
+        .orderBy("doc_id")
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style intra-document n-gram repetition fractions."""
     from pagerank_spark.operators.textstats import repetition_scores
@@ -2133,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_lpa": q_seeded_lpa,
         "contamination_md5": q_contamination_md5,
         "duplicate_spans_md5": q_duplicate_spans_md5,
+        "span_dedup_md5": q_span_dedup_md5,
         "quota_per_source_md5": q_quota_per_source_md5,
         "mixture_rebalance_md5": q_mixture_rebalance_md5,
         "dsir_select_md5": q_dsir_select_md5,
@@ -4181,6 +4194,30 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) "
             "AS DOUBLE) / count(*), 7) AS dup_span_frac "
             "FROM ex GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "span_dedup_md5": (
+            "WITH tl AS MATERIALIZED (SELECT doc_id, "
+            "string_split_regex(text, '\\s+') AS l FROM documents), "
+            "sp AS MATERIALIZED (SELECT doc_id, (u).spos AS spos, (u).h AS h "
+            "FROM (SELECT doc_id, unnest([{'spos': i - 1, 'h': "
+            + _MD5H.format(x="array_to_string(l[i:i+12], ' ')")
+            + "} FOR i IN range(1, greatest(len(l) - 12, 1) + 1)]) AS u "
+            "FROM tl)), "
+            "dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1), "
+            "cov AS (SELECT DISTINCT doc_id, spos + d AS pos "
+            "FROM sp, range(0, 13) t(d) WHERE h IN (SELECT h FROM dup)), "
+            "tk AS (SELECT doc_id, (u).pos AS pos, (u).w AS w FROM "
+            "(SELECT doc_id, unnest([{'pos': i - 1, 'w': l[i]} "
+            "FOR i IN range(1, len(l) + 1)]) AS u FROM tl)) "
+            "SELECT tk.doc_id, "
+            "coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tk.w END, "
+            "' ' ORDER BY tk.pos), '') AS text, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_removed "
+            "FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id "
+            "AND tk.pos = cov.pos "
+            "GROUP BY tk.doc_id ORDER BY tk.doc_id"
         ),
         "quota_per_source_md5": (
             "SELECT doc_id, source FROM ("

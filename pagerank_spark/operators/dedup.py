@@ -929,3 +929,86 @@ def duplicate_spans(
             (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    shingle_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Surgical exact-substring deduplication (Lee et al. 2022, the
+    removal form next to :func:`duplicate_spans`' ranking form): cut
+    from every document each token covered by a ``shingle_k``-token
+    span whose hash occurs more than once in the corpus (cross-doc or
+    within-doc), and reassemble the survivors in original order —
+    ``(doc_id, text, n_tokens, n_removed)``. Whitespace is normalized
+    to single spaces by reassembly (tokenization is the whitespace
+    split the shingle hashes are built from, so coverage positions and
+    token positions align exactly); documents shorter than
+    ``shingle_k`` tokens hash as one padded span and are removed
+    whole if that span is duplicated.
+
+    Scale shape: the duplicate vocabulary comes from skinny
+    (span-hash) rows; coverage expands each DUPLICATED span into k
+    (doc, position) rows — O(dup-spans · k), not O(corpus · k) — and
+    collapses them with one distinct; reassembly is ONE groupBy(doc)
+    with an in-memory array_sort on (pos, token), per-doc state only.
+    Text never shuffles except the final per-doc rebuild.
+    ``hash_fn="md5"`` keeps every step ANSI-replayable.
+    """
+    from pagerank_spark.functions.text import hash64, shingles
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+    )
+    spans = (
+        _fanout(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(shingles(F.col(text_col), shingle_k)).alias(
+                "spos", "_s"
+            ),
+        )
+        .select("doc_id", "spos", hash64(F.col("_s"), hash_fn).alias("h"))
+        .localCheckpoint()
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") > 1)
+        .select("h")
+    )
+    covered = (
+        spans.join(dup, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("spos"), F.col("spos") + F.lit(shingle_k - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    flagged = toks.join(
+        covered.withColumn("_c", F.lit(True)), ["doc_id", "pos"], "left"
+    ).withColumn("is_cov", F.col("_c").isNotNull())
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w", "is_cov"))
+                    ),
+                    lambda s: ~s["is_cov"],
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("is_cov").cast("long")).alias("n_removed"),
+    )

@@ -381,3 +381,31 @@ def test_duplicate_spans_flags_shared_and_repeated(spark):
     assert out[2]["n_dup_spans"] == 1
     assert out[3]["n_dup_spans"] > 0          # 'p q r' recurs within doc 3
     assert out[4]["n_dup_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
+
+
+def test_remove_duplicate_spans_cuts_covered_tokens(spark):
+    """The removal form cuts exactly the tokens covered by a duplicated
+    k-span (cross-doc or within-doc) and reassembles survivors in order."""
+    from pagerank_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shares 'a b c' with doc 2
+            (2, "a b c x y z"),
+            (3, "p q r p q r p q r"),  # every 3-span duplicated in-doc
+            (4, "unique words only here"),
+            (5, "tiny"),               # shorter than k: one padded span
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, shingle_k=3).collect()
+    }
+    assert out[1]["text"] == "d e f"
+    assert out[1]["n_tokens"] == 6 and out[1]["n_removed"] == 3
+    assert out[2]["text"] == "x y z" and out[2]["n_removed"] == 3
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 9
+    assert out[4]["text"] == "unique words only here"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["text"] == "tiny" and out[5]["n_removed"] == 0
