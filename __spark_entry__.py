@@ -541,7 +541,7 @@ def q_unigram_ppl(spark, sf_dir):
     )
 
 
-def _pages(spark, sf_dir):
+def _pages(spark, sf_dir, docs=None):
     """Deterministic multi-line 'pages' synthesized from the documents
     table: page p holds the texts of docs with doc_id % 40 == p joined
     with newlines (in doc_id order), and every doc_id % 7 == 0 doc is
@@ -549,7 +549,7 @@ def _pages(spark, sf_dir):
     on two pages, so their lines are corpus-level duplicates. This
     gives the line-dedup gate real cross-document duplicated lines
     even though the synthetic corpus has no newlines of its own."""
-    d = _docs(spark, sf_dir)
+    d = docs if docs is not None else _docs(spark, sf_dir)
     m1 = d.select((F.col("doc_id") % 40).alias("page_id"), "doc_id", "text")
     m2 = d.where(F.col("doc_id") % 7 == 0).select(
         ((F.col("doc_id") + 13) % 40).alias("page_id"), "doc_id", "text"
@@ -579,6 +579,35 @@ def q_line_dedup(spark, sf_dir):
         line_dedup(_pages(spark, sf_dir), id_col="page_id")
         .select(
             F.col("doc_id").alias("page_id"), "text", "n_lines", "n_removed"
+        )
+        .orderBy("page_id")
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line+page cleaning over synthesized pages. The raw
+    corpus has no terminal punctuation, so each doc's text is first
+    augmented by a deterministic doc_id rule (replayed verbatim in the
+    oracle) that plants passing lines, javascript mentions, lorem
+    ipsum, and braces — every C4 rule fires on real data."""
+    from pagerank_spark.operators.textstats import c4_clean
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" enable javascript now."))
+            .when(F.col("doc_id") % 97 == 0, F.lit(" lorem ipsum filler."))
+            .when(F.col("doc_id") % 89 == 0, F.lit(" brace { sample."))
+            .when(F.col("doc_id") % 3 == 0, F.lit("."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        c4_clean(_pages(spark, sf_dir, docs=aug), id_col="page_id")
+        .select(
+            F.col("doc_id").alias("page_id"), "text", "n_lines", "n_kept",
+            "keep",
         )
         .orderBy("page_id")
     )
@@ -2154,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "unigram_ppl": q_unigram_ppl,
         "line_dedup": q_line_dedup,
+        "c4_clean": q_c4_clean,
         "duplicated_lines": q_duplicated_lines,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
@@ -4427,6 +4457,40 @@ def oracle_sql() -> dict[str, str]:
         ),
         "duplicated_lines": _LINE_DEDUP_CTES + (
             "SELECT line_hash, n_docs FROM dup ORDER BY line_hash"
+        ),
+        "c4_clean": (
+            "WITH aug AS MATERIALIZED (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 11 = 0 THEN ' enable javascript now.' "
+            "WHEN doc_id % 97 = 0 THEN ' lorem ipsum filler.' "
+            "WHEN doc_id % 89 = 0 THEN ' brace { sample.' "
+            "WHEN doc_id % 3 = 0 THEN '.' ELSE '' END AS text "
+            "FROM documents), "
+            "pages AS MATERIALIZED (SELECT page_id, "
+            "string_agg(text, chr(10) ORDER BY doc_id) AS text FROM ("
+            "SELECT doc_id % 40 AS page_id, doc_id, text FROM aug "
+            "UNION ALL "
+            "SELECT (doc_id + 13) % 40 AS page_id, doc_id, text FROM aug "
+            "WHERE doc_id % 7 = 0) GROUP BY page_id), "
+            "ln AS (SELECT page_id, (u).pos AS pos, trim((u).line) AS t "
+            "FROM (SELECT page_id, unnest([{'pos': i - 1, 'line': ls[i]} "
+            "FOR i IN range(1, len(ls) + 1)]) AS u "
+            "FROM (SELECT page_id, string_split(text, chr(10)) AS ls "
+            "FROM pages))), "
+            "kp AS (SELECT page_id, pos, t, "
+            "(len(string_split_regex(t, '\\s+')) >= 5 "
+            "AND regexp_matches(t, '[.!?\"]$') "
+            "AND NOT contains(lower(t), 'javascript')) AS k FROM ln) "
+            "SELECT kp.page_id, "
+            "coalesce(string_agg(CASE WHEN kp.k THEN kp.t END, chr(10) "
+            "ORDER BY kp.pos), '') AS text, "
+            "CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN kp.k THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept, "
+            "(sum(CASE WHEN kp.k THEN 1 ELSE 0 END) >= 3 "
+            "AND NOT contains(lower(p.text), 'lorem ipsum') "
+            "AND NOT contains(p.text, '{')) AS keep "
+            "FROM kp JOIN pages p ON kp.page_id = p.page_id "
+            "GROUP BY kp.page_id, p.text ORDER BY kp.page_id"
         ),
         "gopher_filter": (
             "WITH t AS (SELECT doc_id, text, "

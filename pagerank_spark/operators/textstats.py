@@ -366,3 +366,56 @@ def unigram_perplexity(
         "bits_per_token",
         F.pow(F.lit(2.0), F.col("bits_per_token")).alias("perplexity"),
     )
+
+
+# C4 cleaning bounds (Raffel et al. 2020 §2.2 — the portable subset of
+# the published rules; the bad-word list is out of scope)
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4-style line + page cleaning (Raffel et al. 2020 §2.2): a LINE
+    survives iff its trimmed form ends in terminal punctuation
+    (``. ! ? "``), has at least ``min_line_words`` whitespace tokens,
+    and does not mention ``javascript``; the PAGE is kept iff it
+    retains at least ``min_kept_lines`` lines and contains neither
+    ``lorem ipsum`` nor a curly brace. Returns
+    ``(doc_id, text, n_lines, n_kept, keep)`` with ``text`` the
+    surviving trimmed lines rejoined by newline (empty string when
+    nothing survives), so pipelines can either filter on ``keep`` or
+    take the cleaned text directly.
+
+    Scale shape: ONE whole-stage-codegen projection per document
+    (split → higher-order filter → array_join) — no shuffle, no UDF,
+    no second scan; the rules run inside the parquet scan itself.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep_line(x):
+        t = F.trim(x)
+        return (
+            (F.size(F.split(t, r"\s+")) >= min_line_words)
+            & t.rlike('[.!?"]$')
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep_line)
+    keep = (
+        (F.size(kept) >= min_kept_lines)
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(F.transform(kept, F.trim), "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        keep.alias("keep"),
+    )

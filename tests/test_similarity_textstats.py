@@ -396,3 +396,34 @@ def test_semdedup_keeps_min_id_per_duplicate_group(spark):
             ).collect()
         }
         assert keep == expected, method
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """C4 rules: lines need >=5 words + terminal punct + no
+    'javascript'; pages need >=3 kept lines, no 'lorem ipsum', no
+    brace."""
+    from pagerank_spark.operators.textstats import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this line ends with a period.\nshort.\n"
+                "enable javascript on this page now.\n"
+                "another good long line here!\n"
+                "a third fine sentence stands here."),
+            (2, "no terminal punctuation at all\nalso not here"),
+            (3, "good line one two three four.\n"
+                "good line five six seven eight.\n"
+                "good line nine ten eleven twelve.\n"
+                "but lorem ipsum poisons the page"),
+            (4, "braces are code { so drop.\nline two is long enough too.\n"
+                "line three is long enough also."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_kept"] == 3
+    assert out[1]["text"].count("\n") == 2  # the 3 surviving lines
+    assert "javascript" not in out[1]["text"]
+    assert not out[2]["keep"] and out[2]["text"] == ""
+    assert not out[3]["keep"] and out[3]["n_kept"] == 3  # lorem ipsum
+    assert not out[4]["keep"]                            # brace
