@@ -613,6 +613,44 @@ def q_c4_clean(spark, sf_dir):
     )
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII scrubbing gate: the synthetic corpus has no PII, so each
+    doc is augmented with a deterministic doc_id-derived email / phone
+    / IP / SSN (replayed verbatim in the oracle), then scrubbed."""
+    from pagerank_spark.operators.textstats import scrub_pii
+
+    four = (F.col("doc_id") % 9000 + 1000).cast("string")
+    oct1 = (F.col("doc_id") % 250).cast("string")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" mail bob"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.org soon"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.lit(" call 555-123-"), four, F.lit(" today")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(F.lit(" host 10.0."), oct1, F.lit(".7 up")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 3,
+                F.concat(F.lit(" ssn 123-45-"), four, F.lit(" leaked")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(aug).orderBy("doc_id")
+
+
 def q_duplicated_lines(spark, sf_dir):
     """The duplicate-line vocabulary behind line_dedup: md5 of each
     normalized line that appears on more than one page, with its
@@ -2184,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": q_unigram_ppl,
         "line_dedup": q_line_dedup,
         "c4_clean": q_c4_clean,
+        "scrub_pii": q_scrub_pii,
         "duplicated_lines": q_duplicated_lines,
         "neighborhood_function": q_neighborhood_function,
         "scc_giant": q_scc_giant,
@@ -3748,6 +3787,43 @@ _I64_MAX1 = 1 << 63
 # Shared CTE prefix for the line-dedup oracles: synthesized multi-line
 # pages (mirrors _pages), exploded lines with 0-based positions, the
 # over-threshold duplicate-line vocabulary, and per-line dup flags.
+def _scrub_pii_sql() -> str:
+    """DuckDB replay of q_scrub_pii: the SAME augmentation CASE and the
+    SAME ordered PII patterns (imported from the operator module, so
+    the two sides cannot drift), chained so each count/replace runs on
+    the previous stage's output exactly like the Spark expression."""
+    from pagerank_spark.operators.textstats import PII_PATTERNS
+
+    chain = ["s0 AS (SELECT doc_id, text AS t0 FROM aug)"]
+    prev = "t0"
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS, 1):
+        p = pat.replace("'", "''")
+        chain.append(
+            f"s{i} AS (SELECT *, len(regexp_extract_all({prev}, '{p}')) "
+            f"AS n_{name}, regexp_replace({prev}, '{p}', '{tok}', 'g') "
+            f"AS t{i} FROM s{i - 1})"
+        )
+        prev = f"t{i}"
+    counts = ", ".join(
+        f"CAST(n_{n} AS BIGINT) AS n_{n}" for n, _, _ in PII_PATTERNS
+    )
+    return (
+        "WITH aug AS MATERIALIZED (SELECT doc_id, text || CASE "
+        "WHEN doc_id % 5 = 0 THEN ' mail bob' || doc_id "
+        "|| '@mail.example.org soon' "
+        "WHEN doc_id % 5 = 1 THEN ' call 555-123-' "
+        "|| (doc_id % 9000 + 1000) || ' today' "
+        "WHEN doc_id % 5 = 2 THEN ' host 10.0.' || (doc_id % 250) "
+        "|| '.7 up' "
+        "WHEN doc_id % 5 = 3 THEN ' ssn 123-45-' "
+        "|| (doc_id % 9000 + 1000) || ' leaked' "
+        "ELSE '' END AS text FROM documents), "
+        + ", ".join(chain)
+        + f" SELECT doc_id, {prev} AS text, {counts} "
+        f"FROM s{len(PII_PATTERNS)} ORDER BY doc_id"
+    )
+
+
 _LINE_DEDUP_CTES = (
     "WITH pages AS MATERIALIZED ("
     "SELECT page_id, string_agg(text, chr(10) ORDER BY doc_id) AS text FROM ("
@@ -4458,6 +4534,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicated_lines": _LINE_DEDUP_CTES + (
             "SELECT line_hash, n_docs FROM dup ORDER BY line_hash"
         ),
+        "scrub_pii": _scrub_pii_sql(),
         "c4_clean": (
             "WITH aug AS MATERIALIZED (SELECT doc_id, text || "
             "CASE WHEN doc_id % 11 = 0 THEN ' enable javascript now.' "

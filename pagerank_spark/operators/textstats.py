@@ -419,3 +419,41 @@ def c4_clean(
         F.size(kept).cast("long").alias("n_kept"),
         keep.alias("keep"),
     )
+
+
+# PII scrub patterns — deliberately restricted to the regex dialect
+# shared by Java (Spark) and RE2 (DuckDB oracle): no lookaround, no
+# backrefs. Applied IN ORDER, each on the output of the previous
+# replacement, so counts are well-defined even when patterns could
+# overlap (an IP inside an already-scrubbed email is never re-counted).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub personally identifiable information from text: emails,
+    US SSNs, phone numbers, and IPv4 addresses are replaced by typed
+    placeholders (``<EMAIL>`` …), with per-kind match counts —
+    ``(doc_id, text, n_email, n_ssn, n_phone, n_ipv4)``. The standard
+    pre-training redaction stage next to the quality filters.
+
+    Scale shape: the whole scrub is ONE codegen projection of nested
+    ``regexp_count`` / ``regexp_replace`` expressions over the scan —
+    no shuffle, no UDF, no second pass.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, tok)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), cur.alias(text_col), *counts
+    )

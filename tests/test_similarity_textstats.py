@@ -427,3 +427,26 @@ def test_c4_clean_line_and_page_rules(spark):
     assert not out[2]["keep"] and out[2]["text"] == ""
     assert not out[3]["keep"] and out[3]["n_kept"] == 3  # lorem ipsum
     assert not out[4]["keep"]                            # brace
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    """Emails, SSNs, phones, IPv4s become typed placeholders; counts
+    reflect the sequential replace order (no double counting)."""
+    from pagerank_spark.operators.textstats import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@x.org or alice.b+c@sub.example.co.uk "
+                "call (555) 123-4567 or 555.123.9999"),
+            (2, "ssn 123-45-6789 from 10.0.3.250 and 192.168.001.1"),
+            (3, "nothing private here 1234"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 2
+    assert "@" not in out[1]["text"] and "<PHONE>" in out[1]["text"]
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 2
+    assert out[2]["text"] == "ssn <SSN> from <IP> and <IP>"
+    assert out[3]["text"] == "nothing private here 1234"
+    assert all(out[3][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4"))
