@@ -21,6 +21,7 @@ self-loops possible and legal.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -197,6 +198,25 @@ def q_pagerank_personalized_join(spark, sf_dir):
         personalize=PPR_SOURCES, mode="join",
     )
     return res.ranks.select("id", F.round("rank", 7).alias("rank")).orderBy("id")
+
+
+def q_spam_mass(spark, sf_dir):
+    """TrustRank + spam mass (Gyongyi et al. 2004): global PageRank vs
+    trust propagated from a 3-vertex trusted seed set, both fixed-10
+    redistribute runs, and the (relative) spam-mass residuals."""
+    from pagerank_spark.operators.centrality import spam_mass
+
+    out = spam_mass(
+        _edges(spark, sf_dir), PPR_SOURCES, eps=0.0,
+        max_iter=PR_FIXED_ITERS,
+    )
+    return out.select(
+        "id",
+        *[
+            F.round(c, 7).alias(c)
+            for c in ("rank", "trust", "spam_mass", "rel_spam_mass")
+        ],
+    ).orderBy("id")
 
 
 def q_pagerank_weighted_converged(spark, sf_dir):
@@ -417,6 +437,37 @@ def _edges_sparse(spark, sf_dir):
     return li.where(F.col("l_suppkey") % 97 == 0).select(
         (F.col("l_partkey") % N_MOD).alias("src"),
         ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias("dst"),
+    )
+
+
+def _edges_mid(spark, sf_dir):
+    """1-in-29 sparsification (avg degree ~3): dense enough for rich
+    pairwise structure, sparse enough that SimRank's pair frame stays
+    small at gate scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_suppkey") % 29 == 0).select(
+        (F.col("l_partkey") % N_MOD).alias("src"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias("dst"),
+    )
+
+
+_MID_EDGES_SQL = (
+    f"SELECT l_partkey % {N_MOD} AS src, "
+    f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst FROM lineitem "
+    "WHERE l_suppkey % 29 = 0"
+)
+
+
+def q_simrank(spark, sf_dir):
+    """SimRank structural similarity (Jeh & Widom 2002), 3 iterations
+    on the mid-sparsity graph: sparse symmetric pair frame, implicit
+    diagonal, iteration-invariant common-in-neighbor term."""
+    from pagerank_spark.operators.simrank import simrank
+
+    return (
+        simrank(_edges_mid(spark, sf_dir), c=0.8, iters=3)
+        .select("a", "b", F.round("score", 7).alias("score"))
+        .orderBy("a", "b")
     )
 
 
@@ -2176,6 +2227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": q_pagerank_converged,
         "pagerank_personalized": q_pagerank_personalized,
         "pagerank_personalized_join": q_pagerank_personalized_join,
+        "spam_mass": q_spam_mass,
+        "simrank": q_simrank,
         "pagerank_weighted_converged": q_pagerank_weighted_converged,
         "pagerank_topk": q_pagerank_topk,
         "pagerank_sink_roundtrip": q_pagerank_sink_roundtrip,
@@ -2315,6 +2368,8 @@ def _pr_cte_sql(
     weighted: bool = False,
     final: str | None = None,
     personalize: list[int] | None = None,
+    prefix: str = "",
+    bare: bool = False,
 ) -> str:
     """Unrolled power iteration r0..r{iters} as a chained CTE.
 
@@ -2324,9 +2379,16 @@ def _pr_cte_sql(
     ``d * weight / strength(src)``), personalized (teleport and
     dangling mass land only on the source set), SNAP-demo and top-k
     queries.
+
+    ``prefix`` renames every internal CTE (``eg`` → ``g_eg`` …) and
+    ``bare=True`` returns just the comma-joined CTE list (no WITH, no
+    final select) so TWO unrolled chains can live in ONE flat WITH
+    clause — nesting a chain inside a FROM-subquery defeats DuckDB's
+    CTE materialization and re-evaluates the chain per reference
+    (measured: the spam-mass oracle went from minutes to seconds).
     """
     parts = [
-        f"WITH eg AS ({edges_sql}),",
+        "WITH eg AS (__EDGES_SQL__),",
         "nn AS (SELECT CAST(1 + max(greatest(src, dst)) AS DOUBLE) AS n FROM eg),",
     ]
     if weighted:
@@ -2363,9 +2425,19 @@ def _pr_cte_sql(
         if personalize is None:
             base = "0.15 / (SELECT n FROM nn)"
             if dangling == "redistribute":
+                # hoisted + MATERIALIZED for the same reason as the
+                # personalized dm{k} below: an inline scalar subquery
+                # makes r{k-1} doubly-referenced, and DuckDB 1.0
+                # inlines non-materialized CTEs — the chain then
+                # expands 2^k-fold (measured: minutes instead of
+                # seconds at k=10)
+                parts.append(
+                    f"dm{k} AS MATERIALIZED (SELECT "
+                    f"coalesce(sum(r.rank), 0) AS m "
+                    f"FROM r{k-1} r JOIN dang ON r.id = dang.id),"
+                )
                 base += (
-                    f" + 0.85 * (SELECT coalesce(sum(r.rank), 0) FROM r{k-1} r "
-                    f"JOIN dang ON r.id = dang.id) / (SELECT n FROM nn)"
+                    f" + 0.85 * (SELECT m FROM dm{k}) / (SELECT n FROM nn)"
                 )
         else:
             ids = ", ".join(str(int(s)) for s in personalize)
@@ -2381,17 +2453,34 @@ def _pr_cte_sql(
                 )
                 inner += f" + 0.85 * (SELECT m FROM dm{k}) / {s_cnt}"
             base = f"CASE WHEN v.id IN ({ids}) THEN {inner} ELSE 0.0 END"
-        mat = " MATERIALIZED" if personalize is not None else ""
+        # redistribute mode double-references r{k-1} (dm{k} + gather):
+        # without materialization the inlined chain doubles per level
+        mat = (
+            " MATERIALIZED"
+            if personalize is not None or dangling == "redistribute"
+            else ""
+        )
         parts.append(
             f"r{k} AS{mat} (SELECT v.id, {base} + coalesce(s.s, 0) AS rank "
             f"FROM v LEFT JOIN (SELECT w.dst AS id, sum(w.w * r.rank) AS s "
             f"FROM w JOIN r{k-1} r ON w.src = r.id GROUP BY w.dst) s USING (id)),"
         )
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(
-        final or f"SELECT id, round(rank, 7) AS rank FROM r{iters} ORDER BY id"
+    body = "\n".join(parts)
+    if prefix:
+        body = re.sub(
+            r"\b(eg|nn|st|od|w|v|dang|r\d+|dm\d+)\b",
+            lambda m: prefix + m.group(0),
+            body,
+        )
+    body = body.replace("__EDGES_SQL__", edges_sql)
+    if bare:
+        return body[len("WITH ") :]
+    return body + "\n" + (
+        final
+        or f"SELECT id, round(rank, 7) AS rank FROM {prefix}r{iters} "
+        "ORDER BY id"
     )
-    return "\n".join(parts)
 
 
 def _pagerank_fixed_sql() -> str:
@@ -3787,6 +3876,49 @@ _I64_MAX1 = 1 << 63
 # Shared CTE prefix for the line-dedup oracles: synthesized multi-line
 # pages (mirrors _pages), exploded lines with 0-based positions, the
 # over-threshold duplicate-line vocabulary, and per-line dup flags.
+def _simrank_sql(edges_sql: str, iters: int, c: float = 0.8) -> str:
+    """Unrolled SimRank levels s1..s{iters} as chained CTEs, mirroring
+    the operator exactly: dedup to a simple graph, distinct in-degree,
+    ONE common-in-neighbor table re-added per level, ordered (i, j) →
+    out-edge propagation kept at a < b."""
+    parts = [
+        f"WITH eg AS MATERIALIZED (SELECT DISTINCT src, dst "
+        f"FROM ({edges_sql}) WHERE src <> dst),",
+        "ind AS MATERIALIZED (SELECT dst AS v, "
+        "CAST(count(*) AS DOUBLE) AS ind FROM eg GROUP BY dst),",
+        "cab AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b, "
+        "CAST(count(*) AS DOUBLE) AS cab FROM eg e1 "
+        "JOIN eg e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+        "GROUP BY 1, 2),",
+        f"s1 AS MATERIALIZED (SELECT a, b, {c} * cab / (ia.ind * ib.ind) "
+        "AS score FROM cab JOIN ind ia ON ia.v = cab.a "
+        "JOIN ind ib ON ib.v = cab.b),",
+    ]
+    for k in range(2, iters + 1):
+        p = k - 1
+        parts += [
+            f"sym{p} AS (SELECT a AS i, b AS j, score FROM s{p} "
+            f"UNION ALL SELECT b AS i, a AS j, score FROM s{p}),",
+            f"t{k} AS MATERIALIZED (SELECT o1.dst AS a, o2.dst AS b, "
+            f"sum(sym{p}.score) AS t2 FROM sym{p} "
+            f"JOIN eg o1 ON o1.src = sym{p}.i "
+            f"JOIN eg o2 ON o2.src = sym{p}.j "
+            "WHERE o1.dst < o2.dst GROUP BY 1, 2),",
+            f"s{k} AS MATERIALIZED (SELECT u.a, u.b, "
+            f"{c} * u.val / (ia.ind * ib.ind) AS score FROM "
+            "(SELECT coalesce(t.a, c2.a) AS a, coalesce(t.b, c2.b) AS b, "
+            f"coalesce(c2.cab, 0) + coalesce(t.t2, 0) AS val FROM t{k} t "
+            "FULL JOIN cab c2 ON t.a = c2.a AND t.b = c2.b) u "
+            "JOIN ind ia ON ia.v = u.a JOIN ind ib ON ib.v = u.b),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT a, b, round(score, 7) AS score FROM s{iters} "
+        "ORDER BY a, b"
+    )
+    return "\n".join(parts)
+
+
 def _scrub_pii_sql() -> str:
     """DuckDB replay of q_scrub_pii: the SAME augmentation CASE and the
     SAME ordered PII patterns (imported from the operator module, so
@@ -4125,6 +4257,25 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized_join": _pr_cte_sql(
             _EDGES_SQL, PR_FIXED_ITERS, dangling="redistribute",
             personalize=PPR_SOURCES,
+        ),
+        "spam_mass": (
+            "WITH "
+            + _pr_cte_sql(
+                _EDGES_SQL, PR_FIXED_ITERS, dangling="redistribute",
+                prefix="g_", bare=True,
+            )
+            + ", "
+            + _pr_cte_sql(
+                _EDGES_SQL, PR_FIXED_ITERS, dangling="redistribute",
+                personalize=PPR_SOURCES, prefix="p_", bare=True,
+            )
+            + f" SELECT a.id, round(a.rank, 7) AS rank, "
+            "round(b.rank, 7) AS trust, "
+            "round(a.rank - b.rank, 7) AS spam_mass, "
+            "round(CASE WHEN a.rank > 0 THEN (a.rank - b.rank) / a.rank "
+            "ELSE 0.0 END, 7) AS rel_spam_mass "
+            f"FROM g_r{PR_FIXED_ITERS} a JOIN p_r{PR_FIXED_ITERS} b "
+            "ON a.id = b.id ORDER BY a.id"
         ),
         "pagerank_fixed10_join": _pagerank_fixed_sql(),
         "pagerank_sink_roundtrip": _pagerank_fixed_sql(),
@@ -4535,6 +4686,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT line_hash, n_docs FROM dup ORDER BY line_hash"
         ),
         "scrub_pii": _scrub_pii_sql(),
+        "simrank": _simrank_sql(_MID_EDGES_SQL, 3),
         "c4_clean": (
             "WITH aug AS MATERIALIZED (SELECT doc_id, text || "
             "CASE WHEN doc_id % 11 = 0 THEN ' enable javascript now.' "

@@ -521,3 +521,76 @@ def personalized_pagerank_keyed(
         )
     ew.unpersist()
     return state
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: list[int],
+    n: int | None = None,
+    d: float = 0.85,
+    eps: float = 0.0,
+    max_iter: int | None = None,
+    **pagerank_kwargs,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    personalized PageRank whose teleport — and, in redistribute mode,
+    dangling mass — returns only to a hand-vetted trusted seed set, so
+    trust decays along links and spam farms far from the seeds score
+    near zero. Returns ``(id, trust)`` over the dense vertex space.
+
+    This is the seed-propagation half of the published algorithm (seed
+    SELECTION, inverse-PageRank + human review, is an offline editorial
+    step). Same execution shapes as :func:`~pagerank_spark.operators.
+    pagerank.pagerank` — zero-shuffle blocks mode or co-partitioned
+    join mode.
+    """
+    from pagerank_spark.operators.pagerank import pagerank
+
+    res = pagerank(
+        edges, n=n, d=d, eps=eps, max_iter=max_iter,
+        dangling="redistribute", personalize=sorted(set(seeds)),
+        **pagerank_kwargs,
+    )
+    return res.ranks.select("id", F.col("rank").alias("trust"))
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: list[int],
+    n: int | None = None,
+    d: float = 0.85,
+    eps: float = 0.0,
+    max_iter: int | None = None,
+    **pagerank_kwargs,
+) -> DataFrame:
+    """Spam-mass estimation (Gyongyi et al. 2004 §5): the share of a
+    page's PageRank NOT backed by trusted sources. Computes global
+    PageRank ``rank`` and :func:`trustrank` ``trust`` over the same
+    graph, then ``spam_mass = rank - trust`` and ``rel_spam_mass =
+    spam_mass / rank`` (0 where rank is 0) — pages with high relative
+    spam mass are link-spam candidates. Returns
+    ``(id, rank, trust, spam_mass, rel_spam_mass)``.
+
+    One extra O(V) co-partitioned join on top of the two rank runs;
+    both runs reuse the same prepared edge layout arguments.
+    """
+    from pagerank_spark.operators.pagerank import pagerank
+
+    pr = pagerank(
+        edges, n=n, d=d, eps=eps, max_iter=max_iter,
+        dangling="redistribute", **pagerank_kwargs,
+    ).ranks
+    tr = trustrank(
+        edges, seeds, n=n, d=d, eps=eps, max_iter=max_iter,
+        **pagerank_kwargs,
+    )
+    mass = F.col("rank") - F.col("trust")
+    return pr.join(tr, "id").select(
+        "id",
+        "rank",
+        "trust",
+        mass.alias("spam_mass"),
+        F.when(F.col("rank") > 0, mass / F.col("rank"))
+        .otherwise(F.lit(0.0))
+        .alias("rel_spam_mass"),
+    )

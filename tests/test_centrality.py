@@ -1146,3 +1146,54 @@ def test_node2vec_matches_python_replay_and_bias_limits(spark):
     path = spark.createDataFrame([(0, 1), (1, 0), (1, 2)], "src long, dst long")
     w = node2vec_walks(path, 1, p=100.0, q=1.0, walks_per_vertex=1, seed=1)
     assert w.count() > 0
+
+
+def test_simrank_matches_dense_reference(spark):
+    """Sparse pair-frame SimRank equals the dense textbook recursion."""
+    import numpy as np
+    from pagerank_spark.operators.simrank import simrank
+
+    E = [(0, 2), (1, 2), (0, 3), (1, 3), (2, 4), (3, 4), (4, 0), (3, 0),
+         (2, 1)]
+    n, C, K = 5, 0.8, 4
+    In = [[] for _ in range(n)]
+    for s, d in set(E):
+        In[d].append(s)
+    S = np.eye(n)
+    for _ in range(K):
+        S2 = np.eye(n)
+        for a in range(n):
+            for b in range(n):
+                if a != b and In[a] and In[b]:
+                    tot = sum(S[i][j] for i in In[a] for j in In[b])
+                    S2[a][b] = C * tot / (len(In[a]) * len(In[b]))
+        S = S2
+    e = spark.createDataFrame(E, "src long, dst long")
+    got = {(r["a"], r["b"]): r["score"]
+           for r in simrank(e, c=C, iters=K).collect()}
+    for a in range(n):
+        for b in range(a + 1, n):
+            assert abs(S[a][b] - got.get((a, b), 0.0)) < 1e-12
+    # pruning only removes below-eps pairs, never changes survivors'
+    # membership semantics
+    pruned = simrank(e, c=C, iters=K, prune_eps=0.1).collect()
+    assert all(r["score"] >= 0.1 for r in pruned)
+
+
+def test_spam_mass_unreached_component(spark):
+    """Vertices unreachable from the trusted seeds carry full relative
+    spam mass; trust and rank both sum to ~1."""
+    from pagerank_spark.operators.centrality import spam_mass
+
+    # component A: 0->1->2->0 (seed 0); component B: 3->4->3
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3)], "src long, dst long"
+    )
+    out = {r["id"]: r for r in spam_mass(e, [0], max_iter=40).collect()}
+    assert abs(sum(r["rank"] for r in out.values()) - 1.0) < 1e-6
+    assert abs(sum(r["trust"] for r in out.values()) - 1.0) < 1e-6
+    for v in (3, 4):
+        assert out[v]["trust"] < 1e-12
+        assert abs(out[v]["rel_spam_mass"] - 1.0) < 1e-9
+    for v in (0, 1, 2):
+        assert out[v]["trust"] > out[v]["rank"]  # trust concentrates
