@@ -263,6 +263,14 @@ def q_triangle_count_vertex(spark, sf_dir):
     return triangle_count(_edges(spark, sf_dir), per_vertex=True).orderBy("id")
 
 
+def q_four_cycles(spark, sf_dir):
+    """Global rectangle count via co-degree pairs (each 4-cycle has
+    exactly two opposite pairs)."""
+    from pagerank_spark.operators.linkpred import four_cycles
+
+    return four_cycles(_edges(spark, sf_dir))
+
+
 # Fixed BFS-oracle unroll depth. Safe across the harness's parameter
 # space: the canonical graph always has N_MOD=500 vertices and gets
 # DENSER as sf grows, so the BFS depth from vertex 0 only shrinks
@@ -2238,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
+        "four_cycles": q_four_cycles,
         "triangle_count_vertex": q_triangle_count_vertex,
         "shortest_paths_bfs": q_shortest_paths_bfs,
         "shortest_paths_weighted": q_shortest_paths_weighted,
@@ -4624,6 +4633,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM simple s JOIN deg da ON s.a = da.id JOIN deg db ON s.b = db.id) "
             "SELECT count(*) AS triangles FROM o e1 JOIN o e2 ON e1.v = e2.u "
             "JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v"
+        ),
+        "four_cycles": (
+            f"WITH eg AS ({_EDGES_SQL}), "
+            "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM eg WHERE src <> dst), "
+            "sym AS (SELECT a AS u, b AS v FROM simple "
+            "UNION ALL SELECT b, a FROM simple), "
+            "codeg AS (SELECT s1.u AS u, s2.v AS b, count(*) AS c "
+            "FROM (SELECT v AS w, u FROM sym) s1 "
+            "JOIN (SELECT u AS w, v FROM sym) s2 ON s1.w = s2.w "
+            "WHERE s1.u < s2.v GROUP BY 1, 2) "
+            "SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) / 2 AS BIGINT) "
+            "AS n_four_cycles FROM codeg"
         ),
         "triangle_count_vertex": (
             f"WITH eg AS ({eg}), "

@@ -90,3 +90,53 @@ def link_prediction(
             "adamic_adar",
         )
     )
+
+
+def four_cycles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Global 4-cycle (rectangle) count on the undirected simple graph
+    — ``DataFrame[n_four_cycles: long]`` with one row. Rectangles are
+    the next motif after triangles for clustering/spam structure
+    (bipartite cores and link farms are rectangle-dense while being
+    triangle-free, Kumar et al. 1999 "Trawling the Web for emerging
+    cyber-communities").
+
+    Count: every 4-cycle ``u-w-v-x-u`` is fixed by an opposite pair
+    ``{u, v}`` plus 2 of their common neighbors, and each cycle has
+    exactly two opposite pairs, so ``C4 = Σ_{u<v} C(codeg(u,v), 2) / 2``.
+
+    Shape: the SAME single wedge self-join as :func:`link_prediction`
+    (Σ deg² rows — ``max_degree`` is the same hub cap), one
+    groupBy(a, b) to co-degree counts, one scalar agg. No pair ever
+    carries more state than one long.
+    """
+    simple = _simple_undirected(edges)
+    sym = simple.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        simple.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    center = sym.select(F.col("v").alias("w"), F.col("u"))
+    if max_degree is not None:
+        capped = (
+            sym.groupBy(F.col("v").alias("w"))
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") <= max_degree)
+            .select("w")
+        )
+        center = center.join(capped, "w", "left_semi")
+    codeg = (
+        center.join(
+            sym.select(F.col("u").alias("w"), F.col("v").alias("b")), "w"
+        )
+        .where(F.col("u") < F.col("b"))
+        .groupBy("u", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return codeg.agg(
+        (
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("n_four_cycles")
+    )

@@ -477,6 +477,53 @@ def test_link_prediction_max_degree_cap(spark):
     assert link_prediction(e, max_degree=4).count() == 0
 
 
+def test_four_cycles_vs_bruteforce(spark):
+    """Rectangle count matches an O(n^4) enumeration on random graphs,
+    plus closed forms: C_4 has 1, K_4 has 3, K_{2,3} has 3, a triangle
+    has 0, and the hub cap zeroes a star-mediated count."""
+    import itertools
+
+    from pagerank_spark.operators.linkpred import four_cycles
+
+    def brute(pairs):
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        count = 0
+        for u, w, v, x in itertools.permutations(sorted(adj), 4):
+            if (
+                w in adj[u] and v in adj[w] and x in adj[v] and u in adj[x]
+            ):
+                count += 1
+        return count // 8  # each cycle counted 8x (4 rotations x 2 dirs)
+
+    fixtures = {
+        "c4": [(0, 1), (1, 2), (2, 3), (3, 0)],
+        "k4": [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "k23": [(a, b) for a in (0, 1) for b in (2, 3, 4)],
+        "tri": [(0, 1), (1, 2), (2, 0)],
+    }
+    expect = {"c4": 1, "k4": 3, "k23": 3, "tri": 0}
+    for name, pairs in fixtures.items():
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        got = four_cycles(e).collect()[0]["n_four_cycles"]
+        assert got == expect[name] == brute(pairs), name
+
+    rng = np.random.RandomState(7)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 14, size=(60, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    assert four_cycles(e).collect()[0]["n_four_cycles"] == brute(pairs)
+
+    # hub cap: non-binding cap leaves the count intact, binding cap
+    # (below every degree) removes all wedge centers
+    e = spark.createDataFrame(fixtures["c4"], "src long, dst long")
+    assert four_cycles(e, max_degree=2).collect()[0]["n_four_cycles"] == 1
+    e = spark.createDataFrame(fixtures["k23"], "src long, dst long")
+    assert four_cycles(e, max_degree=1).collect()[0]["n_four_cycles"] == 0
+
+
 def test_sampling_deterministic_and_consistent(spark):
     from pagerank_spark.operators.sampling import (
         sample_edges,
