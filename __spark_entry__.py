@@ -497,6 +497,70 @@ def q_scc(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_bowtie(spark, sf_dir):
+    """Bow-tie macro-structure (Broder et al. 2000) of the sparse
+    graph: per-vertex region label relative to the giant SCC."""
+    from pagerank_spark.operators.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(_edges_sparse(spark, sf_dir)).orderBy("id")
+
+
+def _bowtie_sql(edges_sql: str) -> str:
+    """Bow-tie oracle by definition: recursive-CTE transitive closures
+    (full, CORE-free, and symmetrized), giant SCC = (size desc,
+    component asc), regions assigned in first-match priority order.
+    Closure-dependent sets are MATERIALIZED so each is computed once."""
+    return (
+        f"WITH RECURSIVE eg AS MATERIALIZED ({edges_sql}), "
+        "d AS MATERIALIZED (SELECT DISTINCT src, dst FROM eg "
+        "WHERE src <> dst), "
+        "v AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)), "
+        "reach(a, b) AS (SELECT src, dst FROM d UNION "
+        "SELECT r.a, d.dst FROM reach r JOIN d ON r.b = d.src), "
+        "scc AS MATERIALIZED (SELECT v.id, "
+        "least(v.id, coalesce(min(m.w), v.id)) AS component "
+        "FROM v LEFT JOIN (SELECT r1.a AS v, r1.b AS w FROM reach r1 "
+        "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a) m ON m.v = v.id "
+        "GROUP BY v.id), "
+        "core AS MATERIALIZED (SELECT id FROM scc WHERE component = "
+        "(SELECT component FROM scc GROUP BY component "
+        "ORDER BY count(*) DESC, component ASC LIMIT 1)), "
+        "outv AS MATERIALIZED (SELECT DISTINCT b AS id FROM reach "
+        "WHERE a IN (SELECT id FROM core) "
+        "AND b NOT IN (SELECT id FROM core)), "
+        "inv AS MATERIALIZED (SELECT DISTINCT a AS id FROM reach "
+        "WHERE b IN (SELECT id FROM core) "
+        "AND a NOT IN (SELECT id FROM core)), "
+        "d2 AS MATERIALIZED (SELECT src, dst FROM d "
+        "WHERE src NOT IN (SELECT id FROM core) "
+        "AND dst NOT IN (SELECT id FROM core)), "
+        "reach2(a, b) AS (SELECT src, dst FROM d2 UNION "
+        "SELECT r.a, d2.dst FROM reach2 r JOIN d2 ON r.b = d2.src), "
+        "fromin AS MATERIALIZED (SELECT id FROM inv UNION "
+        "SELECT b FROM reach2 WHERE a IN (SELECT id FROM inv)), "
+        "toout AS MATERIALIZED (SELECT id FROM outv UNION "
+        "SELECT a FROM reach2 WHERE b IN (SELECT id FROM outv)), "
+        "ds AS MATERIALIZED (SELECT src, dst FROM d "
+        "UNION SELECT dst, src FROM d), "
+        "reachu(a, b) AS (SELECT src, dst FROM ds UNION "
+        "SELECT r.a, ds.dst FROM reachu r JOIN ds ON r.b = ds.src), "
+        "wcc AS MATERIALIZED (SELECT id FROM core UNION "
+        "SELECT b FROM reachu WHERE a IN (SELECT id FROM core)) "
+        "SELECT v.id, CASE "
+        "WHEN v.id IN (SELECT id FROM core) THEN 'CORE' "
+        "WHEN v.id IN (SELECT id FROM inv) THEN 'IN' "
+        "WHEN v.id IN (SELECT id FROM outv) THEN 'OUT' "
+        "WHEN v.id IN (SELECT id FROM fromin) "
+        "AND v.id IN (SELECT id FROM toout) THEN 'TUBE' "
+        "WHEN v.id IN (SELECT id FROM fromin) THEN 'TENDRIL_IN' "
+        "WHEN v.id IN (SELECT id FROM toout) THEN 'TENDRIL_OUT' "
+        "WHEN v.id IN (SELECT id FROM wcc) THEN 'OTHER' "
+        "ELSE 'DISCONNECTED' END AS region "
+        "FROM v ORDER BY v.id"
+    )
+
+
 NF_SQL_ROUNDS = 40  # sparse-graph BFS fixpoint at sf0.01 is 36 rounds
 
 
@@ -2264,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_walks_md5": q_weighted_walks_md5,
         "node2vec_md5": q_node2vec_md5,
         "scc": q_scc,
+        "bowtie": q_bowtie,
         "condensation": q_condensation,
         "densest_copurchase": q_densest_copurchase,
         "copurchase_jaccard": q_copurchase_jaccard,
@@ -4409,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
             eg, WALK_LEN, WALKS_PER_VERTEX, WALK_SEED, N2V_P, N2V_Q
         ),
         "scc": _scc_sql(_SPARSE_EDGES_SQL),
+        "bowtie": _bowtie_sql(_SPARSE_EDGES_SQL),
         "condensation": _condensation_sql(_SPARSE_EDGES_SQL),
         "densest_copurchase": _densest_sql(
             _COPURCHASE_EDGES_SQL, DENSEST_SQL_ROUNDS

@@ -1169,3 +1169,131 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert dsir_weights(docs.union(empty), tgt).where(
         "doc_id = 5000"
     ).count() == 0
+
+
+def _bowtie_oracle(pairs):
+    """Pure-Python replay of the bowtie spec: closure by DFS, SCC by
+    mutual reach, giant = (size desc, min-member asc), regions in
+    first-match priority order."""
+    adj, radj = {}, {}
+    verts = set()
+    for a, b in pairs:
+        verts.update((a, b))
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            radj.setdefault(b, set()).add(a)
+
+    def reach(seeds, fwd=True, blocked=frozenset()):
+        g = adj if fwd else radj
+        seen = set(s for s in seeds if s not in blocked)
+        stack = list(seen)
+        while stack:
+            u = stack.pop()
+            for v in g.get(u, ()):
+                if v not in seen and v not in blocked:
+                    seen.add(v)
+                    stack.append(v)
+        return seen
+
+    sccs = {}
+    for v in verts:
+        fwd = reach({v})
+        bwd = reach({v}, fwd=False)
+        sccs[v] = min((fwd & bwd) | {v})
+    sizes = {}
+    for v, lab in sccs.items():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    giant = min(sizes, key=lambda lab: (-sizes[lab], lab))
+    core = {v for v, lab in sccs.items() if lab == giant}
+    fwd_core = reach(core)
+    bwd_core = reach(core, fwd=False)
+    out_, in_ = fwd_core - core, bwd_core - core
+    from_in = reach(in_, blocked=core)
+    to_out = reach(out_, fwd=False, blocked=core)
+    # weak connectivity via symmetrized adjacency
+    sym = {}
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            sym.setdefault(a, set()).add(b)
+            sym.setdefault(b, set()).add(a)
+    wcc = set(core)
+    stack = list(core)
+    while stack:
+        u = stack.pop()
+        for v in sym.get(u, ()):
+            if v not in wcc:
+                wcc.add(v)
+                stack.append(v)
+    want = {}
+    for v in verts:
+        if v in core:
+            want[v] = "CORE"
+        elif v in in_:
+            want[v] = "IN"
+        elif v in out_:
+            want[v] = "OUT"
+        elif v in from_in and v in to_out:
+            want[v] = "TUBE"
+        elif v in from_in:
+            want[v] = "TENDRIL_IN"
+        elif v in to_out:
+            want[v] = "TENDRIL_OUT"
+        elif v in wcc:
+            want[v] = "OTHER"
+        else:
+            want[v] = "DISCONNECTED"
+    return want
+
+
+def test_bowtie_hand_graph_all_regions(spark):
+    """One fixture exercising every region label at once."""
+    from pagerank_spark.operators.bowtie import bowtie_decomposition
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0),          # CORE cycle
+        (3, 0), (4, 3),                  # IN chain
+        (2, 5), (5, 6),                  # OUT chain
+        (3, 7), (7, 5),                  # TUBE via 7
+        (3, 8),                          # TENDRIL_IN 8
+        (9, 5),                          # TENDRIL_OUT 9
+        (10, 8),                         # OTHER: points into a tendril
+        (11, 12),                        # DISCONNECTED pair
+    ]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["id"]: r["region"] for r in bowtie_decomposition(e).collect()}
+    want = {
+        0: "CORE", 1: "CORE", 2: "CORE",
+        3: "IN", 4: "IN",
+        5: "OUT", 6: "OUT",
+        7: "TUBE", 8: "TENDRIL_IN", 9: "TENDRIL_OUT",
+        10: "OTHER", 11: "DISCONNECTED", 12: "DISCONNECTED",
+    }
+    assert got == want == _bowtie_oracle(pairs)
+
+
+def test_bowtie_random_vs_python_oracle(spark):
+    from pagerank_spark.operators.bowtie import bowtie_decomposition
+
+    for seed, n, m in [(3, 30, 40), (4, 40, 55), (5, 25, 25)]:
+        rng = np.random.RandomState(seed)
+        pairs = [
+            (int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2))
+        ]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        got = {
+            r["id"]: r["region"]
+            for r in bowtie_decomposition(e).collect()
+        }
+        assert got == _bowtie_oracle(pairs), seed
+
+
+def test_bowtie_empty_and_pure_cycle(spark):
+    from pagerank_spark.operators.bowtie import bowtie_decomposition
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert bowtie_decomposition(empty).count() == 0
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    rows = bowtie_decomposition(cyc).collect()
+    assert {r["region"] for r in rows} == {"CORE"} and len(rows) == 3
