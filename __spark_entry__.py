@@ -479,6 +479,66 @@ def q_simrank(spark, sf_dir):
     )
 
 
+def q_salsa(spark, sf_dir):
+    """SALSA hub/authority scores (Lempel & Moran 2000) on the
+    mid-sparsity graph, via the closed form: per-component
+    degree-proportional stationary distribution of the two-step
+    bipartite walk."""
+    from pagerank_spark.operators.salsa import salsa
+
+    return (
+        salsa(_edges_mid(spark, sf_dir))
+        .select(
+            "id",
+            F.round("hub", 7).alias("hub"),
+            F.round("authority", 7).alias("authority"),
+        )
+        .orderBy("id")
+    )
+
+
+def _salsa_sql(edges_sql: str) -> str:
+    """SALSA oracle by definition: connected components of the
+    bipartite support graph via a recursive symmetric closure, then the
+    closed-form score (|side ∩ c| / |side|) · deg / Σ_c deg with the
+    SAME double-division order as the operator."""
+    return (
+        f"WITH RECURSIVE eg AS MATERIALIZED ({edges_sql}), "
+        "d AS MATERIALIZED (SELECT DISTINCT src, dst FROM eg "
+        "WHERE src <> dst), "
+        "v AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)), "
+        "bs AS MATERIALIZED (SELECT src * 2 AS a, dst * 2 + 1 AS b "
+        "FROM d UNION SELECT dst * 2 + 1, src * 2 FROM d), "
+        "reach(a, b) AS (SELECT a, b FROM bs UNION "
+        "SELECT r.a, bs.b FROM reach r JOIN bs ON r.b = bs.a), "
+        "comp AS MATERIALIZED (SELECT a AS bid, least(a, min(b)) "
+        "AS component FROM reach GROUP BY a), "
+        "odeg AS (SELECT src AS id, count(*) AS deg FROM d GROUP BY src), "
+        "ideg AS (SELECT dst AS id, count(*) AS deg FROM d GROUP BY dst), "
+        "hs AS MATERIALIZED (SELECT c.bid // 2 AS id, c.component, o.deg "
+        "FROM comp c JOIN odeg o ON c.bid // 2 = o.id "
+        "WHERE c.bid % 2 = 0), "
+        "asd AS MATERIALIZED (SELECT (c.bid - 1) // 2 AS id, "
+        "c.component, i.deg FROM comp c "
+        "JOIN ideg i ON (c.bid - 1) // 2 = i.id WHERE c.bid % 2 = 1), "
+        "hstat AS (SELECT component, count(*) AS n_c, sum(deg) AS deg_c "
+        "FROM hs GROUP BY component), "
+        "astat AS (SELECT component, count(*) AS n_c, sum(deg) AS deg_c "
+        "FROM asd GROUP BY component), "
+        "hub AS (SELECT hs.id, (CAST(h.n_c AS DOUBLE) / "
+        "(SELECT count(*) FROM hs)) * hs.deg / h.deg_c AS hub "
+        "FROM hs JOIN hstat h USING (component)), "
+        "auth AS (SELECT asd.id, (CAST(a.n_c AS DOUBLE) / "
+        "(SELECT count(*) FROM asd)) * asd.deg / a.deg_c AS authority "
+        "FROM asd JOIN astat a USING (component)) "
+        "SELECT v.id, round(coalesce(h.hub, 0.0), 7) AS hub, "
+        "round(coalesce(a.authority, 0.0), 7) AS authority "
+        "FROM v LEFT JOIN hub h ON h.id = v.id "
+        "LEFT JOIN auth a ON a.id = v.id ORDER BY v.id"
+    )
+
+
 _SPARSE_EDGES_SQL = (
     f"SELECT l_partkey % {N_MOD} AS src, "
     f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst FROM lineitem "
@@ -2301,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized_join": q_pagerank_personalized_join,
         "spam_mass": q_spam_mass,
         "simrank": q_simrank,
+        "salsa": q_salsa,
         "pagerank_weighted_converged": q_pagerank_weighted_converged,
         "pagerank_topk": q_pagerank_topk,
         "pagerank_sink_roundtrip": q_pagerank_sink_roundtrip,
@@ -4775,6 +4836,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scrub_pii": _scrub_pii_sql(),
         "simrank": _simrank_sql(_MID_EDGES_SQL, 3),
+        "salsa": _salsa_sql(_MID_EDGES_SQL),
         "c4_clean": (
             "WITH aug AS MATERIALIZED (SELECT doc_id, text || "
             "CASE WHEN doc_id % 11 = 0 THEN ' enable javascript now.' "

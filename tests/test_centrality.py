@@ -1197,3 +1197,97 @@ def test_spam_mass_unreached_component(spark):
         assert abs(out[v]["rel_spam_mass"] - 1.0) < 1e-9
     for v in (0, 1, 2):
         assert out[v]["trust"] > out[v]["rank"]  # trust concentrates
+
+
+def _salsa_power_oracle(pairs, iters=300):
+    """Independent SALSA check: power-iterate the actual two-step
+    bipartite walks (authority chain a->h->a', hub chain h->a->h')
+    from the uniform start. Returns (hub, authority) dicts."""
+    from collections import defaultdict
+
+    out_n, in_n = defaultdict(set), defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            out_n[a].add(b)
+            in_n[b].add(a)
+    hubs = sorted(out_n)
+    auths = sorted(in_n)
+    a_vec = {j: 1.0 / len(auths) for j in auths}
+    for _ in range(iters):
+        nxt = {j: 0.0 for j in auths}
+        for j, mass in a_vec.items():
+            for h in in_n[j]:
+                part = mass / len(in_n[j]) / len(out_n[h])
+                for j2 in out_n[h]:
+                    nxt[j2] += part
+        a_vec = nxt
+    h_vec = {i: 1.0 / len(hubs) for i in hubs}
+    for _ in range(iters):
+        nxt = {i: 0.0 for i in hubs}
+        for i, mass in h_vec.items():
+            for j in out_n[i]:
+                part = mass / len(out_n[i]) / len(in_n[j])
+                for i2 in in_n[j]:
+                    nxt[i2] += part
+        h_vec = nxt
+    return h_vec, a_vec
+
+
+def test_salsa_matches_power_iteration(spark):
+    from pagerank_spark.operators.salsa import salsa
+
+    rng = np.random.RandomState(17)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 20, size=(60, 2))]
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in salsa(spark.createDataFrame(pairs, "src long, dst long")
+                       ).collect()
+    }
+    h_vec, a_vec = _salsa_power_oracle(pairs)
+    verts = {x for p in pairs for x in p}
+    assert set(got) == verts
+    for v in verts:
+        assert abs(got[v][0] - h_vec.get(v, 0.0)) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - a_vec.get(v, 0.0)) < 1e-9, ("auth", v)
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
+
+
+def test_salsa_tkc_resistance_vs_hits(spark):
+    """The TKC scenario from Lempel & Moran: a dense clique (link
+    farm, K5) plus one genuinely popular page (6 independent hubs +
+    one bridge link from the farm, so the support graph is connected
+    and SALSA authority is globally in-degree-proportional). HITS
+    authority concentrates on the clique — its principal singular
+    value (16) dwarfs the star's — while SALSA ranks the popular page
+    first. Separation is wide by iteration 6 (numpy: farm 0.44 vs
+    page 0.19 at every depth >= 6), so 8 rounds are decisive."""
+    from pagerank_spark.operators.hits import hits
+    from pagerank_spark.operators.salsa import salsa
+
+    farm = [(i, j) for i in range(5) for j in range(5) if i != j]
+    popular = [(h, 100) for h in range(10, 16)]  # 6 independent hubs
+    pairs = farm + popular + [(0, 100)]  # bridge connects the sides
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    s = {r["id"]: r["authority"] for r in salsa(e).collect()}
+    assert s[100] == max(s.values())
+    hh = {r["id"]: r["authority"] for r in hits(e, max_iter=8).collect()}
+    assert hh[100] < max(hh[v] for v in range(5))  # HITS captured by farm
+
+
+def test_salsa_parallel_edges_self_loops_empty(spark):
+    from pagerank_spark.operators.salsa import salsa
+
+    # parallel edges and self-loops do not change the support graph
+    base = [(0, 1), (1, 2)]
+    noisy = base + [(0, 1), (0, 1), (2, 2)]
+    a = {(r["id"], r["hub"], r["authority"])
+         for r in salsa(spark.createDataFrame(base, "src long, dst long")
+                        ).collect()}
+    b_rows = salsa(
+        spark.createDataFrame(noisy, "src long, dst long")
+    ).collect()
+    b = {(r["id"], r["hub"], r["authority"]) for r in b_rows}
+    assert a == b
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert salsa(empty).count() == 0
