@@ -370,6 +370,23 @@ def q_reciprocity(spark, sf_dir):
     return reciprocity(_edges(spark, sf_dir))
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve φ(k) (Zhou & Mondragón 2004) —
+    histogram suffix-sums, one row per distinct degree value."""
+    from pagerank_spark.operators.degrees import rich_club
+
+    return (
+        rich_club(_edges(spark, sf_dir))
+        .select(
+            "k",
+            "n_rich",
+            "e_rich",
+            F.round("rich_club", 7).alias("rich_club"),
+        )
+        .orderBy("k")
+    )
+
+
 KCORE_K = 15
 KCORE_SQL_ROUNDS = 6
 
@@ -395,8 +412,9 @@ LINKPRED_MIN_COMMON = 60
 
 
 def q_link_prediction(spark, sf_dir):
-    """Common-neighbors / Jaccard / Adamic-Adar scores for non-adjacent
-    pairs (min_common=60 keeps the gate result ~6k rows on the dense
+    """Common-neighbors / Jaccard / Adamic-Adar / resource-allocation /
+    preferential-attachment scores for non-adjacent pairs
+    (min_common=60 keeps the gate result ~6k rows on the dense
     canonical graph; the operator itself streams any size)."""
     from pagerank_spark.operators.linkpred import link_prediction
 
@@ -408,6 +426,8 @@ def q_link_prediction(spark, sf_dir):
             "common",
             F.round("jaccard", 7).alias("jaccard"),
             F.round("adamic_adar", 7).alias("adamic_adar"),
+            F.round("resource_alloc", 7).alias("resource_alloc"),
+            "pref_attach",
         )
         .orderBy("a", "b")
     )
@@ -2381,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_global": q_clustering_global,
         "degree_histogram": q_degree_histogram,
         "reciprocity": q_reciprocity,
+        "rich_club": q_rich_club,
         "k_core_repo": q_k_core_repo,
         "link_prediction": q_link_prediction,
         "sample_edges_md5": q_sample_edges_md5,
@@ -4470,20 +4491,44 @@ def oracle_sql() -> dict[str, str]:
         "k_core_repo": _kcore_sql(
             _corpus_edges_sql(as_ids=True), KCORE_K, KCORE_SQL_ROUNDS
         ),
+        "rich_club": (
+            f"WITH eg AS MATERIALIZED ({eg}), {_SIMPLE_DEG_SQL}, "
+            "dh AS (SELECT d AS k, count(*) AS nv FROM deg GROUP BY d), "
+            "mh AS (SELECT least(da.d, db.d) AS k, count(*) AS ne "
+            "FROM simple s JOIN deg da ON s.a = da.id "
+            "JOIN deg db ON s.b = db.id GROUP BY 1), "
+            "grid AS (SELECT k FROM dh UNION SELECT 0), "
+            "suf AS (SELECT g.k, "
+            "coalesce(sum(coalesce(dh.nv, 0)) OVER "
+            "(ORDER BY g.k DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS n_rich, "
+            "coalesce(sum(coalesce(mh.ne, 0)) OVER "
+            "(ORDER BY g.k DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS e_rich "
+            "FROM grid g LEFT JOIN dh ON g.k = dh.k "
+            "LEFT JOIN mh ON g.k = mh.k) "
+            "SELECT k, n_rich, e_rich, "
+            "round(2.0 * e_rich / (n_rich * (n_rich - 1)), 7) "
+            "AS rich_club FROM suf WHERE n_rich >= 2 ORDER BY k"
+        ),
         "link_prediction": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "
             "sym AS (SELECT a AS u, b AS v FROM simple "
             "UNION ALL SELECT b, a FROM simple), "
-            "wdg AS (SELECT l.u AS a, r.v AS b, 1.0 / ln(d.d) AS aa_w "
+            "wdg AS (SELECT l.u AS a, r.v AS b, 1.0 / ln(d.d) AS aa_w, "
+            "1.0 / d.d AS ra_w "
             "FROM sym l JOIN sym r ON l.v = r.u "
             "JOIN deg d ON d.id = l.v WHERE l.u < r.v), "
-            "sc AS (SELECT a, b, count(*) AS common, sum(aa_w) AS aa "
+            "sc AS (SELECT a, b, count(*) AS common, sum(aa_w) AS aa, "
+            "sum(ra_w) AS ra "
             "FROM wdg GROUP BY a, b), "
             "na AS (SELECT sc.* FROM sc LEFT JOIN simple s "
             "ON sc.a = s.a AND sc.b = s.b WHERE s.a IS NULL) "
             "SELECT na.a, na.b, common, "
             "round(CAST(common AS DOUBLE) / (da.d + db.d - common), 7) "
-            "AS jaccard, round(aa, 7) AS adamic_adar "
+            "AS jaccard, round(aa, 7) AS adamic_adar, "
+            "round(ra, 7) AS resource_alloc, "
+            "da.d * db.d AS pref_attach "
             "FROM na JOIN deg da ON na.a = da.id "
             "JOIN deg db ON na.b = db.id "
             f"WHERE common >= {LINKPRED_MIN_COMMON} ORDER BY na.a, na.b"

@@ -129,3 +129,91 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
         ).alias("assortativity")
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """``DataFrame[k, n_rich, e_rich, rich_club]`` — the rich-club
+    coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) of the undirected simple
+    graph, where N_k counts vertices of degree > k and E_k the edges
+    between them (Zhou & Mondragón, "The rich-club phenomenon in the
+    Internet topology", IEEE Comm. Lett. 2004). A rising φ(k) means
+    hubs preferentially interlink — the structural signature of a
+    link-farm core or an oligarchic backbone.
+
+    φ is piecewise-constant between consecutive degree values, so the
+    output grid is k = 0 plus every distinct degree present — every
+    distinct φ value appears exactly once. Rows with N_k < 2 (φ
+    undefined) are dropped.
+
+    Shape: one degree pass (O(V) rows shuffled), one degree histogram
+    and one edge min-endpoint-degree histogram (both map-side
+    combinable, output ≤ one row per DISTINCT degree value — thousands
+    even at web scale), then suffix sums by descending k on that tiny
+    frame. The single-partition window is deliberate and safe: its
+    input is the histogram, never the graph. Extension beyond the C
+    reference (SURVEY.md §2.3 family).
+    """
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.triangles import (
+        _simple_degrees,
+        _simple_undirected,
+    )
+
+    simple = _simple_undirected(edges).localCheckpoint()
+    deg = _simple_degrees(simple)
+    dhist = deg.groupBy(F.col("deg").alias("k")).agg(
+        F.count(F.lit(1)).alias("_nv")
+    )
+    # min(deg a, deg b) per edge: an edge survives the degree-> k cut
+    # iff BOTH endpoints exceed k, i.e. iff min(da, db) > k.
+    mhist = (
+        simple.join(
+            deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")),
+            "b",
+        )
+        .groupBy(F.least("_da", "_db").alias("k"))
+        .agg(F.count(F.lit(1)).alias("_ne"))
+    )
+    zero = edges.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("k")
+    )
+    grid = (
+        dhist.select("k")
+        .union(zero)
+        .distinct()
+        .join(dhist, "k", "left")
+        .join(mhist, "k", "left")
+        .select(
+            "k",
+            F.coalesce("_nv", F.lit(0)).alias("_nv"),
+            F.coalesce("_ne", F.lit(0)).alias("_ne"),
+        )
+    )
+    # suffix sums: everything STRICTLY above this k (rows are distinct
+    # k values, so "previous rows in descending order" is exactly > k)
+    w = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        grid.select(
+            "k",
+            F.coalesce(F.sum("_nv").over(w), F.lit(0)).alias("n_rich"),
+            F.coalesce(F.sum("_ne").over(w), F.lit(0)).alias("e_rich"),
+        )
+        .where(F.col("n_rich") >= 2)
+        .select(
+            "k",
+            "n_rich",
+            "e_rich",
+            (
+                2.0
+                * F.col("e_rich")
+                / (F.col("n_rich") * (F.col("n_rich") - F.lit(1)))
+            ).alias("rich_club"),
+        )
+    )

@@ -33,12 +33,19 @@ def link_prediction(
     min_common: int = 1,
     max_degree: int | None = None,
 ) -> DataFrame:
-    """``DataFrame[a, b, common, jaccard, adamic_adar]`` with a < b for
-    every NON-adjacent pair sharing >= ``min_common`` neighbors.
+    """``DataFrame[a, b, common, jaccard, adamic_adar, resource_alloc,
+    pref_attach]`` with a < b for every NON-adjacent pair sharing >=
+    ``min_common`` neighbors.
 
     ``jaccard = |Γa∩Γb| / |Γa∪Γb|``; ``adamic_adar = Σ_w 1/ln(deg w)``
     over common neighbors (degree-1 common neighbors are impossible by
-    construction, so ln(deg) >= ln 2 > 0). Undirected simple-graph
+    construction, so ln(deg) >= ln 2 > 0); ``resource_alloc =
+    Σ_w 1/deg w`` (Zhou, Lü & Zhang 2009 — like Adamic-Adar but
+    penalizing hub intermediaries linearly, the strongest of the
+    classical local indices in their benchmark); ``pref_attach =
+    deg a · deg b`` (Barabási-Albert growth likelihood). Both new
+    scores ride the SAME single wedge join and degree joins the first
+    three already pay — zero extra shuffles. Undirected simple-graph
     semantics, like the triangle family.
     """
     simple = _simple_undirected(edges).localCheckpoint()
@@ -66,11 +73,13 @@ def link_prediction(
             F.col("u").alias("a"),
             "b",
             (1.0 / F.log(F.col("deg"))).alias("aa_w"),
+            (1.0 / F.col("deg")).alias("ra_w"),
         )
     )
     scored = wedges.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("common"),
         F.sum("aa_w").alias("adamic_adar"),
+        F.sum("ra_w").alias("resource_alloc"),
     )
     non_adjacent = scored.join(simple, ["a", "b"], "left_anti")
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("_da"))
@@ -88,6 +97,8 @@ def link_prediction(
                 / (F.col("_da") + F.col("_db") - F.col("common"))
             ).alias("jaccard"),
             "adamic_adar",
+            "resource_alloc",
+            (F.col("_da") * F.col("_db")).alias("pref_attach"),
         )
     )
 

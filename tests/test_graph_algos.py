@@ -438,7 +438,13 @@ def test_link_prediction_vs_bruteforce(spark):
     pairs = [(int(a), int(b)) for a, b in rng.randint(0, 25, size=(90, 2))]
     e = spark.createDataFrame(pairs, "src long, dst long")
     got = {
-        (r["a"], r["b"]): (r["common"], r["jaccard"], r["adamic_adar"])
+        (r["a"], r["b"]): (
+            r["common"],
+            r["jaccard"],
+            r["adamic_adar"],
+            r["resource_alloc"],
+            r["pref_attach"],
+        )
         for r in link_prediction(e).collect()
     }
     adj = {}
@@ -457,12 +463,16 @@ def test_link_prediction_vs_bruteforce(spark):
             len(cn),
             len(cn) / len(adj[u] | adj[v]),
             sum(1.0 / math.log(len(adj[w])) for w in cn),
+            sum(1.0 / len(adj[w]) for w in cn),
+            len(adj[u]) * len(adj[v]),
         )
     assert set(got) == set(want)
     for k in want:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 1e-12, k
         assert abs(got[k][2] - want[k][2]) < 1e-9, k
+        assert abs(got[k][3] - want[k][3]) < 1e-12, k
+        assert got[k][4] == want[k][4], k
 
 
 def test_link_prediction_max_degree_cap(spark):
@@ -1297,3 +1307,56 @@ def test_bowtie_empty_and_pure_cycle(spark):
     )
     rows = bowtie_decomposition(cyc).collect()
     assert {r["region"] for r in rows} == {"CORE"} and len(rows) == 3
+
+
+def test_rich_club_vs_bruteforce(spark):
+    from pagerank_spark.operators.degrees import rich_club
+
+    rng = np.random.RandomState(33)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 30, size=(120, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["k"]: (r["n_rich"], r["e_rich"], r["rich_club"])
+        for r in rich_club(e).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    degs = {v: len(ns) for v, ns in adj.items()}
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    grid = {0} | set(degs.values())
+    want = {}
+    for k in grid:
+        rich = {v for v, d in degs.items() if d > k}
+        if len(rich) < 2:
+            continue
+        ek = sum(1 for a, b in edges if a in rich and b in rich)
+        want[k] = (
+            len(rich),
+            ek,
+            2.0 * ek / (len(rich) * (len(rich) - 1)),
+        )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == want[k][1], k
+        assert abs(got[k][2] - want[k][2]) < 1e-12, k
+
+
+def test_rich_club_clique_core_rises(spark):
+    """K6 core + one pendant leaf per core vertex: φ(0) counts the
+    leaves (dilution), φ(k>=1) is the pure clique = 1.0 — the curve
+    must rise, and k=0's value is exactly 2(15+6)/(12·11)."""
+    from pagerank_spark.operators.degrees import rich_club
+
+    core = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    leaves = [(i, 10 + i) for i in range(6)]
+    e = spark.createDataFrame(core + leaves, "src long, dst long")
+    out = {r["k"]: r for r in rich_club(e).collect()}
+    assert abs(out[0]["rich_club"] - 2.0 * 21 / (12 * 11)) < 1e-12
+    assert out[1]["n_rich"] == 6 and out[1]["e_rich"] == 15
+    assert abs(out[1]["rich_club"] - 1.0) < 1e-12
+    # k grid ends below the max degree (N_k = 0 or 1 rows dropped)
+    assert max(out) < 6
