@@ -370,6 +370,22 @@ def q_reciprocity(spark, sf_dir):
     return reciprocity(_edges(spark, sf_dir))
 
 
+def q_avg_neighbor_degree(spark, sf_dir):
+    """Degree-correlation curve k_nn(k) (Pastor-Satorras et al. 2001)
+    — exact integer sums, one closed-form division per degree class."""
+    from pagerank_spark.operators.degrees import avg_neighbor_degree
+
+    return (
+        avg_neighbor_degree(_edges(spark, sf_dir))
+        .select(
+            "degree",
+            F.round("knn", 7).alias("knn"),
+            "n_vertices",
+        )
+        .orderBy("degree")
+    )
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club coefficient curve φ(k) (Zhou & Mondragón 2004) —
     histogram suffix-sums, one row per distinct degree value."""
@@ -483,6 +499,28 @@ _MID_EDGES_SQL = (
     f"SELECT l_partkey % {N_MOD} AS src, "
     f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst FROM lineitem "
     "WHERE l_suppkey % 29 = 0"
+)
+
+
+def _edges_mid_weighted(spark, sf_dir):
+    """The mid graph with an integer-valued double weight (1..97) —
+    rich tie structure for the MSF total-order tie-break, arithmetic
+    both engines replay exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_suppkey") % 29 == 0).select(
+        (F.col("l_partkey") % N_MOD).alias("src"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias("dst"),
+        (F.lit(1) + (F.col("l_partkey") * 3 + F.col("l_suppkey")) % 97)
+        .cast("double")
+        .alias("weight"),
+    )
+
+
+_MID_W_EDGES_SQL = (
+    f"SELECT l_partkey % {N_MOD} AS src, "
+    f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst, "
+    "CAST(1 + (l_partkey * 3 + l_suppkey) % 97 AS DOUBLE) AS weight "
+    "FROM lineitem WHERE l_suppkey % 29 = 0"
 )
 
 
@@ -997,6 +1035,34 @@ def q_mis_md5(spark, sf_dir):
     return maximal_independent_set(
         _edges_sparse(spark, sf_dir), hash_fn="md5"
     ).orderBy("id")
+
+
+MSF_SQL_ROUNDS = 10  # components at least halve per round; 2^10 > V=500
+
+
+def q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest on the weighted mid graph —
+    every round (per-component argmin + label contraction) replayed by
+    the unrolled oracle; Kruskal equivalence pinned by pytest."""
+    from pagerank_spark.operators.mst import minimum_spanning_forest
+
+    return minimum_spanning_forest(
+        _edges_mid_weighted(spark, sf_dir), weight_col="weight"
+    ).orderBy("a", "b")
+
+
+MATCHING_SQL_ROUNDS = 15  # locally-dominant O(log E); extras are no-ops
+
+
+def q_matching_md5(spark, sf_dir):
+    """Deterministic locally-dominant-edge maximal matching (Israeli &
+    Itai 1986, md5 round priorities) on the sparse graph — every round
+    replayed by the unrolled oracle."""
+    from pagerank_spark.operators.mis import maximal_matching
+
+    return maximal_matching(
+        _edges_sparse(spark, sf_dir), hash_fn="md5"
+    ).orderBy("a", "b")
 
 
 COLORING_SQL_COLORS = 10   # sf0.1 needs 8; extras are no-ops
@@ -2402,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "reciprocity": q_reciprocity,
         "rich_club": q_rich_club,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
         "k_core_repo": q_k_core_repo,
         "link_prediction": q_link_prediction,
         "sample_edges_md5": q_sample_edges_md5,
@@ -2415,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_copurchase": q_densest_copurchase,
         "copurchase_jaccard": q_copurchase_jaccard,
         "mis_md5": q_mis_md5,
+        "matching_md5": q_matching_md5,
+        "min_spanning_forest": q_msf,
         "coloring_md5": q_coloring_md5,
         "topo_levels": q_topo_levels,
         "wl_colors_md5": q_wl_colors_md5,
@@ -3325,6 +3394,92 @@ def _mis_sql(edges_sql: str, rounds: int) -> str:
         ]
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id FROM mis{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _msf_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled Borůvka: per round each component's minimum incident
+    edge under (weight, a, b), selected edges contract component labels
+    via a per-round recursive symmetric closure, forest accumulates.
+    Rounds past the last merge are no-ops (no inter-component edges)."""
+    parts = [
+        f"WITH RECURSIVE eg AS MATERIALIZED ({edges_sql}),",
+        "we AS MATERIALIZED (SELECT least(src, dst) AS a, "
+        "greatest(src, dst) AS b, min(weight) AS weight FROM eg "
+        "WHERE src <> dst GROUP BY 1, 2),",
+        "l0 AS (SELECT DISTINCT id, id AS label FROM "
+        "(SELECT a AS id FROM we UNION ALL SELECT b FROM we)),",
+        "f0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) "
+        "AS b, CAST(NULL AS DOUBLE) AS weight WHERE 1 = 0),",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"er{r} AS MATERIALIZED (SELECT w.a, w.b, w.weight, "
+            f"x.label AS la, y.label AS lb FROM we w "
+            f"JOIN l{r-1} x ON w.a = x.id JOIN l{r-1} y ON w.b = y.id "
+            f"WHERE x.label <> y.label),",
+            f"sel{r} AS MATERIALIZED (SELECT DISTINCT k['w'] AS w, "
+            f"k['ia'] AS ia, k['ib'] AS ib FROM ("
+            f"SELECT min(struct_pack(w := weight, ia := a, ib := b)) AS k "
+            f"FROM (SELECT la AS c, weight, a, b FROM er{r} "
+            f"UNION ALL SELECT lb, weight, a, b FROM er{r}) "
+            f"GROUP BY c)),",
+            f"ss{r} AS (SELECT e.la AS x, e.lb AS y FROM sel{r} s "
+            f"JOIN er{r} e ON s.ia = e.a AND s.ib = e.b "
+            f"UNION SELECT e.lb, e.la FROM sel{r} s "
+            f"JOIN er{r} e ON s.ia = e.a AND s.ib = e.b),",
+            f"rc{r}(x, y) AS (SELECT x, y FROM ss{r} UNION "
+            f"SELECT r.x, s.y FROM rc{r} r JOIN ss{r} s ON r.y = s.x),",
+            f"rl{r} AS MATERIALIZED (SELECT x AS old, least(x, min(y)) "
+            f"AS new FROM rc{r} GROUP BY x),",
+            f"l{r} AS MATERIALIZED (SELECT l.id, "
+            f"coalesce(rl.new, l.label) AS label FROM l{r-1} l "
+            f"LEFT JOIN rl{r} rl ON l.label = rl.old),",
+            f"f{r} AS MATERIALIZED (SELECT a, b, weight FROM f{r-1} "
+            f"UNION ALL SELECT ia, ib, w FROM sel{r}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT a, b, weight FROM f{rounds} ORDER BY a, b")
+    return "\n".join(parts)
+
+
+def _matching_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled deterministic locally-dominant-edge matching: per
+    round md5 priorities over the live simple edges, an edge wins iff
+    its (priority, a, b) triple is the minimum at BOTH endpoints,
+    winners' endpoints leave the live subgraph."""
+    h = lambda x: _MD5H.format(x=x)  # noqa: E731
+    pr = h(
+        "CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR) "
+        f"|| '|' || '{{r}}'"
+    )
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        "l0 AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS a, "
+        "CAST(NULL AS BIGINT) AS b WHERE 1 = 0),",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"p{r} AS MATERIALIZED (SELECT a, b, struct_pack("
+            f"p := {pr.format(r=r)}, ia := a, ib := b) AS k FROM l{r-1}),",
+            f"vm{r} AS (SELECT v, min(k) AS mk FROM "
+            f"(SELECT a AS v, k FROM p{r} "
+            f"UNION ALL SELECT b, k FROM p{r}) GROUP BY v),",
+            f"w{r} AS MATERIALIZED (SELECT q.a, q.b FROM p{r} q "
+            f"JOIN vm{r} x ON q.a = x.v AND q.k = x.mk "
+            f"JOIN vm{r} y ON q.b = y.v AND q.k = y.mk),",
+            f"v{r} AS (SELECT a AS id FROM w{r} "
+            f"UNION SELECT b FROM w{r}),",
+            f"m{r} AS MATERIALIZED (SELECT a, b FROM m{r-1} "
+            f"UNION ALL SELECT a, b FROM w{r}),",
+            f"l{r} AS MATERIALIZED (SELECT a, b FROM l{r-1} "
+            f"WHERE a NOT IN (SELECT id FROM v{r}) "
+            f"AND b NOT IN (SELECT id FROM v{r})),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT a, b FROM m{rounds} ORDER BY a, b")
     return "\n".join(parts)
 
 
@@ -4491,6 +4646,18 @@ def oracle_sql() -> dict[str, str]:
         "k_core_repo": _kcore_sql(
             _corpus_edges_sql(as_ids=True), KCORE_K, KCORE_SQL_ROUNDS
         ),
+        "avg_neighbor_degree": (
+            f"WITH eg AS MATERIALIZED ({eg}), {_SIMPLE_DEG_SQL}, "
+            "sym AS (SELECT a AS u, b AS v FROM simple "
+            "UNION ALL SELECT b, a FROM simple), "
+            "pv AS (SELECT s.u, sum(d.d) AS sv FROM sym s "
+            "JOIN deg d ON s.v = d.id GROUP BY s.u) "
+            "SELECT du.d AS degree, "
+            "round(CAST(sum(pv.sv) AS DOUBLE) / (du.d * count(*)), 7) "
+            "AS knn, count(*) AS n_vertices "
+            "FROM pv JOIN deg du ON pv.u = du.id "
+            "GROUP BY du.d ORDER BY degree"
+        ),
         "rich_club": (
             f"WITH eg AS MATERIALIZED ({eg}), {_SIMPLE_DEG_SQL}, "
             "dh AS (SELECT d AS k, count(*) AS nv FROM deg GROUP BY d), "
@@ -4600,6 +4767,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY src, dst"
         ),
         "mis_md5": _mis_sql(_SPARSE_EDGES_SQL, MIS_SQL_ROUNDS),
+        "matching_md5": _matching_sql(_SPARSE_EDGES_SQL, MATCHING_SQL_ROUNDS),
+        "min_spanning_forest": _msf_sql(_MID_W_EDGES_SQL, MSF_SQL_ROUNDS),
         "coloring_md5": _coloring_sql(
             _SPARSE_EDGES_SQL, COLORING_SQL_COLORS, COLORING_SQL_MIS_ROUNDS
         ),

@@ -373,6 +373,53 @@ class LinkGraph:
 
         return greedy_coloring(self.edges, max_colors=max_colors)
 
+    def maximal_matching(self, max_iter: int = 50) -> DataFrame:
+        from pagerank_spark.operators.mis import maximal_matching
+
+        return maximal_matching(self.edges, max_iter=max_iter)
+
+    def rich_club(self) -> DataFrame:
+        from pagerank_spark.operators.degrees import rich_club
+
+        return rich_club(self.edges)
+
+    def minimum_spanning_forest(self, max_iter: int = 30) -> DataFrame:
+        from pagerank_spark.operators.mst import minimum_spanning_forest
+
+        return minimum_spanning_forest(
+            self.edges, weight_col=self.weight_col, max_iter=max_iter
+        )
+
+    def avg_neighbor_degree(self) -> DataFrame:
+        from pagerank_spark.operators.degrees import avg_neighbor_degree
+
+        return avg_neighbor_degree(self.edges)
+
+    def salsa(self) -> DataFrame:
+        from pagerank_spark.operators.salsa import salsa
+
+        return salsa(self.edges)
+
+    def simrank(self, c: float = 0.8, iters: int = 3) -> DataFrame:
+        from pagerank_spark.operators.simrank import simrank
+
+        return simrank(self.edges, c=c, iters=iters)
+
+    def spam_mass(self, trusted: list[int], **kwargs) -> DataFrame:
+        from pagerank_spark.operators.centrality import spam_mass
+
+        return spam_mass(self.edges, trusted, n=self.n, **kwargs)
+
+    def four_cycles(self, max_degree: int | None = None) -> DataFrame:
+        from pagerank_spark.operators.linkpred import four_cycles
+
+        return four_cycles(self.edges, max_degree=max_degree)
+
+    def bowtie_decomposition(self, **kwargs) -> DataFrame:
+        from pagerank_spark.operators.bowtie import bowtie_decomposition
+
+        return bowtie_decomposition(self.edges, **kwargs)
+
     def topological_levels(self, max_iter: int = 100) -> DataFrame:
         from pagerank_spark.operators.paths import topological_levels
 

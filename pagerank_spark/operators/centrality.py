@@ -573,8 +573,18 @@ def spam_mass(
 
     One extra O(V) co-partitioned join on top of the two rank runs;
     both runs reuse the same prepared edge layout arguments.
+
+    ``eps=0.0`` (exact fixed-k replay mode, used by the oracle gates)
+    requires an explicit ``max_iter`` — a zero residual target alone
+    never stops the do-while loop.
     """
     from pagerank_spark.operators.pagerank import pagerank
+
+    if eps <= 0.0 and max_iter is None:
+        raise ValueError(
+            "spam_mass: eps=0.0 needs an explicit max_iter "
+            "(a zero residual target never converges)"
+        )
 
     pr = pagerank(
         edges, n=n, d=d, eps=eps, max_iter=max_iter,

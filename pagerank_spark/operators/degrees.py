@@ -217,3 +217,63 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ).alias("rich_club"),
         )
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """``DataFrame[degree, knn, n_vertices]`` — the degree-correlation
+    curve k_nn(k): for each degree class k, the mean over vertices of
+    degree k of the average degree of their neighbors
+    (Pastor-Satorras, Vázquez & Vespignani, "Dynamical and correlation
+    properties of the Internet", PRL 2001). A falling curve is
+    disassortative (hubs feed leaves — typical of the web); rising is
+    assortative. The per-vertex intermediate is the standard ML
+    feature; the curve is its stable, plottable summary.
+
+    Numerics: within a degree class every vertex divides by the same
+    k, so the mean of per-vertex averages collapses to
+    ``Σ_v S_v / (k · N_k)`` with ``S_v`` the integer sum of v's
+    neighbor degrees — aggregated exactly (order-insensitive, so the
+    result is bit-reproducible across partitionings AND engines, the
+    assortativity convention), one closed-form double at the end.
+
+    Shape: one degree pass, one join of the O(E) symmetric edge list
+    against the O(V) degree table (degree rides to the neighbor side),
+    then two map-side-combinable integer aggregations (per vertex, per
+    degree class). No window, no driver state. Undirected simple-graph
+    semantics, like the triangle family. Extension beyond the C
+    reference (SURVEY.md §2.3 family).
+    """
+    from pagerank_spark.operators.triangles import (
+        _simple_degrees,
+        _simple_undirected,
+    )
+
+    simple = _simple_undirected(edges).localCheckpoint()
+    deg = _simple_degrees(simple)
+    sym = simple.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        simple.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    per_vertex = (
+        sym.join(deg.select(F.col("id").alias("v"), F.col("deg").alias("_dn")), "v")
+        .groupBy("u")
+        .agg(F.sum("_dn").alias("_s"))
+    )
+    return (
+        per_vertex.join(
+            deg.select(F.col("id").alias("u"), F.col("deg").alias("degree")),
+            "u",
+        )
+        .groupBy("degree")
+        .agg(
+            F.sum("_s").alias("_ss"),
+            F.count(F.lit(1)).alias("n_vertices"),
+        )
+        .select(
+            "degree",
+            (
+                F.col("_ss").cast("double")
+                / (F.col("degree") * F.col("n_vertices"))
+            ).alias("knn"),
+            "n_vertices",
+        )
+    )

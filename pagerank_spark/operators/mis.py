@@ -166,3 +166,98 @@ def greedy_coloring(
             "needed; raise the cap"
         )
     return colored
+
+
+def maximal_matching(
+    edges: DataFrame,
+    max_iter: int = 50,
+    hash_fn: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``DataFrame[a: long, b: long]`` (a < b) — a maximal matching of
+    the undirected simple projection: no two output edges share a
+    vertex, and every remaining edge touches a matched vertex.
+
+    The locally-dominant-edge rule (Israeli & Itai 1986, "A fast and
+    simple randomized parallel algorithm for maximal matching",
+    de-randomized by the engine's hash convention): per round every
+    live edge draws priority hash(a|b|round), and an edge enters the
+    matching iff its (priority, a, b) triple is the strict minimum
+    among ALL live edges incident to either endpoint — one pooled
+    per-vertex min-aggregate (both endpoint columns unioned) and one
+    equality join, the same bounded-join shape as
+    :func:`maximal_independent_set`. Winners' endpoints leave the
+    live subgraph. The global minimum edge always wins, so progress is
+    guaranteed; with uniform priorities the expected round count is
+    O(log E). ``hash_fn="md5"`` makes every round ANSI-replayable
+    (the portable-twin pattern).
+    """
+    spark = edges.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    live = _simple_undirected(edges).repartition(P, "a").localCheckpoint()
+    matched = spark.createDataFrame([], "a long, b long").localCheckpoint()
+    exhausted = True
+    for rnd in range(1, max_iter + 1):
+        if live.isEmpty():
+            exhausted = False
+            break
+        pri = live.select(
+            "a",
+            "b",
+            F.struct(
+                hash64(
+                    F.concat_ws(
+                        "|",
+                        F.col("a").cast("string"),
+                        F.col("b").cast("string"),
+                        F.lit(str(rnd)),
+                    ),
+                    hash_fn,
+                ).alias("_p"),
+                F.col("a").alias("_ia"),
+                F.col("b").alias("_ib"),
+            ).alias("_k"),
+        )
+        # per-VERTEX min over all incident edges (a vertex appears in
+        # both endpoint columns — the two sides must be pooled)
+        vmin = (
+            pri.select(F.col("a").alias("v"), "_k")
+            .union(pri.select(F.col("b").alias("v"), "_k"))
+            .groupBy("v")
+            .agg(F.min("_k").alias("_m"))
+        )
+        winners = (
+            pri.join(
+                vmin.select(F.col("v").alias("a"), F.col("_m").alias("_ma")),
+                "a",
+            )
+            .join(
+                vmin.select(F.col("v").alias("b"), F.col("_m").alias("_mb")),
+                "b",
+            )
+            .where((F.col("_k") == F.col("_ma")) & (F.col("_k") == F.col("_mb")))
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        matched = matched.unionByName(winners).localCheckpoint()
+        done_v = (
+            winners.select(F.col("a").alias("id"))
+            .union(winners.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        live = (
+            live.join(done_v.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(done_v.withColumnRenamed("id", "b"), "b", "left_anti")
+            .localCheckpoint()
+        )
+    if exhausted and not live.isEmpty():
+        import warnings
+
+        warnings.warn(
+            f"maximal_matching: {live.count()} edges still live after "
+            f"max_iter={max_iter} rounds — the returned matching is a "
+            "matching but may not be maximal",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return matched

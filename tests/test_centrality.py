@@ -676,6 +676,63 @@ def test_mis_independent_and_maximal(spark):
     assert s == s2
 
 
+def test_matching_is_matching_and_maximal(spark):
+    from pagerank_spark.operators.mis import maximal_matching
+
+    pairs = _random_pairs(222, 30, 90)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    m = {(r["a"], r["b"]) for r in maximal_matching(e).collect()}
+    simple = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    assert m <= simple  # only real edges
+    used: set[int] = set()
+    for a, b in m:
+        assert a not in used and b not in used  # vertex-disjoint
+        used.update((a, b))
+    # maximal: every remaining simple edge touches a matched vertex
+    assert all(a in used or b in used for a, b in simple)
+    # deterministic: identical across reruns
+    m2 = {(r["a"], r["b"]) for r in maximal_matching(e).collect()}
+    assert m == m2
+
+
+def test_matching_replays_sequential_greedy(spark):
+    """The locally-dominant rule equals sequential greedy over edges
+    sorted by (round-1 priority, a, b) ONLY for edges matched in round
+    1; later rounds re-draw. Replay the full per-round rule instead."""
+    import hashlib
+
+    from pagerank_spark.operators.mis import maximal_matching
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pairs = _random_pairs(777, 25, 70)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in maximal_matching(e, hash_fn="md5").collect()}
+    live = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    want: set[tuple[int, int]] = set()
+    rnd = 0
+    while live:
+        rnd += 1
+        key = {
+            (a, b): (h(f"{a}|{b}|{rnd}"), a, b) for a, b in live
+        }
+        vmin: dict[int, tuple] = {}
+        for (a, b), k in key.items():
+            for v in (a, b):
+                if v not in vmin or k < vmin[v]:
+                    vmin[v] = k
+        winners = {
+            (a, b)
+            for (a, b), k in key.items()
+            if vmin[a] == k and vmin[b] == k
+        }
+        want |= winners
+        used = {v for w in winners for v in w}
+        live = {(a, b) for a, b in live if a not in used and b not in used}
+    assert got == want
+
+
 def test_topological_levels_dag_and_cycle(spark):
     import warnings
 

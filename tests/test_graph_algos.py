@@ -1360,3 +1360,103 @@ def test_rich_club_clique_core_rises(spark):
     assert abs(out[1]["rich_club"] - 1.0) < 1e-12
     # k grid ends below the max degree (N_k = 0 or 1 rows dropped)
     assert max(out) < 6
+
+
+def test_avg_neighbor_degree_vs_bruteforce(spark):
+    from pagerank_spark.operators.degrees import avg_neighbor_degree
+
+    rng = np.random.RandomState(44)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 30, size=(100, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["degree"]: (r["knn"], r["n_vertices"])
+        for r in avg_neighbor_degree(e).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    degs = {v: len(ns) for v, ns in adj.items()}
+    by_k = {}
+    for v, ns in adj.items():
+        and_v = sum(degs[w] for w in ns) / degs[v]
+        by_k.setdefault(degs[v], []).append(and_v)
+    want = {k: (sum(vs) / len(vs), len(vs)) for k, vs in by_k.items()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9, k
+        assert got[k][1] == want[k][1], k
+    # star: hub (deg n-1) sees leaves (deg 1); leaves see the hub
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    s = {r["degree"]: r["knn"] for r in avg_neighbor_degree(star).collect()}
+    assert s == {5: 1.0, 1: 5.0}
+
+
+def _kruskal(pairs_w):
+    """Kruskal under the engine's total order (weight, a, b)."""
+    best = {}
+    for a, b, w in pairs_w:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        if k not in best or w < best[k]:
+            best[k] = w
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for (a, b), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            forest.add((a, b, w))
+    return forest
+
+
+def test_msf_matches_kruskal(spark):
+    from pagerank_spark.operators.mst import minimum_spanning_forest
+
+    rng = np.random.RandomState(55)
+    rows = [
+        (int(a), int(b), float(w))
+        for (a, b), w in zip(
+            rng.randint(0, 40, size=(150, 2)), rng.randint(1, 9, size=150)
+        )
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = {
+        (r["a"], r["b"], r["weight"])
+        for r in minimum_spanning_forest(e, weight_col="weight").collect()
+    }
+    assert got == _kruskal(rows)
+    # determinism across reruns (ties abound: weights are 1..8)
+    got2 = {
+        (r["a"], r["b"], r["weight"])
+        for r in minimum_spanning_forest(e, weight_col="weight").collect()
+    }
+    assert got == got2
+
+
+def test_msf_unweighted_spanning_and_empty(spark):
+    from pagerank_spark.operators.mst import minimum_spanning_forest
+
+    # two components: a triangle (0,1,2) and a path (10-11)
+    rows = [(0, 1), (1, 2), (0, 2), (10, 11)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r["a"], r["b"]) for r in minimum_spanning_forest(e).collect()
+    }
+    # spanning forest: 2 edges for the triangle component, 1 for the path
+    assert len(got) == 3 and (10, 11) in got
+    assert got == {(a, b) for a, b, _ in _kruskal([(a, b, 1.0) for a, b in rows])}
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert minimum_spanning_forest(empty).count() == 0

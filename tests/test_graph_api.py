@@ -138,3 +138,23 @@ def test_linkgraph_round3_surface(spark):
     assert anf[-1]["pairs_est"] > 0
     core = g.k_truss_core(3)
     assert core.edges.count() >= 0
+
+
+def test_linkgraph_round4_surface(spark):
+    from pagerank_spark.testing import DEMO_EDGES, DEMO_N, edges_df
+
+    g = LinkGraph(edges=edges_df(spark, DEMO_EDGES), n=DEMO_N)
+    m = g.maximal_matching().collect()
+    assert m  # non-empty on a graph with edges
+    rc = {r["k"]: r["rich_club"] for r in g.rich_club().collect()}
+    assert 0 in rc
+    s = {r["id"]: r for r in g.salsa().collect()}
+    assert abs(sum(r["hub"] for r in s.values()) - 1.0) < 1e-9
+    sr = g.simrank(iters=2).collect()
+    assert all(0.0 < r["score"] <= 1.0 for r in sr)
+    sm = g.spam_mass(trusted=[0], max_iter=10).collect()
+    assert {r["id"] for r in sm} == set(range(DEMO_N))
+    fc = g.four_cycles().collect()[0]
+    assert fc["n_four_cycles"] >= 0
+    bt = {r["id"]: r["region"] for r in g.bowtie_decomposition().collect()}
+    assert len(bt) == DEMO_N
