@@ -1037,6 +1037,16 @@ def q_mis_md5(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_vertex_cover_md5(spark, sf_dir):
+    """2-approximation vertex cover: the endpoints of the
+    deterministic maximal matching (Gavril bound)."""
+    from pagerank_spark.operators.mis import vertex_cover
+
+    return vertex_cover(_edges_sparse(spark, sf_dir), hash_fn="md5").orderBy(
+        "id"
+    )
+
+
 MSF_SQL_ROUNDS = 10  # components at least halve per round; 2^10 > V=500
 
 
@@ -2483,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_jaccard": q_copurchase_jaccard,
         "mis_md5": q_mis_md5,
         "matching_md5": q_matching_md5,
+        "vertex_cover_md5": q_vertex_cover_md5,
         "min_spanning_forest": q_msf,
         "coloring_md5": q_coloring_md5,
         "topo_levels": q_topo_levels,
@@ -3443,11 +3454,15 @@ def _msf_sql(edges_sql: str, rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _matching_sql(edges_sql: str, rounds: int) -> str:
+def _matching_sql(
+    edges_sql: str, rounds: int, final: str | None = None
+) -> str:
     """Unrolled deterministic locally-dominant-edge matching: per
     round md5 priorities over the live simple edges, an edge wins iff
     its (priority, a, b) triple is the minimum at BOTH endpoints,
-    winners' endpoints leave the live subgraph."""
+    winners' endpoints leave the live subgraph. ``final`` overrides
+    the closing SELECT (it sees ``m{rounds}``) — the vertex-cover
+    oracle projects the matching's endpoint set instead."""
     h = lambda x: _MD5H.format(x=x)  # noqa: E731
     pr = h(
         "CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR) "
@@ -3479,7 +3494,7 @@ def _matching_sql(edges_sql: str, rounds: int) -> str:
             f"AND b NOT IN (SELECT id FROM v{r})),",
         ]
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(f"SELECT a, b FROM m{rounds} ORDER BY a, b")
+    parts.append(final or f"SELECT a, b FROM m{rounds} ORDER BY a, b")
     return "\n".join(parts)
 
 
@@ -4768,6 +4783,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mis_md5": _mis_sql(_SPARSE_EDGES_SQL, MIS_SQL_ROUNDS),
         "matching_md5": _matching_sql(_SPARSE_EDGES_SQL, MATCHING_SQL_ROUNDS),
+        "vertex_cover_md5": _matching_sql(
+            _SPARSE_EDGES_SQL,
+            MATCHING_SQL_ROUNDS,
+            final=(
+                f"SELECT DISTINCT id FROM (SELECT a AS id FROM "
+                f"m{MATCHING_SQL_ROUNDS} UNION ALL SELECT b FROM "
+                f"m{MATCHING_SQL_ROUNDS}) ORDER BY id"
+            ),
+        ),
         "min_spanning_forest": _msf_sql(_MID_W_EDGES_SQL, MSF_SQL_ROUNDS),
         "coloring_md5": _coloring_sql(
             _SPARSE_EDGES_SQL, COLORING_SQL_COLORS, COLORING_SQL_MIS_ROUNDS

@@ -378,6 +378,11 @@ class LinkGraph:
 
         return maximal_matching(self.edges, max_iter=max_iter)
 
+    def vertex_cover(self, max_iter: int = 50) -> DataFrame:
+        from pagerank_spark.operators.mis import vertex_cover
+
+        return vertex_cover(self.edges, max_iter=max_iter)
+
     def rich_club(self) -> DataFrame:
         from pagerank_spark.operators.degrees import rich_club
 

@@ -261,3 +261,27 @@ def maximal_matching(
             stacklevel=2,
         )
     return matched
+
+
+def vertex_cover(
+    edges: DataFrame,
+    max_iter: int = 50,
+    hash_fn: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``DataFrame[id: long]`` — a vertex cover (every edge has an
+    endpoint in the set) at most 2× the optimum: the endpoints of a
+    maximal matching (Gavril / Yannakakis folklore bound — each
+    matched edge needs ≥1 cover vertex and the matching's edges are
+    disjoint, so OPT ≥ |M| while this set has exactly 2|M|).
+    Deterministic via :func:`maximal_matching`'s hash convention.
+    """
+    m = maximal_matching(
+        edges, max_iter=max_iter, hash_fn=hash_fn,
+        num_partitions=num_partitions,
+    )
+    return (
+        m.select(F.col("a").alias("id"))
+        .union(m.select(F.col("b").alias("id")))
+        .distinct()
+    )

@@ -1348,3 +1348,27 @@ def test_salsa_parallel_edges_self_loops_empty(spark):
     assert a == b
     empty = spark.createDataFrame([], "src long, dst long")
     assert salsa(empty).count() == 0
+
+
+def test_vertex_cover_covers_and_2approx(spark):
+    import itertools
+
+    from pagerank_spark.operators.mis import vertex_cover
+
+    pairs = _random_pairs(99, 14, 30)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    cover = {r["id"] for r in vertex_cover(e).collect()}
+    simple = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    assert all(a in cover or b in cover for a, b in simple)  # covers
+    # exact minimum cover by brute force (14 vertices)
+    verts = sorted({x for p in simple for x in p})
+    opt = None
+    for k in range(len(verts) + 1):
+        for s in itertools.combinations(verts, k):
+            ss = set(s)
+            if all(a in ss or b in ss for a, b in simple):
+                opt = k
+                break
+        if opt is not None:
+            break
+    assert len(cover) <= 2 * opt
