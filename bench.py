@@ -110,6 +110,15 @@ EXTRA = [
     "mixture_rebalance_md5",
     "semdedup_md5",
     "gopher_stream",
+    "salsa",
+    "simrank",
+    "spam_mass",
+    "four_cycles",
+    "bowtie",
+    "matching_md5",
+    "min_spanning_forest",
+    "rich_club",
+    "avg_neighbor_degree",
 ]
 
 SCALE_N = 2_000_000
