@@ -2216,6 +2216,61 @@ def q_dedup_stream(spark, sf_dir):
     return spark.table(name).orderBy("content_hash")
 
 
+HLL_STREAM_P = 8  # m=256 registers per window
+
+
+def q_hll_uniques_stream(spark, sf_dir):
+    """Streaming HLL unique-users per hour (md5 registers): the
+    max-register state is an order-independent monoid, so the drained
+    result equals the batch computation bit-for-bit — the oracle
+    recomputes every register and the Flajolet estimate in SQL."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.events import read_events_stream
+    from pagerank_spark.streaming.sketches import (
+        hll_estimate,
+        windowed_hll_registers,
+    )
+
+    d = tempfile.mkdtemp(prefix="hll_gate_")
+    ck = tempfile.mkdtemp(prefix="hll_gate_ck_")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/events", dirs_exist_ok=True)
+        src_dir = f"{d}/events"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    regs = windowed_hll_registers(
+        read_events_stream(spark, src_dir), p=HLL_STREAM_P, hash_fn="md5"
+    )
+    name = "gate_hll_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return (
+        hll_estimate(spark.table(name), p=HLL_STREAM_P)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            F.round("uniques_est", 4).alias("uniques_est"),
+        )
+        .orderBy("hour")
+    )
+
+
 def q_gopher_stream(spark, sf_dir):
     """Ingest-time Gopher quality filter: stateless append-mode stream
     whose drained output must equal the batch gopher_filter."""
@@ -2582,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_events": q_user_top_events,
         "user_sessions": q_user_sessions,
         "events_hourly_stream": q_events_hourly_stream,
+        "hll_uniques_stream": q_hll_uniques_stream,
         "user_sessions_stream": q_user_sessions_stream,
         "user_degrees_stream": q_user_degrees_stream,
         "dedup_stream": q_dedup_stream,
@@ -3452,6 +3508,35 @@ def _msf_sql(edges_sql: str, rounds: int) -> str:
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT a, b, weight FROM f{rounds} ORDER BY a, b")
     return "\n".join(parts)
+
+
+def _hll_uniques_sql(p: int) -> str:
+    """Register-exact replay of the streaming HLL gate: the 60-bit md5
+    of user_id gives register index (h % m) and rank (lowest-set-bit
+    position of h >> p, 60-p+1 when zero); per (hour, register) max,
+    then the Flajolet alpha estimate with the small-range
+    linear-counting rule — identical arithmetic to the engine's
+    ``streaming/sketches.py``."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    h = _MD5H.format(x="CAST(user_id AS VARCHAR)")
+    return (
+        f"WITH hs AS MATERIALIZED (SELECT date_trunc('hour', ts) AS w, "
+        f"{h} AS h FROM events), "
+        f"reg AS (SELECT w, h % {m} AS j, "
+        f"max(CASE WHEN (h >> {p}) = 0 THEN {60 - p + 1} "
+        f"ELSE bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1 END) AS rho "
+        f"FROM hs GROUP BY w, j), "
+        f"agg AS (SELECT w, sum(power(2.0, -rho)) AS s, count(*) AS c "
+        f"FROM reg GROUP BY w), "
+        f"est AS (SELECT w, CASE WHEN raw <= {2.5 * m!r} AND zeros > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / zeros) ELSE raw END AS e "
+        f"FROM (SELECT w, CAST({alpha!r} AS DOUBLE) * {m} * {m} "
+        f"/ (s + ({m} - c)) AS raw, "
+        f"{m} - c AS zeros FROM agg)) "
+        "SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS hour, "
+        "round(e, 4) AS uniques_est FROM est ORDER BY hour"
+    )
 
 
 def _matching_sql(
@@ -5226,6 +5311,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 6) AS total_value "
             "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
         ),
+        "hll_uniques_stream": _hll_uniques_sql(HLL_STREAM_P),
         "user_sessions": (
             "WITH o AS (SELECT user_id, event_id, ts, value, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "

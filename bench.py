@@ -119,6 +119,7 @@ EXTRA = [
     "min_spanning_forest",
     "rich_club",
     "avg_neighbor_degree",
+    "hll_uniques_stream",
 ]
 
 SCALE_N = 2_000_000

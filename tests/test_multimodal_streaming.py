@@ -469,3 +469,49 @@ def test_streaming_quality_filter_rejects_batch_frame(spark):
     batch = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     with pytest.raises(ValueError):
         streaming_quality_filter(batch)
+
+
+def test_hll_registers_batch_and_estimate_accuracy(spark):
+    """Registers are order/batching-invariant (max monoid), so the
+    batch run IS the streaming semantics; the estimate must land
+    within HLL's error envelope, and the small-range rule must make
+    tiny cardinalities near-exact."""
+    import datetime
+
+    from pagerank_spark.streaming.sketches import (
+        hll_estimate,
+        windowed_hll_registers,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hour 0: exactly 1000 distinct users; hour 1: 7 distinct users
+    for u in range(1000):
+        rows.append((base + datetime.timedelta(minutes=u % 60), u))
+    for i in range(50):
+        rows.append((base + datetime.timedelta(hours=1, minutes=i), i % 7))
+    e = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    for fn in ("md5", "xxhash64"):
+        regs = windowed_hll_registers(e, p=10, hash_fn=fn)
+        est = {
+            r["window_start"].hour: r["uniques_est"]
+            for r in hll_estimate(regs, p=10).collect()
+        }
+        assert abs(est[0] - 1000) / 1000 < 0.10, (fn, est[0])
+        assert abs(est[1] - 7) < 1.0, (fn, est[1])  # linear counting
+    # shuffled input produces identical registers (order independence)
+    import random
+
+    rnd = random.Random(5)
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    e2 = spark.createDataFrame(shuffled, "ts timestamp, user_id long")
+    a = sorted(
+        windowed_hll_registers(e, p=6, hash_fn="md5").collect(),
+        key=lambda r: (r["window_start"], r["j"]),
+    )
+    b = sorted(
+        windowed_hll_registers(e2, p=6, hash_fn="md5").collect(),
+        key=lambda r: (r["window_start"], r["j"]),
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
