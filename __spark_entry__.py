@@ -2271,6 +2271,61 @@ def q_hll_uniques_stream(spark, sf_dir):
     )
 
 
+TOP_ITEMS_K = 5
+
+
+def q_top_items_stream(spark, sf_dir):
+    """Exact windowed heavy hitters: per-(hour, user) streaming counts
+    drained in complete mode, then the deterministic top-k projection
+    (count DESC, user ASC) — equal to the batch window/rank query."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.events import (
+        read_events_stream,
+        windowed_top_items,
+    )
+
+    d = tempfile.mkdtemp(prefix="topk_gate_")
+    ck = tempfile.mkdtemp(prefix="topk_gate_ck_")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/events", dirs_exist_ok=True)
+        src_dir = f"{d}/events"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    counts, finish = windowed_top_items(
+        read_events_stream(spark, src_dir), k=TOP_ITEMS_K
+    )
+    name = "gate_topk_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return (
+        finish(spark.table(name))
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "user_id",
+            "n_events",
+            "rank",
+        )
+        .orderBy("hour", "rank")
+    )
+
+
 def q_gopher_stream(spark, sf_dir):
     """Ingest-time Gopher quality filter: stateless append-mode stream
     whose drained output must equal the batch gopher_filter."""
@@ -2638,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "events_hourly_stream": q_events_hourly_stream,
         "hll_uniques_stream": q_hll_uniques_stream,
+        "top_items_stream": q_top_items_stream,
         "user_sessions_stream": q_user_sessions_stream,
         "user_degrees_stream": q_user_degrees_stream,
         "dedup_stream": q_dedup_stream,
@@ -5312,6 +5368,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
         ),
         "hll_uniques_stream": _hll_uniques_sql(HLL_STREAM_P),
+        "top_items_stream": (
+            "WITH c AS (SELECT date_trunc('hour', ts) AS w, user_id, "
+            "count(*) AS n_events FROM events GROUP BY 1, 2), "
+            "r AS (SELECT w, user_id, n_events, row_number() OVER "
+            "(PARTITION BY w ORDER BY n_events DESC, user_id ASC) AS rank "
+            "FROM c) "
+            "SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS hour, user_id, "
+            f"n_events, rank FROM r WHERE rank <= {TOP_ITEMS_K} "
+            "ORDER BY hour, rank"
+        ),
         "user_sessions": (
             "WITH o AS (SELECT user_id, event_id, ts, value, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "

@@ -120,6 +120,7 @@ EXTRA = [
     "rich_club",
     "avg_neighbor_degree",
     "hll_uniques_stream",
+    "top_items_stream",
 ]
 
 SCALE_N = 2_000_000

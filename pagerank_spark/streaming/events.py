@@ -82,3 +82,52 @@ def run_stream_once(stream_df: DataFrame, sink_path: str, checkpoint: str, outpu
     )
     q.awaitTermination()
     return q
+
+
+def windowed_top_items(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 5,
+) -> tuple[DataFrame, "object"]:
+    """EXACT windowed heavy hitters in two composable halves:
+
+    - the STREAMING half returns per-(window, key) running counts —
+      the state store holds one row per (live window, distinct key in
+      that window), and the watermark expires whole windows, so state
+      is bounded by windows × per-window-distinct, never stream
+      length. (This is the honest exact-top-k state bound; a
+      Misra-Gries sketch would be smaller but its counters depend on
+      micro-batch cut points — not batching-invariant, so not
+      value-checkable. The engine's batching-invariant small-state
+      alternative is ``sketches.windowed_hll_registers``.)
+    - ``finish`` is the batch top-k projection to run on the drained
+      table: rank by (count DESC, key ASC) — a deterministic total
+      order — and keep ranks ≤ k.
+
+    Returns ``(counts_stream, finish)`` where ``finish(df) ->
+    DataFrame[window_start, key, n_events, rank]``.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    counts = (
+        src.select(F.window("ts", window).alias("w"), F.col(key_col))
+        .groupBy(F.col("w.start").alias("window_start"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    def finish(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col(key_col).asc()
+        )
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("window_start", key_col, "n_events", "rank")
+        )
+
+    return counts, finish

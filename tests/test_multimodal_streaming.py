@@ -515,3 +515,53 @@ def test_hll_registers_batch_and_estimate_accuracy(spark):
         key=lambda r: (r["window_start"], r["j"]),
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_windowed_top_items_multi_batch(spark, tmp_path):
+    """Counts split ACROSS micro-batches fold into one state row; the
+    finish projection ranks deterministically (count DESC, key ASC)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pagerank_spark.streaming.events import (
+        read_events_stream,
+        windowed_top_items,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    def mk(rows):
+        return pa.table({
+            "event_id": list(range(len(rows))),
+            "ts": [base + datetime.timedelta(minutes=m) for m, _ in rows],
+            "user_id": [u for _, u in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        })
+
+    d = tmp_path / "events"
+    d.mkdir()
+    # user 7: 2+2 events split across files; users 1..3: one each;
+    # user 2 ties user 1 at 1 -> rank by user asc
+    pq.write_table(mk([(1, 7), (2, 7), (3, 1), (4, 2)]), str(d / "a.parquet"))
+    pq.write_table(mk([(5, 7), (6, 7), (7, 3)]), str(d / "b.parquet"))
+    counts, finish = windowed_top_items(
+        read_events_stream(spark, str(d)), k=3
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("topk_mb")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["user_id"], r["n_events"], r["rank"])
+        for r in finish(spark.table("topk_mb")).orderBy("rank").collect()
+    ]
+    assert got == [(7, 4, 1), (1, 1, 2), (2, 1, 3)]
