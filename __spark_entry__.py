@@ -449,6 +449,24 @@ def q_link_prediction(spark, sf_dir):
     )
 
 
+def q_edge_embeddedness(spark, sf_dir):
+    """Per-edge tie strength (common neighbors + endpoint-excluded
+    neighborhood Jaccard); common == 0 flags Granovetter local
+    bridges."""
+    from pagerank_spark.operators.linkpred import edge_embeddedness
+
+    return (
+        edge_embeddedness(_edges_mid(spark, sf_dir))
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round("embeddedness", 7).alias("embeddedness"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 SAMPLE_FRACTION = 0.25
 SAMPLE_SEED = 7
 
@@ -2591,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "k_core_repo": q_k_core_repo,
         "link_prediction": q_link_prediction,
+        "edge_embeddedness": q_edge_embeddedness,
         "sample_edges_md5": q_sample_edges_md5,
         "sample_vertices_md5": q_sample_vertices_md5,
         "random_walks_md5": q_random_walks_md5,
@@ -4801,6 +4820,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "k_core_repo": _kcore_sql(
             _corpus_edges_sql(as_ids=True), KCORE_K, KCORE_SQL_ROUNDS
+        ),
+        "edge_embeddedness": (
+            f"WITH eg AS MATERIALIZED ({_MID_EDGES_SQL}), "
+            f"{_SIMPLE_DEG_SQL}, "
+            "sym AS (SELECT a AS u, b AS v FROM simple "
+            "UNION ALL SELECT b, a FROM simple), "
+            "wdg AS (SELECT l.u AS a, r.v AS b FROM sym l "
+            "JOIN sym r ON l.v = r.u WHERE l.u < r.v), "
+            "sup AS (SELECT w.a, w.b, count(*) AS common FROM wdg w "
+            "JOIN simple s ON w.a = s.a AND w.b = s.b GROUP BY w.a, w.b) "
+            "SELECT s.a, s.b, coalesce(p.common, 0) AS common, "
+            "CASE WHEN da.d + db.d - 2 - coalesce(p.common, 0) > 0 "
+            "THEN round(CAST(coalesce(p.common, 0) AS DOUBLE) "
+            "/ (da.d + db.d - 2 - coalesce(p.common, 0)), 7) "
+            "ELSE 0.0 END AS embeddedness "
+            "FROM simple s LEFT JOIN sup p ON s.a = p.a AND s.b = p.b "
+            "JOIN deg da ON s.a = da.id JOIN deg db ON s.b = db.id "
+            "ORDER BY s.a, s.b"
         ),
         "avg_neighbor_degree": (
             f"WITH eg AS MATERIALIZED ({eg}), {_SIMPLE_DEG_SQL}, "

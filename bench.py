@@ -121,6 +121,7 @@ EXTRA = [
     "avg_neighbor_degree",
     "hll_uniques_stream",
     "top_items_stream",
+    "edge_embeddedness",
 ]
 
 SCALE_N = 2_000_000

@@ -415,6 +415,11 @@ class LinkGraph:
 
         return spam_mass(self.edges, trusted, n=self.n, **kwargs)
 
+    def edge_embeddedness(self) -> DataFrame:
+        from pagerank_spark.operators.linkpred import edge_embeddedness
+
+        return edge_embeddedness(self.edges)
+
     def four_cycles(self, max_degree: int | None = None) -> DataFrame:
         from pagerank_spark.operators.linkpred import four_cycles
 

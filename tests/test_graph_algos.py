@@ -1460,3 +1460,37 @@ def test_msf_unweighted_spanning_and_empty(spark):
     assert got == {(a, b) for a, b, _ in _kruskal([(a, b, 1.0) for a, b in rows])}
     empty = spark.createDataFrame([], "src long, dst long")
     assert minimum_spanning_forest(empty).count() == 0
+
+
+def test_edge_embeddedness_vs_bruteforce(spark):
+    from pagerank_spark.operators.linkpred import edge_embeddedness
+
+    rng = np.random.RandomState(66)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 25, size=(90, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["embeddedness"])
+        for r in edge_embeddedness(e).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    simple = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    assert set(got) == simple  # one row per existing edge
+    for a, b in simple:
+        cn = len(adj[a] & adj[b])
+        den = len(adj[a]) + len(adj[b]) - 2 - cn
+        want = cn / den if den > 0 else 0.0
+        assert got[(a, b)][0] == cn, (a, b)
+        assert abs(got[(a, b)][1] - want) < 1e-12, (a, b)
+    # pendant edge of a K4: the canonical local bridge (common == 0)
+    k4p = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (4, 0)]
+    out = {
+        (r["a"], r["b"]): r["common"]
+        for r in edge_embeddedness(
+            spark.createDataFrame(k4p, "src long, dst long")
+        ).collect()
+    }
+    assert out[(0, 4)] == 0 and out[(1, 2)] == 2
