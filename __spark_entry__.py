@@ -2289,6 +2289,22 @@ def q_hll_uniques_stream(spark, sf_dir):
     )
 
 
+def q_dau_retention(spark, sf_dir):
+    """Daily active users + next-day / 7-day cohort retention — the
+    activity table (distinct day×user) is the only thing shuffled."""
+    from pagerank_spark.operators.retention import retention
+
+    out = retention(_t(spark, sf_dir, "events"), horizons=(1, 7))
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "retained_d1",
+        F.round("retention_d1", 7).alias("retention_d1"),
+        "retained_d7",
+        F.round("retention_d7", 7).alias("retention_d7"),
+    ).orderBy("day")
+
+
 TOP_ITEMS_K = 5
 
 
@@ -2713,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "hll_uniques_stream": q_hll_uniques_stream,
         "top_items_stream": q_top_items_stream,
+        "dau_retention": q_dau_retention,
         "user_sessions_stream": q_user_sessions_stream,
         "user_degrees_stream": q_user_degrees_stream,
         "dedup_stream": q_dedup_stream,
@@ -5405,6 +5422,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
         ),
         "hll_uniques_stream": _hll_uniques_sql(HLL_STREAM_P),
+        "dau_retention": (
+            "WITH act AS MATERIALIZED (SELECT DISTINCT CAST(ts AS DATE) "
+            "AS day, user_id FROM events), "
+            "base AS (SELECT day, count(*) AS dau FROM act GROUP BY day), "
+            "r1 AS (SELECT a.day, count(*) AS retained_d1 FROM act a "
+            "JOIN act b ON a.user_id = b.user_id "
+            "AND b.day = a.day + INTERVAL 1 DAY GROUP BY a.day), "
+            "r7 AS (SELECT a.day, count(*) AS retained_d7 FROM act a "
+            "JOIN act b ON a.user_id = b.user_id "
+            "AND b.day = a.day + INTERVAL 7 DAY GROUP BY a.day) "
+            "SELECT strftime(base.day, '%Y-%m-%d') AS day, dau, "
+            "coalesce(r1.retained_d1, 0) AS retained_d1, "
+            "round(CAST(coalesce(r1.retained_d1, 0) AS DOUBLE) / dau, 7) "
+            "AS retention_d1, "
+            "coalesce(r7.retained_d7, 0) AS retained_d7, "
+            "round(CAST(coalesce(r7.retained_d7, 0) AS DOUBLE) / dau, 7) "
+            "AS retention_d7 "
+            "FROM base LEFT JOIN r1 ON base.day = r1.day "
+            "LEFT JOIN r7 ON base.day = r7.day ORDER BY day"
+        ),
         "top_items_stream": (
             "WITH c AS (SELECT date_trunc('hour', ts) AS w, user_id, "
             "count(*) AS n_events FROM events GROUP BY 1, 2), "

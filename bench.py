@@ -122,6 +122,7 @@ EXTRA = [
     "hll_uniques_stream",
     "top_items_stream",
     "edge_embeddedness",
+    "dau_retention",
 ]
 
 SCALE_N = 2_000_000

@@ -565,3 +565,36 @@ def test_windowed_top_items_multi_batch(spark, tmp_path):
         for r in finish(spark.table("topk_mb")).orderBy("rank").collect()
     ]
     assert got == [(7, 4, 1), (1, 1, 2), (2, 1, 3)]
+
+
+def test_retention_vs_bruteforce(spark):
+    import datetime
+
+    from pagerank_spark.operators.retention import (
+        daily_active_users,
+        retention,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    # day 0: users 1,2,3; day 1: 2,3; day 2: 3; day 7: 1,3
+    plan = {0: [1, 2, 3, 3], 1: [2, 3], 2: [3], 7: [1, 3]}
+    for d, users in plan.items():
+        for i, u in enumerate(users):
+            rows.append((base + datetime.timedelta(days=d, minutes=i), u))
+    e = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    dau = {str(r["day"]): r["dau"] for r in daily_active_users(e).collect()}
+    assert dau == {
+        "2024-03-01": 3, "2024-03-02": 2, "2024-03-03": 1, "2024-03-08": 2,
+    }
+    got = {
+        str(r["day"]): (
+            r["dau"], r["retained_d1"], r["retention_d1"],
+            r["retained_d7"], r["retention_d7"],
+        )
+        for r in retention(e, horizons=(1, 7)).collect()
+    }
+    assert got["2024-03-01"] == (3, 2, 2 / 3, 2, 2 / 3)
+    assert got["2024-03-02"] == (2, 1, 0.5, 0, 0.0)
+    assert got["2024-03-03"] == (1, 0, 0.0, 0, 0.0)
+    assert got["2024-03-08"] == (2, 0, 0.0, 0, 0.0)
