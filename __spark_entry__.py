@@ -2289,6 +2289,30 @@ def q_hll_uniques_stream(spark, sf_dir):
     )
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact per-event-type value percentiles (p50/p90/p99, linear
+    interpolation on the sorted values — the shared ANSI quantile_cont
+    definition). Exact percentiles need the full sort; the engine's
+    bounded-state alternative at stream scale is the HLL/top-k pair."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pct.alias("_p"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_dau_retention(spark, sf_dir):
     """Daily active users + next-day / 7-day cohort retention — the
     activity table (distinct day×user) is the only thing shuffled."""
@@ -2730,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_uniques_stream": q_hll_uniques_stream,
         "top_items_stream": q_top_items_stream,
         "dau_retention": q_dau_retention,
+        "value_percentiles": q_value_percentiles,
         "user_sessions_stream": q_user_sessions_stream,
         "user_degrees_stream": q_user_degrees_stream,
         "dedup_stream": q_dedup_stream,
@@ -5422,6 +5447,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
         ),
         "hll_uniques_stream": _hll_uniques_sql(HLL_STREAM_P),
+        "value_percentiles": (
+            "SELECT event_type, count(*) AS n, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90, "
+            "round(quantile_cont(value, 0.99), 6) AS p99 "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
         "dau_retention": (
             "WITH act AS MATERIALIZED (SELECT DISTINCT CAST(ts AS DATE) "
             "AS day, user_id FROM events), "
