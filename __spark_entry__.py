@@ -467,6 +467,18 @@ def q_edge_embeddedness(spark, sf_dir):
     )
 
 
+def q_edge_dispersion(spark, sf_dir):
+    """Backstrom-Kleinberg absolute dispersion per edge: pairs of
+    common neighbors not adjacent to each other."""
+    from pagerank_spark.operators.linkpred import edge_dispersion
+
+    return (
+        edge_dispersion(_edges_mid(spark, sf_dir))
+        .select("a", "b", "common", "dispersion")
+        .orderBy("a", "b")
+    )
+
+
 SAMPLE_FRACTION = 0.25
 SAMPLE_SEED = 7
 
@@ -2650,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_repo": q_k_core_repo,
         "link_prediction": q_link_prediction,
         "edge_embeddedness": q_edge_embeddedness,
+        "edge_dispersion": q_edge_dispersion,
         "sample_edges_md5": q_sample_edges_md5,
         "sample_vertices_md5": q_sample_vertices_md5,
         "random_walks_md5": q_random_walks_md5,
@@ -4880,6 +4893,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM simple s LEFT JOIN sup p ON s.a = p.a AND s.b = p.b "
             "JOIN deg da ON s.a = da.id JOIN deg db ON s.b = db.id "
             "ORDER BY s.a, s.b"
+        ),
+        "edge_dispersion": (
+            f"WITH eg AS MATERIALIZED ({_MID_EDGES_SQL}), "
+            "simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM eg WHERE src <> dst), "
+            "sym AS (SELECT a AS u, b AS v FROM simple "
+            "UNION ALL SELECT b, a FROM simple), "
+            "cn AS MATERIALIZED (SELECT l.u AS a, r.v AS b, l.v AS w "
+            "FROM sym l JOIN sym r ON l.v = r.u WHERE l.u < r.v), "
+            "cne AS MATERIALIZED (SELECT c.a, c.b, c.w FROM cn c "
+            "JOIN simple s ON c.a = s.a AND c.b = s.b), "
+            "cnt AS (SELECT a, b, count(*) AS common FROM cne "
+            "GROUP BY a, b), "
+            "pr AS (SELECT l.a, l.b, l.w AS w1, r.w AS w2 FROM cne l "
+            "JOIN cne r ON l.a = r.a AND l.b = r.b AND l.w < r.w), "
+            "op AS (SELECT p.a, p.b FROM pr p LEFT JOIN simple s "
+            "ON p.w1 = s.a AND p.w2 = s.b WHERE s.a IS NULL), "
+            "dp AS (SELECT a, b, count(*) AS dispersion FROM op "
+            "GROUP BY a, b) "
+            "SELECT s.a, s.b, coalesce(c.common, 0) AS common, "
+            "coalesce(d.dispersion, 0) AS dispersion "
+            "FROM simple s LEFT JOIN cnt c ON s.a = c.a AND s.b = c.b "
+            "LEFT JOIN dp d ON s.a = d.a AND s.b = d.b ORDER BY s.a, s.b"
         ),
         "avg_neighbor_degree": (
             f"WITH eg AS MATERIALIZED ({eg}), {_SIMPLE_DEG_SQL}, "

@@ -420,6 +420,11 @@ class LinkGraph:
 
         return edge_embeddedness(self.edges)
 
+    def edge_dispersion(self, max_common: int | None = None) -> DataFrame:
+        from pagerank_spark.operators.linkpred import edge_dispersion
+
+        return edge_dispersion(self.edges, max_common=max_common)
+
     def four_cycles(self, max_degree: int | None = None) -> DataFrame:
         from pagerank_spark.operators.linkpred import four_cycles
 

@@ -217,3 +217,98 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
             .alias("embeddedness"),
         )
     )
+
+
+def edge_dispersion(edges: DataFrame, max_common: int | None = None) -> DataFrame:
+    """``DataFrame[a, b, common, dispersion]`` (a < b) — absolute
+    dispersion per EXISTING edge: the number of pairs of common
+    neighbors of (a, b) that are NOT adjacent to each other (Backstrom
+    & Kleinberg 2014, "Romantic partnerships and the dispersion of
+    social ties"). High dispersion = the tie bridges otherwise
+    unconnected contexts — their best single predictor of the partner
+    relationship, where embeddedness fails.
+
+    Shape: the per-edge common-neighbor table (the same oriented
+    triangle kernel as :func:`edge_embeddedness` — each triangle
+    (x, y, z) contributes its third corner to each of its three edges)
+    self-joined per edge into C(common, 2) candidate pairs, then one
+    anti-join against the edge set removes adjacent pairs. The
+    self-join is Σ_edges common² rows — at web scale cap it with
+    ``max_common`` (edges above the cap get ``dispersion = NULL``
+    instead of a quadratic blow-up; their common count still reports).
+    """
+    from pagerank_spark.operators.triangles import (
+        _orient,
+        _simple_degrees,
+        _simple_undirected,
+        _triangles,
+    )
+
+    simple = _simple_undirected(edges).localCheckpoint()
+    o = _orient(simple, _simple_degrees(simple)).localCheckpoint()
+    # (a, b, w): w is a common neighbor of existing edge (a, b) — the
+    # triangle's third corner, once per (edge, corner)
+    cn = (
+        _triangles(o)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"),
+                        F.col("z").alias("w"),
+                    ),
+                    F.struct(
+                        F.least("y", "z").alias("a"),
+                        F.greatest("y", "z").alias("b"),
+                        F.col("x").alias("w"),
+                    ),
+                    F.struct(
+                        F.least("x", "z").alias("a"),
+                        F.greatest("x", "z").alias("b"),
+                        F.col("y").alias("w"),
+                    ),
+                )
+            ).alias("_t")
+        )
+        .select("_t.a", "_t.b", "_t.w")
+        .localCheckpoint()
+    )
+    counts = cn.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    eligible = counts
+    if max_common is not None:
+        eligible = counts.where(F.col("common") <= max_common)
+    pairs = (
+        cn.join(eligible.select("a", "b"), ["a", "b"], "left_semi")
+        .alias("l")
+        .join(
+            cn.select(
+                F.col("a"), F.col("b"), F.col("w").alias("w2")
+            ).alias("r"),
+            ["a", "b"],
+        )
+        .where(F.col("w") < F.col("w2"))
+    )
+    open_pairs = pairs.join(
+        simple.select(
+            F.col("a").alias("w"), F.col("b").alias("w2")
+        ),
+        ["w", "w2"],
+        "left_anti",
+    )
+    disp = open_pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("dispersion")
+    )
+    out = simple.join(counts, ["a", "b"], "left").join(disp, ["a", "b"], "left")
+    zero = F.lit(0).cast("long")
+    dispersion = F.coalesce("dispersion", zero)
+    if max_common is not None:
+        dispersion = F.when(
+            F.col("common") > max_common, F.lit(None).cast("long")
+        ).otherwise(dispersion)
+    return out.select(
+        "a",
+        "b",
+        F.coalesce("common", zero).alias("common"),
+        dispersion.alias("dispersion"),
+    )

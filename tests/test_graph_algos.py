@@ -1494,3 +1494,32 @@ def test_edge_embeddedness_vs_bruteforce(spark):
         ).collect()
     }
     assert out[(0, 4)] == 0 and out[(1, 2)] == 2
+
+
+def test_edge_dispersion_vs_bruteforce(spark):
+    import itertools
+
+    from pagerank_spark.operators.linkpred import edge_dispersion
+
+    rng = np.random.RandomState(77)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 20, size=(70, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["dispersion"])
+        for r in edge_dispersion(e).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    simple = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    assert set(got) == simple
+    for a, b in simple:
+        cn = sorted(adj[a] & adj[b])
+        disp = sum(
+            1
+            for w1, w2 in itertools.combinations(cn, 2)
+            if w2 not in adj[w1]
+        )
+        assert got[(a, b)] == (len(cn), disp), (a, b)
