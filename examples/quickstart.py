@@ -74,6 +74,16 @@ def main():
     print("effective diameter:")
     g.effective_diameter(q=0.9).show()
 
+    # round-4 surface: tie strength, matching/cover, spanning forest,
+    # hub structure
+    print("maximal matching:", g.maximal_matching().count(),
+          "edges | vertex cover:", g.vertex_cover().count())
+    print("spanning forest edges:", g.minimum_spanning_forest().count())
+    print("local bridges (embeddedness 0):",
+          g.edge_embeddedness().where(F.col("common") == 0).count())
+    g.rich_club().orderBy(F.desc("k")).show(3)
+    g.salsa().orderBy(F.desc("authority")).show(3)
+
     # 3. training-data pipeline over the documents/embeddings tables
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     print("docs:", docs.count(), "-> after near-dedup:", dedup_near(docs, 0.8).count())
