@@ -1207,6 +1207,21 @@ def q_copurchase_graph(spark, sf_dir):
 
 
 HARMONIC_PIVOTS = [0, 1, 2, 3, 4]
+EFFICIENCY_PIVOTS = [0, 7, 13, 42, 99]
+
+
+def q_global_efficiency(spark, sf_dir):
+    """Pivot-estimated global efficiency (Latora & Marchiori 2001):
+    mean 1/d over ordered pivot→target pairs, 0 for unreachable."""
+    from pagerank_spark.operators.paths import global_efficiency
+
+    return global_efficiency(
+        _edges(spark, sf_dir), EFFICIENCY_PIVOTS
+    ).select(
+        "n_vertices",
+        "reachable_pairs",
+        F.round("efficiency", 7).alias("efficiency"),
+    )
 
 
 def q_harmonic_pivots(spark, sf_dir):
@@ -2704,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_md5": q_stratified_sample_md5,
         "modularity_mod4": q_modularity_mod4,
         "harmonic_pivots": q_harmonic_pivots,
+        "global_efficiency": q_global_efficiency,
         "closeness_pivots": q_closeness_pivots,
         "closeness_weighted": q_closeness_weighted,
         "harmonic_weighted": q_harmonic_weighted,
@@ -5187,6 +5203,18 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE {int(round(0.1 * 1048576))} END ORDER BY event_id"
         ),
         "harmonic_pivots": _harmonic_sql(eg, HARMONIC_PIVOTS),
+        "global_efficiency": "\n".join(
+            _pivot_bfs_parts(eg, EFFICIENCY_PIVOTS)
+            + [
+                f"SELECT (SELECT count(DISTINCT id) FROM (SELECT src AS id "
+                f"FROM eg UNION ALL SELECT dst FROM eg)) AS n_vertices, "
+                f"count(*) AS reachable_pairs, "
+                f"round(sum(1.0 / dist) / ({len(set(EFFICIENCY_PIVOTS))} * "
+                f"((SELECT count(DISTINCT id) FROM (SELECT src AS id FROM eg "
+                f"UNION ALL SELECT dst FROM eg)) - 1)), 7) AS efficiency "
+                f"FROM h{SSSP_SQL_ROUNDS} WHERE dist > 0"
+            ]
+        ),
         "closeness_pivots": _closeness_sql(eg, HARMONIC_PIVOTS),
         "closeness_weighted": _closeness_weighted_sql(
             _W_EDGES_SQL, HARMONIC_PIVOTS

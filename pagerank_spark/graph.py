@@ -400,6 +400,11 @@ class LinkGraph:
 
         return avg_neighbor_degree(self.edges)
 
+    def global_efficiency(self, pivots: list[int]) -> DataFrame:
+        from pagerank_spark.operators.paths import global_efficiency
+
+        return global_efficiency(self.edges, pivots)
+
     def salsa(self) -> DataFrame:
         from pagerank_spark.operators.salsa import salsa
 

@@ -378,3 +378,36 @@ def topological_levels(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+def global_efficiency(
+    edges: DataFrame, sources: list[int], max_iter: int = 50
+) -> DataFrame:
+    """One-row ``DataFrame[n_vertices, reachable_pairs, efficiency]``
+    — the (pivot-estimated) global efficiency of Latora & Marchiori
+    2001: the mean of ``1/d(s, t)`` over ordered source→target pairs,
+    unreachable pairs contributing 0 (the 1/∞ convention). With
+    ``sources`` = the full vertex set this is the exact directed
+    global efficiency; with a pivot subset it is the Eppstein-Wang
+    style estimator, same sampling contract as harmonic/closeness.
+
+    One keyed multi-source BFS regardless of pivot count (the same
+    O(E)-per-round frontier machinery as :func:`harmonic_centrality`),
+    then a single scalar fold; the normalization denominator is
+    ``|sources| · (n − 1)`` with n observed from the edge set.
+    """
+    d = multi_source_bfs(edges, sources, max_iter)
+    n = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    k = len(set(sources))
+    return d.where(F.col("dist") > 0).agg(
+        F.lit(n).cast("long").alias("n_vertices"),
+        F.count(F.lit(1)).alias("reachable_pairs"),
+        (F.sum(1.0 / F.col("dist")) / F.lit(float(k * max(n - 1, 1)))).alias(
+            "efficiency"
+        ),
+    )

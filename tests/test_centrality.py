@@ -1372,3 +1372,34 @@ def test_vertex_cover_covers_and_2approx(spark):
         if opt is not None:
             break
     assert len(cover) <= 2 * opt
+
+
+def test_global_efficiency_vs_bruteforce(spark):
+    from pagerank_spark.operators.paths import global_efficiency
+
+    pairs = _random_pairs(88, 25, 70)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ids = sorted({x for p in pairs for x in p})
+    adj = _multi_adj(pairs)
+    row = global_efficiency(e, ids).collect()[0]
+    total = 0.0
+    reach = 0
+    for s in ids:
+        for v, d in _bfs_dists(adj, s).items():
+            if d > 0:
+                total += 1.0 / d
+                reach += 1
+    n = len(ids)
+    assert row["n_vertices"] == n
+    assert row["reachable_pairs"] == reach
+    assert abs(row["efficiency"] - total / (n * (n - 1))) < 1e-9
+    # pivot subset normalizes by |pivots|·(n-1)
+    piv = ids[:4]
+    row2 = global_efficiency(e, piv).collect()[0]
+    t2 = sum(
+        1.0 / d
+        for s in piv
+        for v, d in _bfs_dists(adj, s).items()
+        if d > 0
+    )
+    assert abs(row2["efficiency"] - t2 / (4 * (n - 1))) < 1e-9
