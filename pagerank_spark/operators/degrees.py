@@ -161,7 +161,7 @@ def rich_club(edges: DataFrame) -> DataFrame:
     )
 
     simple = _simple_undirected(edges).localCheckpoint()
-    deg = _simple_degrees(simple)
+    deg = _simple_degrees(simple).localCheckpoint()
     dhist = deg.groupBy(F.col("deg").alias("k")).agg(
         F.count(F.lit(1)).alias("_nv")
     )
@@ -249,7 +249,7 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     )
 
     simple = _simple_undirected(edges).localCheckpoint()
-    deg = _simple_degrees(simple)
+    deg = _simple_degrees(simple).localCheckpoint()
     sym = simple.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         simple.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )

@@ -177,7 +177,7 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
     )
 
     simple = _simple_undirected(edges).localCheckpoint()
-    deg = _simple_degrees(simple)
+    deg = _simple_degrees(simple).localCheckpoint()
     o = _orient(simple, deg).localCheckpoint()
     support = (
         _triangles(o)

@@ -216,6 +216,12 @@ def pagerank(
     """
     if dangling not in ("redistribute", "leak"):
         raise ValueError("dangling must be 'redistribute' or 'leak'")
+    if eps <= 0.0 and max_iter is None:
+        raise ValueError(
+            "pagerank: eps <= 0.0 (exact fixed-k replay mode) needs an "
+            "explicit max_iter — a zero residual target never stops the "
+            "do-while loop"
+        )
     if local_iters < 1:
         raise ValueError("local_iters must be >= 1")
     if personalize is not None:

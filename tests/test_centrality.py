@@ -1403,3 +1403,19 @@ def test_global_efficiency_vs_bruteforce(spark):
         if d > 0
     )
     assert abs(row2["efficiency"] - t2 / (4 * (n - 1))) < 1e-9
+
+
+def test_zero_eps_requires_max_iter(spark):
+    from pagerank_spark.operators.centrality import spam_mass, trustrank
+    from pagerank_spark.operators.pagerank import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    for fn in (
+        lambda: pagerank(e, eps=0.0),
+        lambda: trustrank(e, [0]),  # defaults eps=0.0, max_iter=None
+        lambda: spam_mass(e, [0]),
+    ):
+        with pytest.raises(ValueError):
+            fn()
+    # explicit max_iter keeps the fixed-k replay mode working
+    assert trustrank(e, [0], max_iter=3).count() == 2

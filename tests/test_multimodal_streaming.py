@@ -525,10 +525,7 @@ def test_windowed_top_items_multi_batch(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from pagerank_spark.streaming.events import (
-        read_events_stream,
-        windowed_top_items,
-    )
+    from pagerank_spark.streaming.events import windowed_top_items
 
     base = datetime.datetime(2024, 1, 1)
     def mk(rows):
@@ -547,15 +544,24 @@ def test_windowed_top_items_multi_batch(spark, tmp_path):
     # user 2 ties user 1 at 1 -> rank by user asc
     pq.write_table(mk([(1, 7), (2, 7), (3, 1), (4, 2)]), str(d / "a.parquet"))
     pq.write_table(mk([(5, 7), (6, 7), (7, 3)]), str(d / "b.parquet"))
-    counts, finish = windowed_top_items(
-        read_events_stream(spark, str(d)), k=3
+    # maxFilesPerTrigger is a file-SOURCE option: it must go on the
+    # readStream (one parquet file per micro-batch) — on the memory
+    # sink it would be silently ignored and both files would land in
+    # ONE batch, never exercising the cross-batch state fold
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
     )
+    counts, finish = windowed_top_items(stream, k=3)
     q = (
         counts.writeStream.format("memory")
         .queryName("topk_mb")
         .outputMode("complete")
         .option("checkpointLocation", str(tmp_path / "ck"))
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
