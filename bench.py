@@ -122,7 +122,11 @@ EXTRA = [
     "hll_uniques_stream",
     "top_items_stream",
     "edge_embeddedness",
+    "edge_dispersion",
     "dau_retention",
+    "value_percentiles",
+    "vertex_cover_md5",
+    "global_efficiency",
 ]
 
 SCALE_N = 2_000_000
