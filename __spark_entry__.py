@@ -370,6 +370,18 @@ def q_reciprocity(spark, sf_dir):
     return reciprocity(_edges(spark, sf_dir))
 
 
+def q_s_metric(spark, sf_dir):
+    """s(G) = Σ_edges deg(u)·deg(v) (Li et al. 2005) — exact integer
+    hub-interlinking scalar, plus its cube-sum-normalized form."""
+    from pagerank_spark.operators.degrees import s_metric
+
+    return s_metric(_edges(spark, sf_dir)).crossJoin(
+        s_metric(_edges(spark, sf_dir), normalized=True).select(
+            F.round("s_metric", 7).alias("s_norm")
+        )
+    )
+
+
 def q_avg_neighbor_degree(spark, sf_dir):
     """Degree-correlation curve k_nn(k) (Pastor-Satorras et al. 2001)
     — exact integer sums, one closed-form division per degree class."""
@@ -2674,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "rich_club": q_rich_club,
         "avg_neighbor_degree": q_avg_neighbor_degree,
+        "s_metric": q_s_metric,
         "k_core_repo": q_k_core_repo,
         "link_prediction": q_link_prediction,
         "edge_embeddedness": q_edge_embeddedness,
@@ -4909,6 +4922,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM simple s LEFT JOIN sup p ON s.a = p.a AND s.b = p.b "
             "JOIN deg da ON s.a = da.id JOIN deg db ON s.b = db.id "
             "ORDER BY s.a, s.b"
+        ),
+        "s_metric": (
+            f"WITH eg AS MATERIALIZED ({eg}), {_SIMPLE_DEG_SQL}, "
+            "s AS (SELECT coalesce(sum(da.d * db.d), 0) AS s_metric "
+            "FROM simple e JOIN deg da ON e.a = da.id "
+            "JOIN deg db ON e.b = db.id), "
+            "m AS (SELECT sum(d * d * d) / 2.0 AS mx FROM deg) "
+            "SELECT s.s_metric, "
+            "round(CASE WHEN m.mx > 0 THEN s.s_metric / m.mx "
+            "ELSE 0.0 END, 7) AS s_norm FROM s, m"
         ),
         "edge_dispersion": (
             f"WITH eg AS MATERIALIZED ({_MID_EDGES_SQL}), "

@@ -388,6 +388,11 @@ class LinkGraph:
 
         return rich_club(self.edges)
 
+    def s_metric(self, normalized: bool = False) -> DataFrame:
+        from pagerank_spark.operators.degrees import s_metric
+
+        return s_metric(self.edges, normalized=normalized)
+
     def minimum_spanning_forest(self, max_iter: int = 30) -> DataFrame:
         from pagerank_spark.operators.mst import minimum_spanning_forest
 

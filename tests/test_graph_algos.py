@@ -1523,3 +1523,28 @@ def test_edge_dispersion_vs_bruteforce(spark):
             if w2 not in adj[w1]
         )
         assert got[(a, b)] == (len(cn), disp), (a, b)
+
+
+def test_s_metric_vs_bruteforce(spark):
+    from pagerank_spark.operators.degrees import s_metric
+
+    rng = np.random.RandomState(21)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 20, size=(60, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    simple = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    want = sum(len(adj[a]) * len(adj[b]) for a, b in simple)
+    assert s_metric(e).collect()[0]["s_metric"] == want
+    smax = sum(len(ns) ** 3 for ns in adj.values()) / 2
+    got_n = s_metric(e, normalized=True).collect()[0]["s_metric"]
+    assert abs(got_n - want / smax) < 1e-12
+    assert 0.0 < got_n <= 1.0
+    # star maximizes nothing: every edge hub(5)-leaf(1) -> s = 25
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert s_metric(star).collect()[0]["s_metric"] == 25
