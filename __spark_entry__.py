@@ -2328,6 +2328,27 @@ def q_hll_uniques_stream(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Sequential view→click→purchase funnel: greedy
+    earliest-occurrence chains (exact for existence), per-step user
+    counts + conversion vs step 1."""
+    from pagerank_spark.operators.retention import funnel
+
+    return (
+        funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+        .select(
+            "step",
+            "event_type",
+            "users",
+            F.round("conversion", 7).alias("conversion"),
+        )
+        .orderBy("step")
+    )
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact per-event-type value percentiles (p50/p90/p99, linear
     interpolation on the sorted values — the shared ANSI quantile_cont
@@ -2797,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_items_stream": q_top_items_stream,
         "dau_retention": q_dau_retention,
         "value_percentiles": q_value_percentiles,
+        "funnel": q_funnel,
         "user_sessions_stream": q_user_sessions_stream,
         "user_degrees_stream": q_user_degrees_stream,
         "dedup_stream": q_dedup_stream,
@@ -5534,6 +5556,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
         ),
         "hll_uniques_stream": _hll_uniques_sql(HLL_STREAM_P),
+        "funnel": (
+            "WITH s1 AS MATERIALIZED (SELECT user_id, min(ts) AS t "
+            f"FROM events WHERE event_type = '{FUNNEL_STEPS[0]}' "
+            "GROUP BY user_id), "
+            "s2 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t "
+            f"FROM events e JOIN s1 ON e.user_id = s1.user_id "
+            f"WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t "
+            "GROUP BY e.user_id), "
+            "s3 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t "
+            f"FROM events e JOIN s2 ON e.user_id = s2.user_id "
+            f"WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t "
+            "GROUP BY e.user_id), "
+            "b AS (SELECT greatest(CAST((SELECT count(*) FROM s1) "
+            "AS BIGINT), 1) AS n) "
+            f"SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type, "
+            "(SELECT count(*) FROM s1) AS users, "
+            "round(CAST((SELECT count(*) FROM s1) AS DOUBLE) "
+            "/ (SELECT n FROM b), 7) AS conversion "
+            f"UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', "
+            "(SELECT count(*) FROM s2), "
+            "round(CAST((SELECT count(*) FROM s2) AS DOUBLE) "
+            "/ (SELECT n FROM b), 7) "
+            f"UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', "
+            "(SELECT count(*) FROM s3), "
+            "round(CAST((SELECT count(*) FROM s3) AS DOUBLE) "
+            "/ (SELECT n FROM b), 7) "
+            "ORDER BY step"
+        ),
         "value_percentiles": (
             "SELECT event_type, count(*) AS n, "
             "round(quantile_cont(value, 0.5), 6) AS p50, "

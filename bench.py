@@ -124,6 +124,7 @@ EXTRA = [
     "edge_embeddedness",
     "edge_dispersion",
     "dau_retention",
+    "funnel",
     "value_percentiles",
     "vertex_cover_md5",
     "global_efficiency",

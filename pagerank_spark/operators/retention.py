@@ -74,3 +74,60 @@ def retention(
             (kept.cast("double") / F.col("dau")).alias(f"retention_d{h}"),
         ]
     return out.select(*cols)
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential conversion funnel — ``DataFrame[step, event_type,
+    users, conversion]``: how many users performed the funnel's steps
+    in order (each step strictly AFTER the previous one), and the
+    fraction relative to step 1.
+
+    Completion uses the greedy earliest-occurrence chain (t_i = first
+    event of type i after t_{i-1}), which is exact for existence: if
+    ANY in-order chain exists, the greedy one does — the standard
+    funnel semantics of product analytics engines.
+
+    Shape: events are filtered to funnel types once; each step is one
+    min-aggregate over the previous step's survivors joined against
+    that step's events — k steps = k skinny joins whose inputs only
+    shrink. No window over the full stream, no per-user event
+    collection.
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    spark = events.sparkSession
+    ev = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("etype"),
+            F.col(ts_col).alias("ts"),
+        )
+        .where(F.col("etype").isin(list(steps)))
+        .localCheckpoint()
+    )
+    reached = None  # DataFrame[user_id, _t] of the previous step
+    counts = []
+    for i, s in enumerate(steps):
+        cur = ev.where(F.col("etype") == s)
+        if reached is None:
+            stage = cur.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        else:
+            stage = (
+                cur.join(reached.withColumnRenamed("_t", "_prev"), "user_id")
+                .where(F.col("ts") > F.col("_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("_t"))
+            )
+        reached = stage.localCheckpoint()
+        counts.append((i + 1, s, reached.count()))
+    base = max(counts[0][2], 1)
+    return spark.createDataFrame(
+        [(i, s, c, c / base) for i, s, c in counts],
+        "step int, event_type string, users long, conversion double",
+    )

@@ -604,3 +604,34 @@ def test_retention_vs_bruteforce(spark):
     assert got["2024-03-02"] == (2, 1, 0.5, 0, 0.0)
     assert got["2024-03-03"] == (1, 0, 0.0, 0, 0.0)
     assert got["2024-03-08"] == (2, 0, 0.0, 0, 0.0)
+
+
+def test_funnel_vs_bruteforce(spark):
+    import datetime
+
+    from pagerank_spark.operators.retention import funnel
+
+    base = datetime.datetime(2024, 5, 1)
+    # u1 completes all 3 in order; u2 clicks BEFORE viewing (only step
+    # 1 after re-view, no purchase); u3 views only; u4 has purchase
+    # before anything (chain must not count it)
+    rows = [
+        (0, 1, "view"), (1, 1, "click"), (2, 1, "purchase"),
+        (0, 2, "click"), (1, 2, "view"), (2, 2, "click"),
+        (0, 3, "view"),
+        (0, 4, "purchase"), (1, 4, "view"), (2, 4, "click"),
+    ]
+    e = spark.createDataFrame(
+        [
+            (base + datetime.timedelta(minutes=m), u, t)
+            for m, u, t in rows
+        ],
+        "ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        r["step"]: (r["users"], r["conversion"])
+        for r in funnel(e, ["view", "click", "purchase"]).collect()
+    }
+    # step1: u1,u2,u3,u4 viewed; step2: u1 (click@1>0), u2 (click@2>1),
+    # u4 (click@2>1); step3: only u1 purchased after clicking
+    assert got == {1: (4, 1.0), 2: (3, 0.75), 3: (1, 0.25)}
