@@ -1529,6 +1529,20 @@ def q_louvain(spark, sf_dir):
 CORENESS_SQL_ROUNDS = 12  # replayed fixpoint: 11/10/5 rounds at sf0.001/0.01/0.1
 
 
+TRUSSNESS_SQL_ROUNDS = 16  # fixpoint takes 1/2/15 rounds at sf0.001/0.01/0.1
+
+
+def q_trussness(spark, sf_dir):
+    """Full truss decomposition via the distributed edge H-index
+    fixpoint (Sariyüce et al. 2018) on the mid graph — per-edge truss
+    numbers, cross-checked against k_truss in pytest. The oracle
+    replays every round in ANSI SQL; rounds past the fixpoint are
+    no-ops."""
+    from pagerank_spark.operators.cores import trussness
+
+    return trussness(_edges_mid(spark, sf_dir)).orderBy("a", "b")
+
+
 def q_coreness(spark, sf_dir):
     """Full core decomposition via the distributed H-index fixpoint
     (Lü et al. 2016) — per-vertex core numbers, cross-checked against
@@ -2773,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_moves_weighted": q_modularity_moves_weighted,
         "k_truss": q_k_truss,
         "coreness": q_coreness,
+        "trussness": q_trussness,
         "tfidf_top_terms": q_tfidf_top_terms,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
@@ -4017,6 +4032,50 @@ def _kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
     parts.append(
         f"SELECT DISTINCT id FROM (SELECT a AS id FROM e{rounds} "
         f"UNION ALL SELECT b FROM e{rounds}) ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _trussness_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled edge H-index fixpoint (Sariyüce et al. 2018): h0 =
+    triangle support; each round every triangle sends its member edge
+    min(other-two-edges' h), capped at the receiver's h, and h(e)
+    becomes max(least(t, ge)) over the capped histogram — exactly the
+    engine's fold. Extra rounds past the fixpoint are no-ops; edges in
+    no triangle take the convention trussness 2 in the final join."""
+    parts = [
+        f"WITH eg AS ({edges_sql}),",
+        f"{_SIMPLE_DEG_SQL},",
+        f"{_TRI_SQL},",
+        "te AS MATERIALIZED ("
+        "SELECT least(x, y) AS ea, greatest(x, y) AS eb, "
+        "least(y, z) AS o1a, greatest(y, z) AS o1b, "
+        "least(x, z) AS o2a, greatest(x, z) AS o2b FROM tr "
+        "UNION ALL SELECT least(y, z), greatest(y, z), "
+        "least(x, y), greatest(x, y), least(x, z), greatest(x, z) FROM tr "
+        "UNION ALL SELECT least(x, z), greatest(x, z), "
+        "least(x, y), greatest(x, y), least(y, z), greatest(y, z) FROM tr),",
+        "t0 AS MATERIALIZED (SELECT ea, eb, count(*) AS h FROM te "
+        "GROUP BY ea, eb),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT ea, eb, max(least(t, ge)) AS h "
+            f"FROM (SELECT ea, eb, t, sum(c) OVER "
+            f"(PARTITION BY ea, eb ORDER BY t DESC) AS ge FROM "
+            f"(SELECT te.ea, te.eb, least(p.h, q.h, s.h) AS t, "
+            f"count(*) AS c "
+            f"FROM te JOIN t{r-1} p ON te.o1a = p.ea AND te.o1b = p.eb "
+            f"JOIN t{r-1} q ON te.o2a = q.ea AND te.o2b = q.eb "
+            f"JOIN t{r-1} s ON te.ea = s.ea AND te.eb = s.eb "
+            f"GROUP BY te.ea, te.eb, least(p.h, q.h, s.h))) "
+            f"GROUP BY ea, eb),",
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT sp.a, sp.b, coalesce(t.h, 0) + 2 AS trussness "
+        f"FROM simple sp LEFT JOIN t{rounds} t "
+        f"ON sp.a = t.ea AND sp.b = t.eb ORDER BY sp.a, sp.b"
     )
     return "\n".join(parts)
 
@@ -5291,6 +5350,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "k_truss": _ktruss_sql(eg, TRUSS_K, TRUSS_SQL_ROUNDS),
         "coreness": _coreness_sql(eg, CORENESS_SQL_ROUNDS),
+        "trussness": _trussness_sql(_MID_EDGES_SQL, TRUSSNESS_SQL_ROUNDS),
         "tfidf_top_terms": _tfidf_sql(TFIDF_K),
         "modularity_mod4": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "

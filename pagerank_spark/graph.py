@@ -207,6 +207,11 @@ class LinkGraph:
 
         return k_truss(self.edges, k, max_iter=max_iter)
 
+    def trussness(self, max_iter: int = 200) -> DataFrame:
+        from pagerank_spark.operators.cores import trussness
+
+        return trussness(self.edges, max_iter=max_iter)
+
     def coreness(self, max_iter: int = 200) -> DataFrame:
         from pagerank_spark.operators.cores import coreness
 

@@ -326,3 +326,135 @@ def densest_subgraph(
             stacklevel=2,
         )
     return best
+
+
+def trussness(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+    """``DataFrame[a, b, trussness]`` (a < b) — the truss number of
+    every simple undirected edge: the largest k such that the edge
+    survives in the k-truss (edges in no triangle get the convention
+    value 2).
+
+    Distributed H-index fixpoint on EDGES — the nucleus-decomposition
+    generalization of the vertex-coreness iteration (Sariyüce, Seshadri
+    & Pinar, "Local Algorithms for Hierarchical Dense Subgraph
+    Discovery", VLDB 2018): h₀(e) = triangle support; each round every
+    triangle sends its member edge the MIN of the other two edges'
+    current values, and h(e) becomes the H-index of the received
+    multiset. The sequence is monotone non-increasing and converges
+    exactly to the support-peel number; ``trussness = h + 2``. Like
+    :func:`coreness`, this turns the sequential min-support peel into
+    a Pregel-style fixpoint — no global priority queue.
+
+    Shape: the triangle→member-edge table (3·#triangles rows, built
+    ONCE from the degree-oriented kernel and checkpointed) is the
+    per-round message source; values are capped at the receiver's
+    current h before the histogram fold, so the per-edge window input
+    is ≤ h(e)+1 distinct values, never the raw triangle count of a hot
+    edge. Per round: two skinny hash joins against the O(E) state +
+    two map-side-combinable aggregations. Every quantity is integer
+    arithmetic on deterministic inputs — the gate's DuckDB oracle
+    replays each round bit-for-bit.
+
+    Cross-operator invariant (machine-checked in tests):
+    ``k_truss(edges, k)`` equals ``trussness(edges) >= k`` per edge.
+    """
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.triangles import _orient, _triangles
+
+    simple = _simple_undirected(edges).localCheckpoint()
+    o = _orient(simple, _simple_degrees(simple)).localCheckpoint()
+
+    def _ek(u, v):
+        return F.struct(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        )
+
+    # one row per (triangle, member edge), carrying the other two edges
+    tri_edges = (
+        _triangles(o)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        _ek(F.col("x"), F.col("y")).alias("e"),
+                        _ek(F.col("y"), F.col("z")).alias("o1"),
+                        _ek(F.col("x"), F.col("z")).alias("o2"),
+                    ),
+                    F.struct(
+                        _ek(F.col("y"), F.col("z")).alias("e"),
+                        _ek(F.col("x"), F.col("y")).alias("o1"),
+                        _ek(F.col("x"), F.col("z")).alias("o2"),
+                    ),
+                    F.struct(
+                        _ek(F.col("x"), F.col("z")).alias("e"),
+                        _ek(F.col("x"), F.col("y")).alias("o1"),
+                        _ek(F.col("y"), F.col("z")).alias("o2"),
+                    ),
+                )
+            ).alias("_t")
+        )
+        .select("_t.e", "_t.o1", "_t.o2")
+        .localCheckpoint()
+    )
+    state = tri_edges.groupBy("e").agg(F.count(F.lit(1)).alias("h"))
+
+    def _step(h: DataFrame, _round: int) -> DataFrame:
+        msgs = (
+            tri_edges.join(
+                h.select(F.col("e").alias("o1"), F.col("h").alias("h1")),
+                "o1",
+            )
+            .join(
+                h.select(F.col("e").alias("o2"), F.col("h").alias("h2")),
+                "o2",
+            )
+            .join(h, "e")
+            .select("e", F.least("h1", "h2", "h").alias("t"))
+        )
+        hist = msgs.groupBy("e", "t").agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("e")
+            .orderBy(F.desc("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            hist.select("e", "t", F.sum("c").over(w).alias("ge"))
+            .select("e", F.least("t", "ge").alias("m"))
+            .groupBy("e")
+            .agg(F.max("m").alias("h"))
+        )
+
+    def _converged(prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        return (
+            new.join(prev.select("e", F.col("h").alias("_ph")), "e")
+            .where(F.col("h") != F.col("_ph"))
+            .count()
+            == 0
+        )
+
+    final, _rounds, _done = iterate(
+        state,
+        _step,
+        _converged,
+        max_iter,
+        warn=(
+            f"trussness: H-index fixpoint did not converge within "
+            f"max_iter={max_iter} rounds; values are upper bounds on "
+            "the true truss numbers"
+        ),
+    )
+    return (
+        simple.join(
+            final.select(F.col("e.a").alias("a"), F.col("e.b").alias("b"), "h"),
+            ["a", "b"],
+            "left",
+        )
+        .select(
+            "a",
+            "b",
+            (F.coalesce("h", F.lit(0)) + F.lit(2))
+            .cast("long")
+            .alias("trussness"),
+        )
+    )

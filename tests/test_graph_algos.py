@@ -1548,3 +1548,29 @@ def test_s_metric_vs_bruteforce(spark):
         [(0, i) for i in range(1, 6)], "src long, dst long"
     )
     assert s_metric(star).collect()[0]["s_metric"] == 25
+
+
+def test_trussness_invariant_with_k_truss(spark):
+    from pagerank_spark.operators.cores import k_truss, trussness
+
+    rng = np.random.RandomState(14)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 18, size=(80, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    t = {(r["a"], r["b"]): r["trussness"] for r in trussness(e).collect()}
+    assert t  # non-empty
+    assert min(t.values()) >= 2
+    ks = sorted(set(t.values()))
+    for k in ks + [max(ks) + 1]:
+        kt = {(r["a"], r["b"]) for r in k_truss(e, k).collect()}
+        assert kt == {ed for ed, tv in t.items() if tv >= k}, k
+    # K5 plus a pendant edge: every clique edge has trussness 5, the
+    # pendant (no triangle) takes the convention value 2
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)] + [(0, 9)]
+    out = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in trussness(
+            spark.createDataFrame(k5, "src long, dst long")
+        ).collect()
+    }
+    assert out[(0, 9)] == 2
+    assert all(v == 5 for ed, v in out.items() if ed != (0, 9))
