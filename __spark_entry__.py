@@ -1529,6 +1529,53 @@ def q_louvain(spark, sf_dir):
 CORENESS_SQL_ROUNDS = 12  # replayed fixpoint: 11/10/5 rounds at sf0.001/0.01/0.1
 
 
+WIDEST_SQL_ROUNDS = 45  # max-min fixpoint takes 4/42/23 rounds per sf
+WIDEST_SOURCES = [0, 7, 13, 42, 99]
+
+
+def q_widest_paths(spark, sf_dir):
+    """Keyed multi-source widest (max bottleneck capacity) paths on
+    the weighted mid graph — the (max, min) semiring twin of the BFS
+    relaxation; self rows (width = inf) excluded for portable values."""
+    from pagerank_spark.operators.paths import widest_paths
+
+    return (
+        widest_paths(
+            _edges_mid_weighted(spark, sf_dir), WIDEST_SOURCES
+        )
+        .where(F.col("source") != F.col("id"))
+        .select("source", "id", F.round("width", 7).alias("width"))
+        .orderBy("source", "id")
+    )
+
+
+def _widest_sql(edges_sql: str, sources: list[int], rounds: int) -> str:
+    """Unrolled max-min relaxation: seeds at +infinity, each round
+    width(v) = max(width(v), max over in-edges min(width(u), w));
+    rounds past the fixpoint are no-ops."""
+    seeds = ", ".join(f"({int(s)})" for s in sources)
+    parts = [
+        f"WITH eg AS MATERIALIZED ({edges_sql}),",
+        "w0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) "
+        "AS id, CAST('infinity' AS DOUBLE) AS width "
+        f"FROM (VALUES {seeds}) t(s)),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT source, id, max(width) AS width "
+            f"FROM (SELECT source, id, width FROM w{k-1} UNION ALL "
+            f"SELECT x.source, e.dst AS id, least(x.width, e.weight) "
+            f"FROM eg e JOIN w{k-1} x ON e.src = x.id) "
+            f"GROUP BY source, id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT source, id, round(width, 7) AS width FROM w{rounds} "
+        "WHERE source <> id ORDER BY source, id"
+    )
+    return "\n".join(parts)
+
+
 TRUSSNESS_SQL_ROUNDS = 16  # fixpoint takes 1/2/15 rounds at sf0.001/0.01/0.1
 
 
@@ -2788,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "coreness": q_coreness,
         "trussness": q_trussness,
+        "widest_paths": q_widest_paths,
         "tfidf_top_terms": q_tfidf_top_terms,
         # north-star corpus path
         "derive_repo_edges": q_derive_repo_edges,
@@ -5351,6 +5399,9 @@ def oracle_sql() -> dict[str, str]:
         "k_truss": _ktruss_sql(eg, TRUSS_K, TRUSS_SQL_ROUNDS),
         "coreness": _coreness_sql(eg, CORENESS_SQL_ROUNDS),
         "trussness": _trussness_sql(_MID_EDGES_SQL, TRUSSNESS_SQL_ROUNDS),
+        "widest_paths": _widest_sql(
+            _MID_W_EDGES_SQL, WIDEST_SOURCES, WIDEST_SQL_ROUNDS
+        ),
         "tfidf_top_terms": _tfidf_sql(TFIDF_K),
         "modularity_mod4": (
             f"WITH eg AS ({eg}), {_SIMPLE_DEG_SQL}, "

@@ -410,6 +410,13 @@ class LinkGraph:
 
         return avg_neighbor_degree(self.edges)
 
+    def widest_paths(self, sources: list[int]) -> DataFrame:
+        from pagerank_spark.operators.paths import widest_paths
+
+        if self.weight_col is None:
+            raise ValueError("widest_paths needs a weighted LinkGraph")
+        return widest_paths(self.edges, sources, weight_col=self.weight_col)
+
     def global_efficiency(self, pivots: list[int]) -> DataFrame:
         from pagerank_spark.operators.paths import global_efficiency
 

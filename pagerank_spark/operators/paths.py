@@ -411,3 +411,75 @@ def global_efficiency(
             "efficiency"
         ),
     )
+
+
+def widest_paths(
+    edges: DataFrame,
+    sources: list[int],
+    weight_col: str = "weight",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Keyed multi-source WIDEST paths — ``DataFrame[source, id,
+    width]``: the maximum bottleneck capacity over all paths
+    source→id, i.e. shortest paths on the (max, min) semiring instead
+    of (min, +). The classic capacity/bandwidth routing problem
+    (Pollack 1960); sources carry ``width = +inf`` (no bottleneck to
+    oneself). Vertices unreachable from a source get no row.
+
+    Same shape as :func:`multi_source_bfs` — ONE keyed relaxation for
+    all sources, per round one O(E) message join + a
+    map-side-combinable max-aggregate; the lattice is monotone
+    non-decreasing and bounded by the finite weight set, so the
+    fixpoint is exact, detected by the same count+checksum rule.
+    Demonstrates the relaxation harness generalizes across semirings:
+    min-plus (distances), max-min (widths) — only the two fold
+    expressions change.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("_w")
+    )
+    e = e.repartition(P, "src").persist()
+    e.count()
+    state = spark.createDataFrame(
+        [(int(s), int(s), float("inf")) for s in set(sources)],
+        "source long, id long, width double",
+    )
+
+    def _step(d: DataFrame, _round: int) -> DataFrame:
+        relaxed = e.join(d.withColumnRenamed("id", "src"), "src").select(
+            "source",
+            F.col("dst").alias("id"),
+            F.least("width", "_w").alias("width"),
+        )
+        return (
+            d.unionByName(relaxed)
+            .groupBy("source", "id")
+            .agg(F.max("width").alias("width"))
+        )
+
+    ctx = {"sig": None}
+
+    def _converged(_prev: DataFrame, new: DataFrame, _round: int) -> bool:
+        row = new.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("source", "id", "width")).alias("h"),
+        ).collect()[0]
+        sig = (int(row["c"]), int(row["h"] or 0))
+        if sig == ctx["sig"]:
+            return True
+        ctx["sig"] = sig
+        return False
+
+    out, _r, _done = iterate(
+        state, _step, _converged, max_iter,
+        warn=(
+            f"widest_paths: widths did not stabilize within "
+            f"max_iter={max_iter} rounds; widths are lower bounds"
+        ),
+    )
+    e.unpersist()
+    return out

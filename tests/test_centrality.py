@@ -1419,3 +1419,48 @@ def test_zero_eps_requires_max_iter(spark):
             fn()
     # explicit max_iter keeps the fixed-k replay mode working
     assert trustrank(e, [0], max_iter=3).count() == 2
+
+
+def test_widest_paths_vs_bruteforce(spark):
+    import heapq
+
+    from pagerank_spark.operators.paths import widest_paths
+
+    rng = np.random.RandomState(41)
+    rows = [
+        (int(a), int(b), float(w))
+        for (a, b), w in zip(
+            rng.randint(0, 20, size=(60, 2)), rng.randint(1, 10, size=60)
+        )
+        if a != b
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = {
+        (r["source"], r["id"]): r["width"]
+        for r in widest_paths(e, [0, 5]).collect()
+    }
+    adj = {}
+    for a, b, w in rows:
+        adj.setdefault(a, {})
+        adj[a][b] = max(adj[a].get(b, 0.0), w)  # parallel: widest wins
+
+    def dijkstra_maxmin(s):
+        best = {s: float("inf")}
+        pq = [(-float("inf"), s)]
+        while pq:
+            negw, u = heapq.heappop(pq)
+            w = -negw
+            if w < best.get(u, -1):
+                continue
+            for v, c in adj.get(u, {}).items():
+                nw = min(w, c)
+                if nw > best.get(v, 0.0):
+                    best[v] = nw
+                    heapq.heappush(pq, (-nw, v))
+        return best
+
+    want = {}
+    for s in (0, 5):
+        for v, w in dijkstra_maxmin(s).items():
+            want[(s, v)] = w
+    assert got == want
