@@ -128,6 +128,10 @@ EXTRA = [
     "value_percentiles",
     "vertex_cover_md5",
     "global_efficiency",
+    "s_metric",
+    # trussness/widest_paths are gated (sf0.01) but not benched: their
+    # sf0.1 fixpoints run 15/23 rounds of fixed per-round overhead —
+    # legitimate for correctness, too slow for the per-round timing sweep
 ]
 
 SCALE_N = 2_000_000
