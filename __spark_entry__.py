@@ -4121,7 +4121,7 @@ def _trussness_sql(edges_sql: str, rounds: int) -> str:
         )
     parts[-1] = parts[-1].rstrip(",")
     parts.append(
-        f"SELECT sp.a, sp.b, coalesce(t.h, 0) + 2 AS trussness "
+        f"SELECT sp.a, sp.b, CAST(coalesce(t.h, 0) + 2 AS BIGINT) AS trussness "
         f"FROM simple sp LEFT JOIN t{rounds} t "
         f"ON sp.a = t.ea AND sp.b = t.eb ORDER BY sp.a, sp.b"
     )
@@ -4152,7 +4152,9 @@ def _coreness_sql(edges_sql: str, rounds: int) -> str:
             f"GROUP BY n.id, least(p.h, q.h))) GROUP BY id),",
         )
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(f"SELECT id, h AS coreness FROM h{rounds} ORDER BY id")
+    parts.append(
+        f"SELECT id, CAST(h AS BIGINT) AS coreness FROM h{rounds} ORDER BY id"
+    )
     return "\n".join(parts)
 
 
@@ -5054,7 +5056,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s_metric": (
             f"WITH eg AS MATERIALIZED ({eg}), {_SIMPLE_DEG_SQL}, "
-            "s AS (SELECT coalesce(sum(da.d * db.d), 0) AS s_metric "
+            "s AS (SELECT CAST(coalesce(sum(da.d * db.d), 0) AS BIGINT) "
+            "AS s_metric "
             "FROM simple e JOIN deg da ON e.a = da.id "
             "JOIN deg db ON e.b = db.id), "
             "m AS (SELECT sum(d * d * d) / 2.0 AS mx FROM deg) "
@@ -5105,12 +5108,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN deg db ON s.b = db.id GROUP BY 1), "
             "grid AS (SELECT k FROM dh UNION SELECT 0), "
             "suf AS (SELECT g.k, "
-            "coalesce(sum(coalesce(dh.nv, 0)) OVER "
+            "CAST(coalesce(sum(coalesce(dh.nv, 0)) OVER "
             "(ORDER BY g.k DESC ROWS BETWEEN UNBOUNDED PRECEDING "
-            "AND 1 PRECEDING), 0) AS n_rich, "
-            "coalesce(sum(coalesce(mh.ne, 0)) OVER "
+            "AND 1 PRECEDING), 0) AS BIGINT) AS n_rich, "
+            "CAST(coalesce(sum(coalesce(mh.ne, 0)) OVER "
             "(ORDER BY g.k DESC ROWS BETWEEN UNBOUNDED PRECEDING "
-            "AND 1 PRECEDING), 0) AS e_rich "
+            "AND 1 PRECEDING), 0) AS BIGINT) AS e_rich "
             "FROM grid g LEFT JOIN dh ON g.k = dh.k "
             "LEFT JOIN mh ON g.k = mh.k) "
             "SELECT k, n_rich, e_rich, "
