@@ -1792,6 +1792,56 @@ def q_pagerank_two_phase(spark, sf_dir):
     ).orderBy("id")
 
 
+# Per-vertex bound for the two-phase approximation vs the tightly
+# converged exact iteration. Measured max|Δ| on the canonical graph:
+# 3.7e-8 (sf0.001) / 5.8e-9 (sf0.01) / 2.2e-9 (sf0.1) — the 1e-5
+# bound (the pytest atol, test_two_phase_matches_exact) has >250x
+# headroom at every driver scale while still catching a broken
+# phase 2, whose errors land at the coarse_eps=1e-3 magnitude.
+TWO_PHASE_BOUND = 1e-5
+
+
+def q_pagerank_two_phase_bound(spark, sf_dir):
+    """O18's driver-VISIBLE check (VERDICT r04 item 7): run the
+    two-phase approximation AND a tightly-converged exact power
+    iteration in-engine, and emit the comparison as data — one row
+    (n_vertices, within_bound, bound). The oracle recomputes
+    n_vertices from the same edge table and pins within_bound TRUE:
+    a broken phase 2 (error above the pytest-pinned bound) flips the
+    boolean and the row goes red, replacing the permanent no_oracle
+    skip with a value-checked gate."""
+    from pagerank_spark.operators.pagerank import (
+        pagerank,
+        pagerank_two_phase,
+    )
+
+    e = _edges(spark, sf_dir)
+    tp = pagerank_two_phase(e, coarse_eps=1e-3, eps=1e-4)
+    exact = pagerank(e, dangling="redistribute", eps=1e-6)
+    return (
+        tp.ranks.select("id", F.col("rank").alias("_tp"))
+        .join(
+            exact.ranks.select("id", F.col("rank").alias("_ex")),
+            "id",
+            "full_outer",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.max(
+                F.abs(
+                    F.coalesce("_tp", F.lit(0.0))
+                    - F.coalesce("_ex", F.lit(0.0))
+                )
+            ).alias("_mad"),
+        )
+        .select(
+            "n_vertices",
+            (F.col("_mad") <= F.lit(TWO_PHASE_BOUND)).alias("within_bound"),
+            F.lit(TWO_PHASE_BOUND).alias("bound"),
+        )
+    )
+
+
 # The reference's own 4-node validation graph in its native SNAP text
 # format (FIXTURES.md F1 / DEMO.txt; converges in 12 iterations).
 SNAP_DEMO_ITERS = 12
@@ -2413,22 +2463,21 @@ def q_funnel(spark, sf_dir):
 def q_value_percentiles(spark, sf_dir):
     """Exact per-event-type value percentiles (p50/p90/p99, linear
     interpolation on the sorted values — the shared ANSI quantile_cont
-    definition). Exact percentiles need the full sort; the engine's
-    bounded-state alternative at stream scale is the HLL/top-k pair."""
+    definition), via the package API
+    (operators/percentiles.value_percentiles). Exact percentiles need
+    the full sort; the bounded-state 100 TB twin is approx=True
+    (Greenwald-Khanna, pytest-checked against its rank-error bound)."""
+    from pagerank_spark.operators.percentiles import value_percentiles
+
     ev = _t(spark, sf_dir, "events")
-    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            pct.alias("_p"),
-        )
+        value_percentiles(ev, "value", ["event_type"])
         .select(
             "event_type",
             "n",
-            F.round(F.col("_p")[0], 6).alias("p50"),
-            F.round(F.col("_p")[1], 6).alias("p90"),
-            F.round(F.col("_p")[2], 6).alias("p99"),
+            F.round("p50", 6).alias("p50"),
+            F.round("p90", 6).alias("p90"),
+            F.round("p99", 6).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -2752,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_sink_roundtrip": q_pagerank_sink_roundtrip,
         "pagerank_residuals": q_pagerank_residuals,
         "pagerank_two_phase": q_pagerank_two_phase,
+        "pagerank_two_phase_bound": q_pagerank_two_phase_bound,
         "snap_demo_pagerank": q_snap_demo_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
@@ -4950,6 +5000,12 @@ def oracle_sql() -> dict[str, str]:
             f"FROM m JOIN od ON m.src = od.src ORDER BY m.src, m.dst"
         ),
         "pagerank_fixed10": _pagerank_fixed_sql(),
+        "pagerank_two_phase_bound": (
+            f"WITH eg AS ({_EDGES_SQL}), "
+            "nn AS (SELECT 1 + max(greatest(src, dst)) AS n FROM eg) "
+            "SELECT CAST(n AS BIGINT) AS n_vertices, "
+            "TRUE AS within_bound, 1e-5 AS bound FROM nn"
+        ),
         "pagerank_warm": _pagerank_fixed_sql(),
         "pagerank_personalized": _pr_cte_sql(
             _EDGES_SQL, PR_FIXED_ITERS, dangling="redistribute",

@@ -61,6 +61,15 @@ HEADLINE = [
     "k_truss",
     "contamination_md5",
     "skipgram_md5",
+    # promoted from round-4 extras (VERDICT r04 item 6, same rationale):
+    # the slowest of the round-4 surface now move the tracked number.
+    # r04 baselines at sf0.1 (driver BENCH_r04, single-shot):
+    # matching_md5 3.87s, min_spanning_forest 6.36s,
+    # global_efficiency 3.44s (judge solo re-runs saw 31s/21.8s cold —
+    # see BASELINE.md). Compare per-query across rounds, not "value".
+    "matching_md5",
+    "min_spanning_forest",
+    "global_efficiency",
 ]
 
 # Round-3 operators, timed and reported under "extra_queries" WITHOUT
@@ -115,8 +124,6 @@ EXTRA = [
     "spam_mass",
     "four_cycles",
     "bowtie",
-    "matching_md5",
-    "min_spanning_forest",
     "rich_club",
     "avg_neighbor_degree",
     "hll_uniques_stream",
@@ -127,7 +134,6 @@ EXTRA = [
     "funnel",
     "value_percentiles",
     "vertex_cover_md5",
-    "global_efficiency",
     "s_metric",
     # trussness/widest_paths are gated (sf0.01) but not benched: their
     # sf0.1 fixpoints run 15/23 rounds of fixed per-round overhead —

@@ -79,7 +79,12 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     )
 
 
-def coreness(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+def coreness(
+    edges: DataFrame,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
     """``DataFrame[id: long, coreness: long]`` — the core number of
     every non-isolated vertex of the undirected simple graph (the
     largest k such that the vertex survives in the k-core).
@@ -164,6 +169,8 @@ def coreness(edges: DataFrame, max_iter: int = 200) -> DataFrame:
             f"max_iter={max_iter} rounds; values are upper bounds on "
             "the true core numbers"
         ),
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
     )
     return final.select("id", F.col("h").alias("coreness"))
 
@@ -328,7 +335,12 @@ def densest_subgraph(
     return best
 
 
-def trussness(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+def trussness(
+    edges: DataFrame,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
     """``DataFrame[a, b, trussness]`` (a < b) — the truss number of
     every simple undirected edge: the largest k such that the edge
     survives in the k-truss (edges in no triangle get the convention
@@ -443,6 +455,8 @@ def trussness(edges: DataFrame, max_iter: int = 200) -> DataFrame:
             f"max_iter={max_iter} rounds; values are upper bounds on "
             "the true truss numbers"
         ),
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
     )
     return (
         simple.join(

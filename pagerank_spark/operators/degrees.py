@@ -293,8 +293,15 @@ def s_metric(edges: DataFrame, normalized: bool = False) -> DataFrame:
     cube-sum bound), giving a [0, 1]-comparable value.
 
     One degree pass, two O(V)-vs-O(E) joins, one exact integer scalar
-    agg (deg products summed as long — order-insensitive,
-    bit-reproducible); the normalization adds one histogram-sized agg.
+    agg; the normalization adds one histogram-sized agg. Both scalar
+    sums are widened to ``decimal(38,0)`` BEFORE summing (the
+    ``wl.py`` precedent): ``deg³`` alone exceeds int64 at deg ≈ 2.1M
+    and Σ deg_u·deg_v can exceed it on hub-dense web graphs, where a
+    long sum would wrap silently under non-ANSI Spark. The
+    un-normalized output column stays ``long`` — exact while
+    s(G) < 2⁶³ (any overflow surfaces as NULL at the final decimal→
+    long cast, never as a silently wrapped value); the normalized
+    ratio is computed from the exact decimal sums in double.
     """
     from pagerank_spark.operators.triangles import (
         _simple_degrees,
@@ -313,18 +320,27 @@ def s_metric(edges: DataFrame, normalized: bool = False) -> DataFrame:
             "b",
         )
         .agg(
-            F.coalesce(F.sum(F.col("_da") * F.col("_db")), F.lit(0))
-            .cast("long")
-            .alias("s_metric")
+            F.coalesce(
+                F.sum(
+                    F.col("_da").cast("decimal(19,0)")
+                    * F.col("_db").cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_s")
         )
     )
     if not normalized:
-        return s
+        return s.select(F.col("_s").cast("long").alias("s_metric"))
+    # deg as decimal(13,0) keeps the cube product inside decimal(38,0)
+    # for dmax up to ~10^12 while Σ deg³ ≤ dmax²·2E stays exact
+    d13 = F.col("deg").cast("decimal(13,0)")
     smax = deg.agg(
-        (F.sum(F.col("deg") * F.col("deg") * F.col("deg")) / 2).alias("_m")
+        (F.sum(d13 * d13 * d13).cast("double") / 2.0).alias("_m")
     )
     return s.crossJoin(smax).select(
-        F.when(F.col("_m") > 0, F.col("s_metric") / F.col("_m"))
+        F.when(
+            F.col("_m") > 0, F.col("_s").cast("double") / F.col("_m")
+        )
         .otherwise(F.lit(0.0))
         .alias("s_metric")
     )

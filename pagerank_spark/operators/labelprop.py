@@ -500,7 +500,23 @@ def louvain(
             )
         if lab.where(F.col("id") != F.col("label")).count() == 0:
             break
-        g = contract_graph(g, lab, weight_col=wc).localCheckpoint()
+        if wc is None:
+            # the unweighted sweep scored the DISTINCT simple
+            # projection (each parallel edge once) — contract that
+            # same graph, not the raw multi-edge table, or levels >= 1
+            # would optimize a multiplicity-weighted graph level 0
+            # never saw (nonuniform duplication would skew the coarse
+            # gains)
+            from pagerank_spark.operators.triangles import (
+                _simple_undirected,
+            )
+
+            base = _simple_undirected(g).select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            )
+        else:
+            base = g
+        g = contract_graph(base, lab, weight_col=wc).localCheckpoint()
         wc = "weight"
     assert mapping is not None  # max_levels >= 1
     return mapping

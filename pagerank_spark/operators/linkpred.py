@@ -14,7 +14,10 @@ join removes already-connected pairs. The wedge join is Σ deg(w)² rows
 vertices, so ``max_degree`` caps the common-neighbor role: vertices
 above the cap generate no wedges (the standard approximation — a hub's
 Adamic-Adar contribution 1/ln(deg) is negligible anyway, and the cap
-bounds the join at |V|·cap² instead of Σ deg²). None = exact.
+bounds the join at |V|·cap² instead of Σ deg²). The DEFAULT is the
+finite cap 10_000 — a first call at 100 TB must not go quadratic on a
+hub; pass ``max_degree=None`` to opt out for exact small-graph runs
+(exact either way while no vertex exceeds the cap).
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ from pagerank_spark.operators.triangles import (
 def link_prediction(
     edges: DataFrame,
     min_common: int = 1,
-    max_degree: int | None = None,
+    max_degree: int | None = 10_000,
 ) -> DataFrame:
     """``DataFrame[a, b, common, jaccard, adamic_adar, resource_alloc,
     pref_attach]`` with a < b for every NON-adjacent pair sharing >=
@@ -103,7 +106,9 @@ def link_prediction(
     )
 
 
-def four_cycles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+def four_cycles(
+    edges: DataFrame, max_degree: int | None = 10_000
+) -> DataFrame:
     """Global 4-cycle (rectangle) count on the undirected simple graph
     — ``DataFrame[n_four_cycles: long]`` with one row. Rectangles are
     the next motif after triangles for clustering/spam structure
@@ -219,7 +224,9 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
     )
 
 
-def edge_dispersion(edges: DataFrame, max_common: int | None = None) -> DataFrame:
+def edge_dispersion(
+    edges: DataFrame, max_common: int | None = 10_000
+) -> DataFrame:
     """``DataFrame[a, b, common, dispersion]`` (a < b) — absolute
     dispersion per EXISTING edge: the number of pairs of common
     neighbors of (a, b) that are NOT adjacent to each other (Backstrom
@@ -233,9 +240,11 @@ def edge_dispersion(edges: DataFrame, max_common: int | None = None) -> DataFram
     (x, y, z) contributes its third corner to each of its three edges)
     self-joined per edge into C(common, 2) candidate pairs, then one
     anti-join against the edge set removes adjacent pairs. The
-    self-join is Σ_edges common² rows — at web scale cap it with
-    ``max_common`` (edges above the cap get ``dispersion = NULL``
-    instead of a quadratic blow-up; their common count still reports).
+    self-join is Σ_edges common² rows — ``max_common`` caps it (edges
+    above the cap get ``dispersion = NULL`` instead of a quadratic
+    blow-up; their common count still reports). Defaults to 10_000 so
+    the uncapped quadratic needs an explicit ``max_common=None``
+    opt-out; exact either way while no edge exceeds the cap.
     """
     from pagerank_spark.operators.triangles import (
         _orient,

@@ -173,6 +173,8 @@ def maximal_matching(
     max_iter: int = 50,
     hash_fn: str = "xxhash64",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """``DataFrame[a: long, b: long]`` (a < b) — a maximal matching of
     the undirected simple projection: no two output edges share a
@@ -191,16 +193,23 @@ def maximal_matching(
     guaranteed; with uniform priorities the expected round count is
     O(log E). ``hash_fn="md5"`` makes every round ANSI-replayable
     (the portable-twin pattern).
+
+    Runs on the :func:`~pagerank_spark.plans.iterate.iterate` harness
+    with ONE tagged state frame (``live`` rows ∪ ``matched`` rows), so
+    ``checkpoint_dir``/``resume`` give the round-4 fixpoints the same
+    durable kill-and-resume contract as PageRank/CC (E5): the round
+    counter resumes too, keeping the per-round hash draws identical.
     """
+    from pagerank_spark.plans.iterate import iterate
+
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    live = _simple_undirected(edges).repartition(P, "a").localCheckpoint()
-    matched = spark.createDataFrame([], "a long, b long").localCheckpoint()
-    exhausted = True
-    for rnd in range(1, max_iter + 1):
-        if live.isEmpty():
-            exhausted = False
-            break
+    live0 = _simple_undirected(edges).repartition(P, "a")
+    state0 = live0.select("a", "b", F.lit("L").alias("tag")).localCheckpoint()
+
+    def _step(state: DataFrame, rnd: int) -> DataFrame:
+        live = state.where(F.col("tag") == "L").select("a", "b")
+        matched = state.where(F.col("tag") == "M").select("a", "b")
         pri = live.select(
             "a",
             "b",
@@ -226,41 +235,46 @@ def maximal_matching(
             .groupBy("v")
             .agg(F.min("_k").alias("_m"))
         )
-        winners = (
-            pri.join(
-                vmin.select(F.col("v").alias("a"), F.col("_m").alias("_ma")),
-                "a",
-            )
-            .join(
-                vmin.select(F.col("v").alias("b"), F.col("_m").alias("_mb")),
-                "b",
-            )
-            .where((F.col("_k") == F.col("_ma")) & (F.col("_k") == F.col("_mb")))
-            .select("a", "b")
-            .localCheckpoint()
-        )
-        matched = matched.unionByName(winners).localCheckpoint()
+        winners = pri.join(
+            vmin.select(F.col("v").alias("a"), F.col("_m").alias("_ma")),
+            "a",
+        ).join(
+            vmin.select(F.col("v").alias("b"), F.col("_m").alias("_mb")),
+            "b",
+        ).where(
+            (F.col("_k") == F.col("_ma")) & (F.col("_k") == F.col("_mb"))
+        ).select("a", "b")
         done_v = (
             winners.select(F.col("a").alias("id"))
             .union(winners.select(F.col("b").alias("id")))
             .distinct()
         )
-        live = (
-            live.join(done_v.withColumnRenamed("id", "a"), "a", "left_anti")
-            .join(done_v.withColumnRenamed("id", "b"), "b", "left_anti")
-            .localCheckpoint()
+        next_live = live.join(
+            done_v.withColumnRenamed("id", "a"), "a", "left_anti"
+        ).join(done_v.withColumnRenamed("id", "b"), "b", "left_anti")
+        return (
+            matched.unionByName(winners)
+            .select("a", "b", F.lit("M").alias("tag"))
+            .unionByName(next_live.select("a", "b", F.lit("L").alias("tag")))
         )
-    if exhausted and not live.isEmpty():
-        import warnings
 
-        warnings.warn(
-            f"maximal_matching: {live.count()} edges still live after "
-            f"max_iter={max_iter} rounds — the returned matching is a "
-            "matching but may not be maximal",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    return matched
+    def _converged(_prev: DataFrame, new: DataFrame, _rnd: int) -> bool:
+        return new.where(F.col("tag") == "L").isEmpty()
+
+    final, _rounds, _done = iterate(
+        state0,
+        _step,
+        _converged,
+        max_iter,
+        warn=(
+            f"maximal_matching: edges still live after max_iter="
+            f"{max_iter} rounds — the returned matching is a matching "
+            "but may not be maximal"
+        ),
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    return final.where(F.col("tag") == "M").select("a", "b")
 
 
 def vertex_cover(

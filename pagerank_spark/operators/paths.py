@@ -404,12 +404,15 @@ def global_efficiency(
         .count()
     )
     k = len(set(sources))
+    # coalesce: F.sum over zero rows is NULL, but the 1/∞ convention
+    # says zero reachable pairs means efficiency exactly 0.0
     return d.where(F.col("dist") > 0).agg(
         F.lit(n).cast("long").alias("n_vertices"),
         F.count(F.lit(1)).alias("reachable_pairs"),
-        (F.sum(1.0 / F.col("dist")) / F.lit(float(k * max(n - 1, 1)))).alias(
-            "efficiency"
-        ),
+        F.coalesce(
+            F.sum(1.0 / F.col("dist")) / F.lit(float(k * max(n - 1, 1))),
+            F.lit(0.0),
+        ).alias("efficiency"),
     )
 
 

@@ -47,10 +47,14 @@ def _side_scores(
     """Per-vertex closed-form score for one side. ``deg`` =
     DataFrame[id, deg]; ``comp`` = bipartite CC labels; ``parity`` = 0
     for the hub side (2i), 1 for the authority side (2j+1)."""
+    # pmod, not %: Spark's % keeps the dividend's sign (-5 % 2 = -1),
+    # which would silently drop every negative-id authority vertex;
+    # the decode divides an exact even long, so integer division via
+    # floor() is lossless for any valid encoded id
     side = (
-        comp.where(F.col("id") % 2 == parity)
+        comp.where(F.pmod(F.col("id"), F.lit(2)) == parity)
         .select(
-            ((F.col("id") - parity) / 2).cast("long").alias("id"),
+            F.floor((F.col("id") - parity) / 2).cast("long").alias("id"),
             "component",
         )
         .join(deg, "id")
@@ -97,6 +101,8 @@ def salsa(edges: DataFrame) -> DataFrame:
     indeg = e.groupBy(F.col("dst").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    # precondition: |id| < 2^62 so the 2i / 2j+1 side-encoding cannot
+    # overflow long (same contract pagerank documents for vertex ids)
     bip = e.select(
         (F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst")
     )

@@ -19,10 +19,17 @@ so it is computed ONCE and re-added each round instead of re-joined.
 Scale notes: exact SimRank's score frame is inherently O(pairs with a
 common ancestor-path); ``prune_eps`` is the published practical knob
 (drop pairs below eps each round — Lizorkin et al. VLDB 2008 show the
-error is bounded by eps/(1-C)). For web-scale graphs, combine with a
-candidate restriction (e.g. pairs within the same LSH bucket of
-in-neighbor sets). Multi-edges collapse (SimRank is defined on simple
-graphs) and self-loops are dropped.
+error is bounded by eps/(1-C)). ``max_in_degree`` is the web-scale
+candidate restriction: vertices whose in-degree exceeds the cap are
+dropped as pair ENDPOINTS (their in-edges are removed; they still act
+as in-neighbors of others), bounding |I(v)| ≤ cap for every scored
+vertex, so each pair's recursion averages over ≤ cap² terms and a
+link-farm target with 10⁶ spam in-links (Σ in-deg² wedge blow-up)
+contributes zero rows instead of 10¹². This mirrors
+``link_prediction(max_degree=)`` and is the standard hub
+approximation: a hub's own scores are already driven toward 0 by the
+1/(|I(a)||I(b)|) normalization. Multi-edges collapse (SimRank is
+defined on simple graphs) and self-loops are dropped.
 """
 
 from __future__ import annotations
@@ -38,12 +45,16 @@ def simrank(
     c: float = 0.8,
     iters: int = 3,
     prune_eps: float | None = None,
+    max_in_degree: int | None = None,
 ) -> DataFrame:
     """Iterate SimRank ``iters`` times; returns ``(a, b, score)`` for
     unordered off-diagonal pairs (``a < b``) reachable by the
     recursion (both endpoints must have in-edges). ``prune_eps``
     drops pairs whose score falls below eps after each round — the
     standard truncation for web-scale runs (exact when None).
+    ``max_in_degree`` drops over-cap vertices as pair endpoints (see
+    module docstring) — the hub cap that bounds the wedge joins;
+    exact when None or when no vertex exceeds the cap.
     """
     e = (
         edges.select("src", "dst")
@@ -51,6 +62,18 @@ def simrank(
         .distinct()
         .persist()
     )
+    if max_in_degree is not None:
+        # the over-cap set is tiny by construction (few true hubs) —
+        # broadcast it and strip their in-edges before any wedge forms
+        hot = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") > max_in_degree)
+            .select("dst")
+        )
+        capped = e.join(F.broadcast(hot), "dst", "left_anti").persist()
+        e.unpersist()
+        e = capped
     ind = e.groupBy(F.col("dst").alias("v")).agg(
         F.count(F.lit(1)).cast("double").alias("ind")
     )

@@ -1464,3 +1464,66 @@ def test_widest_paths_vs_bruteforce(spark):
         for v, w in dijkstra_maxmin(s).items():
             want[(s, v)] = w
     assert got == want
+
+
+def test_simrank_max_in_degree_hub(spark):
+    """The hub cap must (a) be a no-op when no vertex exceeds it,
+    (b) on a 10k-in-degree link-farm target be EXACTLY equivalent to
+    running SimRank on the graph with the hub's in-edges stripped —
+    the documented endpoint-drop semantics — so the Σ in-deg² wedge
+    blow-up through the hub cannot occur (its pairs never form)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.simrank import simrank
+
+    core = [(0, 2), (1, 2), (0, 3), (1, 3), (2, 4), (3, 4), (4, 0),
+            (3, 0), (2, 1)]
+    e_core = spark.createDataFrame(core, "src long, dst long")
+    base = {(r["a"], r["b"]): r["score"]
+            for r in simrank(e_core, iters=3).collect()}
+    capped = {(r["a"], r["b"]): r["score"]
+              for r in simrank(e_core, iters=3, max_in_degree=100).collect()}
+    assert base == capped  # no vertex over the cap -> bit-identical
+
+    hub = 10_000_000
+    spam = spark.range(100_000, 110_000).select(
+        F.col("id").alias("src"), F.lit(hub).alias("dst")
+    )
+    full = e_core.unionByName(spam)
+    got = {(r["a"], r["b"]): r["score"]
+           for r in simrank(full, iters=3, max_in_degree=100).collect()}
+    assert not any(hub in ab for ab in got)  # hub pairs never formed
+    # equivalence: cap == pre-filtering the over-cap vertex's in-edges
+    assert got == base
+
+
+def test_salsa_negative_vertex_ids(spark):
+    """The bipartite 2i / 2j+1 side-encoding must survive negative
+    vertex ids (Spark's % keeps the dividend sign; pmod does not):
+    scores on a negative-id graph equal the shifted positive-id twin."""
+    from pagerank_spark.operators.salsa import salsa
+
+    E = [(0, 2), (1, 2), (0, 3), (2, 4), (3, 4), (4, 1)]
+    SHIFT = 5  # maps every vertex into [-5, -1]
+    pos = salsa(spark.createDataFrame(E, "src long, dst long")).collect()
+    neg = salsa(
+        spark.createDataFrame(
+            [(s - SHIFT, d - SHIFT) for s, d in E], "src long, dst long"
+        )
+    ).collect()
+    want = {(r["id"] - SHIFT): (r["hub"], r["authority"]) for r in pos}
+    got = {r["id"]: (r["hub"], r["authority"]) for r in neg}
+    assert got == want
+    assert any(a > 0 for _, a in got.values())  # authorities scored
+
+
+def test_global_efficiency_no_reachable_pairs(spark):
+    """Zero reachable ordered pairs is efficiency 0.0 (the 1/inf
+    convention), not NULL — the F.sum-over-empty case."""
+    from pagerank_spark.operators.paths import global_efficiency
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    row = global_efficiency(e, sources=[2]).collect()[0]
+    assert row["n_vertices"] == 2
+    assert row["reachable_pairs"] == 0
+    assert row["efficiency"] == 0.0

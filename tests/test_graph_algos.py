@@ -1574,3 +1574,88 @@ def test_trussness_invariant_with_k_truss(spark):
     }
     assert out[(0, 9)] == 2
     assert all(v == 5 for ed, v in out.items() if ed != (0, 9))
+
+
+def test_s_metric_exact_beyond_int64(spark):
+    """A 3M-degree hub drives the normalization term sum(deg^3) past
+    2^63 (3e6^3 = 2.7e19 > 9.2e18): the decimal(38,0) widening must
+    keep both scalar sums exact where a long sum would silently wrap
+    under non-ANSI Spark. Expected values computed as exact rationals."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.degrees import s_metric
+
+    D = 3_000_000
+    star = spark.range(1, D + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    # every edge is hub(deg D) x leaf(deg 1): s = D * D
+    assert s_metric(star).collect()[0]["s_metric"] == D * D
+    want = float(Fraction(2 * D * D, D**3 + D))  # 2s / sum(deg^3)
+    got = s_metric(star, normalized=True).collect()[0]["s_metric"]
+    assert abs(got - want) < 1e-15
+    assert 0.0 < got < 1.0
+
+
+def test_louvain_multigraph_matches_simple_projection(spark):
+    """Unweighted multi-level Louvain must optimize the SAME graph at
+    every level: nonuniformly duplicated parallel edges (the lineitem
+    derivation norm) may not leak row multiplicity into the contracted
+    coarse graph, so labels equal those of the deduplicated simple
+    projection."""
+    from pagerank_spark.operators.labelprop import louvain
+
+    cliq = [(a, b) for base in (0, 10) for a in range(base, base + 4)
+            for b in range(a + 1, base + 4)]
+    bridge = [(3, 10)]
+    edges = cliq + bridge
+    # nonuniform duplication: inter-clique bridge repeated 50x, one
+    # intra-clique edge 7x — raw multiplicity would make the bridge
+    # dominate the coarse-level gains
+    multi = edges + bridge * 49 + [(0, 1)] * 6
+    got = {
+        r["id"]: r["label"]
+        for r in louvain(
+            spark.createDataFrame(multi, "src long, dst long"),
+            max_levels=3,
+        ).collect()
+    }
+    want = {
+        r["id"]: r["label"]
+        for r in louvain(
+            spark.createDataFrame(edges, "src long, dst long"),
+            max_levels=3,
+        ).collect()
+    }
+    assert got == want
+    assert len(set(want.values())) == 2  # the two cliques
+
+
+def test_wedge_caps_default_finite(spark):
+    """The 100 TB foot-gun is closed by default: a >10k-degree hub is
+    excluded from wedge generation unless the caller explicitly opts
+    out with max_degree=None."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.linkpred import (
+        edge_dispersion,
+        four_cycles,
+        link_prediction,
+    )
+
+    assert inspect.signature(link_prediction).parameters[
+        "max_degree"].default == 10_000
+    assert inspect.signature(four_cycles).parameters[
+        "max_degree"].default == 10_000
+    assert inspect.signature(edge_dispersion).parameters[
+        "max_common"].default == 10_000
+    star = spark.range(1, 10_002).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    # hub degree 10_001 > default cap -> no hub-mediated wedges
+    assert link_prediction(star).count() == 0
+    assert four_cycles(star).collect()[0]["n_four_cycles"] == 0

@@ -322,3 +322,59 @@ def test_bucketed_edges_join_without_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS test_e_bkt")
+
+
+def test_trussness_checkpoint_resume(spark, tmp_path):
+    """E5 durable resume extended to the round-4 H-index fixpoints
+    (VERDICT r04 item 9): a trussness run killed after 1 round resumes
+    from the parquet manifest and finishes bit-identical to the
+    uninterrupted run."""
+    from pagerank_spark.operators.cores import trussness
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=60, e=500, seed=23).cache()
+    full = {(r["a"], r["b"]): r["trussness"] for r in trussness(e).collect()}
+    ck = str(tmp_path / "truss_ck")
+    # killed run: budget exhausted after one round (fixpoint needs >1)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        trussness(e, max_iter=1, checkpoint_dir=ck).collect()
+    resumed = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in trussness(e, checkpoint_dir=ck, resume=True).collect()
+    }
+    assert resumed == full
+    e.unpersist()
+
+
+def test_matching_checkpoint_resume(spark, tmp_path):
+    """maximal_matching on the iterate harness: resume restores BOTH
+    state halves (matched + live) and the round counter, so the
+    per-round hash draws — and therefore the final matching — are
+    identical to the uninterrupted run."""
+    from pagerank_spark.operators.mis import maximal_matching
+    from pagerank_spark.testing import synth_edges
+
+    e = synth_edges(spark, n=80, e=600, seed=29).cache()
+    full = {(r["a"], r["b"]) for r in maximal_matching(e).collect()}
+    ck = str(tmp_path / "match_ck")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        partial = maximal_matching(e, max_iter=1, checkpoint_dir=ck)
+        n_partial = partial.count()
+    resumed = {
+        (r["a"], r["b"])
+        for r in maximal_matching(e, checkpoint_dir=ck, resume=True).collect()
+    }
+    assert resumed == full
+    assert n_partial <= len(full)
+    # matching invariant on the resumed result: vertex-disjoint
+    seen = set()
+    for a, b in resumed:
+        assert a not in seen and b not in seen
+        seen.update((a, b))
+    e.unpersist()

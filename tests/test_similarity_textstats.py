@@ -450,3 +450,61 @@ def test_scrub_pii_replaces_and_counts(spark):
     assert out[2]["text"] == "ssn <SSN> from <IP> and <IP>"
     assert out[3]["text"] == "nothing private here 1234"
     assert all(out[3][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4"))
+
+
+def test_value_percentiles_exact_and_approx(spark):
+    """operators/percentiles: the exact form matches NumPy's linear
+    interpolation per group; the approx (Greenwald-Khanna) twin obeys
+    its documented rank-error bound n/accuracy and degenerates to an
+    exact order statistic when the sketch holds everything."""
+    import numpy as np
+
+    from pagerank_spark.operators.percentiles import value_percentiles
+
+    rng = np.random.RandomState(11)
+    rows = [("a", float(v)) for v in rng.lognormal(0, 2, size=4000)] + [
+        ("b", float(v)) for v in rng.normal(100, 5, size=1000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    probs = (0.5, 0.9, 0.99)
+    exact = {
+        r["grp"]: r
+        for r in value_percentiles(
+            df, "value", ["grp"], probabilities=probs
+        ).collect()
+    }
+    by_grp = {"a": sorted(v for g, v in rows if g == "a"),
+              "b": sorted(v for g, v in rows if g == "b")}
+    for g, vals in by_grp.items():
+        assert exact[g]["n"] == len(vals)
+        for p in probs:
+            want = float(np.percentile(vals, p * 100, method="linear"))
+            got = exact[g][f"p{p * 100:g}".replace(".", "_")]
+            assert abs(got - want) < 1e-9, (g, p)
+    # approx: returned value's RANK within n/accuracy of target rank
+    ACC = 100
+    approx = {
+        r["grp"]: r
+        for r in value_percentiles(
+            df, "value", ["grp"], probabilities=probs,
+            approx=True, accuracy=ACC,
+        ).collect()
+    }
+    for g, vals in by_grp.items():
+        n = len(vals)
+        assert approx[g]["n"] == n
+        for p in probs:
+            got = approx[g][f"p{p * 100:g}".replace(".", "_")]
+            rank = np.searchsorted(vals, got, side="left")
+            assert abs(rank - p * n) <= n / ACC + 1, (g, p, rank)
+    # accuracy >= n: GK is exact (an order statistic, nearest-rank)
+    tight = value_percentiles(
+        df.where("grp = 'b'"), "value", [], probabilities=(0.5,),
+        approx=True, accuracy=10_000,
+    ).collect()[0]
+    assert tight["p50"] in by_grp["b"]
+    assert abs(np.searchsorted(by_grp["b"], tight["p50"]) - 500) <= 1
+    # global (no group) exact row
+    glob = value_percentiles(df, "value", [], probabilities=(0.5,))
+    row = glob.collect()[0]
+    assert row["n"] == 5000 and "p50" in glob.columns
