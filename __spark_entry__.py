@@ -2780,6 +2780,117 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- round 5
+
+
+def q_cheirank(spark, sf_dir):
+    """CheiRank (Zhirov & Shepelyansky 2010): PageRank of the
+    TRANSPOSED link graph — the 'communicativity' axis of the 2D
+    web-page ranking plane. Fixed-10 leak mode; the oracle is the
+    standard unrolled CTE over the column-swapped edge derivation."""
+    from pagerank_spark.operators.centrality import cheirank
+
+    res = cheirank(
+        _edges(spark, sf_dir), dangling="leak", eps=0.0,
+        max_iter=PR_FIXED_ITERS,
+    )
+    return res.ranks.select(
+        "id", F.round("rank", 7).alias("rank")
+    ).orderBy("id")
+
+
+def q_anti_trustrank(spark, sf_dir):
+    """Anti-TrustRank (Krishnan & Raj 2006): distrust propagated from
+    spam seeds along REVERSED links (pages linking into spam inherit
+    suspicion) — fixed-10 redistribute personalized run."""
+    from pagerank_spark.operators.centrality import anti_trustrank
+
+    out = anti_trustrank(
+        _edges(spark, sf_dir), PPR_SOURCES, eps=0.0,
+        max_iter=PR_FIXED_ITERS,
+    )
+    return out.select(
+        "id", F.round("distrust", 7).alias("distrust")
+    ).orderBy("id")
+
+
+def q_incremental_cc(spark, sf_dir):
+    """Incremental connected components (the daily crawl-delta
+    pattern): CC the lineitem rows with l_orderkey % 4 != 0, then fold
+    in the remaining quarter as an edge DELTA via the label-contracted
+    |Δ|-sized CC — must equal full CC on the union bit-for-bit, and
+    the oracle IS full CC on the union (the plain CC unroll)."""
+    from pagerank_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = (F.col("l_partkey") % N_MOD).alias("src")
+    dst = ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias(
+        "dst"
+    )
+    old = li.where(F.col("l_orderkey") % 4 != 0).select(src, dst)
+    delta = li.where(F.col("l_orderkey") % 4 == 0).select(src, dst)
+    labels = connected_components(old)
+    return incremental_components(labels, delta).orderBy("id")
+
+
+ATTACK_FRACTIONS = (0.0, 0.1, 0.2)
+ATTACK_CC_SQL_ROUNDS = 40  # min-label unroll; fixpoint idempotent
+
+
+def q_attack_tolerance(spark, sf_dir):
+    """Albert-Jeong-Barabási targeted-attack curve: remove the top
+    floor(f·V) vertices by (degree DESC, id ASC), report surviving
+    fragmentation per fraction."""
+    from pagerank_spark.operators.components import attack_tolerance
+
+    return attack_tolerance(
+        _edges(spark, sf_dir), ATTACK_FRACTIONS
+    ).orderBy("fraction")
+
+
+def q_effective_size(spark, sf_dir):
+    """Burt effective size / efficiency (structural holes) per vertex
+    — degree minus mean alter-alter ties, off the per-vertex triangle
+    kernel."""
+    from pagerank_spark.operators.triangles import effective_size
+
+    return (
+        effective_size(_edges(spark, sf_dir))
+        .select(
+            "id",
+            "deg",
+            F.round("effective_size", 7).alias("effective_size"),
+            F.round("efficiency", 7).alias("efficiency"),
+        )
+        .orderBy("id")
+    )
+
+
+ZIPF_MAX_RANK = 10_000
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Corpus-level Zipf's-law fit over the documents table: least
+    squares of ln f_r on ln r for the top-ranked terms (deterministic
+    (freq DESC, term ASC) ranks)."""
+    from pagerank_spark.operators.textstats import zipf_fit
+
+    out = zipf_fit(
+        _t(spark, sf_dir, "documents"), max_rank=ZIPF_MAX_RANK
+    )
+    return out.select(
+        "n_tokens",
+        "vocab_size",
+        "ranks_used",
+        F.round("zipf_exponent", 6).alias("zipf_exponent"),
+        F.round("log_c", 6).alias("log_c"),
+        F.round("r_squared", 6).alias("r_squared"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph operators (SURVEY.md §2.1 + §2.3)
@@ -2794,6 +2905,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q_pagerank_personalized,
         "pagerank_personalized_join": q_pagerank_personalized_join,
         "spam_mass": q_spam_mass,
+        "cheirank": q_cheirank,
+        "anti_trustrank": q_anti_trustrank,
+        "incremental_cc": q_incremental_cc,
+        "attack_tolerance": q_attack_tolerance,
+        "effective_size": q_effective_size,
+        "zipf_fit": q_zipf_fit,
         "simrank": q_simrank,
         "salsa": q_salsa,
         "pagerank_weighted_converged": q_pagerank_weighted_converged,
@@ -4332,6 +4449,69 @@ def _sssp_sql(edges_sql: str, weighted: bool = False) -> str:
     return "\n".join(parts)
 
 
+def _attack_sql(edges_sql: str, fractions: tuple, rounds: int) -> str:
+    """Per-fraction replay of the targeted-attack curve: remove the
+    top floor(f·V) vertices under (degree DESC, id ASC), then an
+    unrolled min-label CC over the survivors (extra rounds past the
+    fixpoint are idempotent no-ops, so one generous unroll is exact
+    for every fraction and sf)."""
+    parts = [
+        f"WITH eg AS MATERIALIZED ({edges_sql}),",
+        "simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM eg WHERE src <> dst),",
+        "deg AS MATERIALIZED (SELECT id, count(*) AS d FROM "
+        "(SELECT a AS id FROM simple UNION ALL SELECT b FROM simple) "
+        "GROUP BY id),",
+        "nv AS (SELECT count(*) AS n FROM deg),",
+    ]
+    selects = []
+    for i, f in enumerate(sorted(set(float(x) for x in fractions))):
+        p = f"a{i}_"
+        parts += [
+            f"{p}rm AS MATERIALIZED (SELECT id FROM "
+            f"(SELECT id, row_number() OVER (ORDER BY d DESC, id ASC) "
+            f"AS rn FROM deg) WHERE rn <= "
+            f"(SELECT CAST(floor({f!r} * n) AS BIGINT) FROM nv)),",
+            f"{p}sv AS MATERIALIZED (SELECT id FROM deg WHERE id NOT IN "
+            f"(SELECT id FROM {p}rm)),",
+            f"{p}se AS MATERIALIZED (SELECT a, b FROM simple "
+            f"WHERE a IN (SELECT id FROM {p}sv) "
+            f"AND b IN (SELECT id FROM {p}sv)),",
+            f"{p}sym AS MATERIALIZED (SELECT a, b FROM {p}se "
+            f"UNION ALL SELECT b, a FROM {p}se),",
+            f"{p}l0 AS (SELECT id, id AS component FROM {p}sv),",
+        ]
+        for k in range(1, rounds + 1):
+            parts.append(
+                f"{p}l{k} AS MATERIALIZED (SELECT l.id, "
+                f"least(l.component, coalesce(m.ml, l.component)) "
+                f"AS component FROM {p}l{k-1} l LEFT JOIN "
+                f"(SELECT s.a AS id, min(x.component) AS ml "
+                f"FROM {p}sym s JOIN {p}l{k-1} x ON s.b = x.id "
+                f"GROUP BY s.a) m USING (id)),"
+            )
+        parts.append(
+            f"{p}sz AS (SELECT component, count(*) AS sz FROM {p}l{rounds} "
+            f"GROUP BY component),"
+        )
+        selects.append(
+            f"SELECT CAST({f!r} AS DOUBLE) AS fraction, "
+            f"(SELECT CAST(floor({f!r} * n) AS BIGINT) FROM nv) "
+            f"AS n_removed, "
+            f"CAST(coalesce((SELECT sum(sz) FROM {p}sz), 0) AS BIGINT) "
+            f"AS n_left, "
+            f"(SELECT count(*) FROM {p}sz) AS n_components, "
+            f"CAST(coalesce((SELECT max(sz) FROM {p}sz), 0) AS BIGINT) "
+            f"AS giant_size"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT * FROM (" + " UNION ALL ".join(selects)
+        + ") ORDER BY fraction"
+    )
+    return "\n".join(parts)
+
+
 def _cc_sql() -> str:
     """Unrolled min-label propagation over the symmetrized simple graph."""
     parts = [
@@ -5033,6 +5213,79 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END, 7) AS rel_spam_mass "
             f"FROM g_r{PR_FIXED_ITERS} a JOIN p_r{PR_FIXED_ITERS} b "
             "ON a.id = b.id ORDER BY a.id"
+        ),
+        "cheirank": _pr_cte_sql(
+            f"SELECT dst AS src, src AS dst FROM ({_EDGES_SQL}) t",
+            PR_FIXED_ITERS,
+        ),
+        "anti_trustrank": _pr_cte_sql(
+            f"SELECT dst AS src, src AS dst FROM ({_EDGES_SQL}) t",
+            PR_FIXED_ITERS,
+            dangling="redistribute",
+            personalize=PPR_SOURCES,
+            final=(
+                f"SELECT id, round(rank, 7) AS distrust "
+                f"FROM r{PR_FIXED_ITERS} ORDER BY id"
+            ),
+        ),
+        "incremental_cc": _cc_sql(),
+        "attack_tolerance": _attack_sql(
+            _EDGES_SQL, ATTACK_FRACTIONS, ATTACK_CC_SQL_ROUNDS
+        ),
+        "effective_size": (
+            f"WITH eg AS ({_EDGES_SQL}), "
+            "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM eg WHERE src <> dst), "
+            "deg AS (SELECT id, count(*) AS d FROM "
+            "(SELECT a AS id FROM simple UNION ALL SELECT b FROM simple) "
+            "GROUP BY id), "
+            "o AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND "
+            "s.a < s.b) THEN s.a ELSE s.b END AS u, "
+            "CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b) "
+            "THEN s.b ELSE s.a END AS v "
+            "FROM simple s JOIN deg da ON s.a = da.id "
+            "JOIN deg db ON s.b = db.id), "
+            "tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM o e1 "
+            "JOIN o e2 ON e1.v = e2.u "
+            "JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "tc AS (SELECT id, count(*) AS t FROM (SELECT x AS id FROM tr "
+            "UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr) "
+            "GROUP BY id) "
+            "SELECT d.id, d.d AS deg, "
+            "round(d.d - 2.0 * coalesce(tc.t, 0) / d.d, 7) "
+            "AS effective_size, "
+            "round((d.d - 2.0 * coalesce(tc.t, 0) / d.d) / d.d, 7) "
+            "AS efficiency "
+            "FROM deg d LEFT JOIN tc ON d.id = tc.id ORDER BY d.id"
+        ),
+        "zipf_fit": (
+            "WITH tk AS MATERIALIZED (SELECT w FROM "
+            "(SELECT unnest(string_split_regex(lower(trim(text)), "
+            "'\\s+')) AS w FROM documents) WHERE w <> ''), "
+            "ct AS MATERIALIZED (SELECT w, count(*) AS c FROM tk "
+            "GROUP BY w), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "count(*) AS vocab_size FROM ct), "
+            f"top AS (SELECT c, row_number() OVER (ORDER BY c DESC, "
+            f"w ASC) AS r FROM ct ORDER BY c DESC, w ASC "
+            f"LIMIT {ZIPF_MAX_RANK}), "
+            "xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, "
+            "ln(CAST(c AS DOUBLE)) AS y FROM top), "
+            "ft AS (SELECT count(*) AS ranks_used, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, "
+            "sum(x*y) AS sxy FROM xy), "
+            "sl AS (SELECT ranks_used, "
+            "sxy - sx * sy / ranks_used AS cov, "
+            "sxx - sx * sx / ranks_used AS varx, "
+            "syy - sy * sy / ranks_used AS vary, sx, sy FROM ft) "
+            "SELECT t.n_tokens, t.vocab_size, s.ranks_used, "
+            "round(-(CASE WHEN s.varx > 0 THEN s.cov / s.varx "
+            "ELSE 0.0 END), 6) AS zipf_exponent, "
+            "round((s.sy - (CASE WHEN s.varx > 0 THEN s.cov / s.varx "
+            "ELSE 0.0 END) * s.sx) / s.ranks_used, 6) AS log_c, "
+            "round(CASE WHEN s.varx > 0 AND s.vary > 0 THEN "
+            "s.cov * s.cov / (s.varx * s.vary) ELSE 0.0 END, 6) "
+            "AS r_squared FROM sl s, tot t"
         ),
         "pagerank_fixed10_join": _pagerank_fixed_sql(),
         "pagerank_sink_roundtrip": _pagerank_fixed_sql(),

@@ -135,6 +135,14 @@ EXTRA = [
     "value_percentiles",
     "vertex_cover_md5",
     "s_metric",
+    # round-5 additions
+    "cheirank",
+    "anti_trustrank",
+    "incremental_cc",
+    "attack_tolerance",
+    "effective_size",
+    "zipf_fit",
+    "pagerank_two_phase_bound",
     # trussness/widest_paths are gated (sf0.01) but not benched: their
     # sf0.1 fixpoints run 15/23 rounds of fixed per-round overhead —
     # legitimate for correctness, too slow for the per-round timing sweep

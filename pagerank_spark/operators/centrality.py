@@ -604,3 +604,68 @@ def spam_mass(
         .otherwise(F.lit(0.0))
         .alias("rel_spam_mass"),
     )
+
+
+def _reversed(edges: DataFrame) -> DataFrame:
+    """Transpose the edge table (dst→src), preserving any weight column."""
+    extra = [c for c in edges.columns if c not in ("src", "dst")]
+    return edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *extra
+    )
+
+
+def cheirank(
+    edges: DataFrame,
+    n: int | None = None,
+    d: float = 0.85,
+    eps: float = 1e-4,
+    max_iter: int | None = None,
+    **pagerank_kwargs,
+):
+    """CheiRank — PageRank of the TRANSPOSED link graph (Chepelianskii
+    2010; Zhirov, Zhirov & Shepelyansky, "Two-dimensional ranking of
+    Wikipedia articles", EPJ B 2010): where PageRank rewards being
+    cited, CheiRank rewards citing broadly — the "communicativity"
+    axis of the standard 2D (PageRank × CheiRank) web-page plane; spam
+    farms sit in the high-PageRank/low-CheiRank corner.
+
+    Implementation is exactly :func:`~pagerank_spark.operators.
+    pagerank.pagerank` on the dst→src transposed edge table — the
+    transpose is a zero-cost column swap (no shuffle; the downstream
+    block build re-partitions either way), so every mode, dangling
+    policy, weighting and checkpoint knob carries over unchanged.
+    Returns the full :class:`PageRankResult` (ranks sum to 1).
+    """
+    from pagerank_spark.operators.pagerank import pagerank
+
+    return pagerank(
+        _reversed(edges), n=n, d=d, eps=eps, max_iter=max_iter,
+        **pagerank_kwargs,
+    )
+
+
+def anti_trustrank(
+    edges: DataFrame,
+    spam_seeds: list[int],
+    n: int | None = None,
+    d: float = 0.85,
+    eps: float = 0.0,
+    max_iter: int | None = None,
+    **pagerank_kwargs,
+) -> DataFrame:
+    """Anti-TrustRank (Krishnan & Raj, AIRWeb 2006): propagate
+    DISTRUST from a hand-vetted spam seed set along REVERSED links —
+    a page linking INTO known spam inherits suspicion. Returns
+    ``(id, distrust)``; high scores flag likely spam, the complement
+    of :func:`trustrank`'s whitelist propagation (the published spam
+    pipeline thresholds a combination of both).
+
+    Composition: :func:`trustrank` (personalized redistribute-mode
+    PageRank) on the transposed edge table — one column swap, zero new
+    iteration machinery.
+    """
+    tr = trustrank(
+        _reversed(edges), spam_seeds, n=n, d=d, eps=eps,
+        max_iter=max_iter, **pagerank_kwargs,
+    )
+    return tr.select("id", F.col("trust").alias("distrust"))

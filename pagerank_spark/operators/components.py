@@ -212,3 +212,163 @@ def connected_components(
         "left",
     ).select("id", F.coalesce("component", "id").alias("component"))
     return labels
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 50,
+    mode: str = "auto",
+) -> DataFrame:
+    """Connected components of ``old graph ∪ new_edges`` WITHOUT the
+    old graph — ``DataFrame[id, component]`` covering every previously
+    labeled vertex plus every endpoint of ``new_edges``.
+
+    The daily-delta pattern for a continuously crawled link graph
+    (the 100 TB companion of ``pagerank(init_ranks=...)`` warm
+    starts): a prior :func:`connected_components` run summarizes the
+    old graph's ENTIRE connectivity in its label table (vertices u, v
+    are connected iff label(u) = label(v)), so edge additions never
+    need the old edges re-read — CC runs on the CONTRACTED delta
+    (new edges mapped endpoint→old label), which is |Δ|-sized, not
+    graph-sized. Deletions are NOT supported (they can split a
+    component, which labels alone cannot detect — that is a full
+    recompute, or decremental machinery this engine does not carry).
+
+    Exactness: the min-id label convention composes — the contracted
+    CC's labels are mins over member contracted ids, each of which is
+    already the min vertex id of its old component (or a raw
+    previously-unseen vertex id), so the composed label is the min
+    vertex id of the MERGED component: bit-identical to a full rerun
+    on the union graph (pinned by the ``incremental_cc`` gate, whose
+    oracle runs full CC on the union).
+
+    Shape: one O(Δ) label join (broadcast when the delta's endpoint
+    set is small), CC on the contracted |Δ|-edge graph, one O(V)
+    compose join back onto the label table. Old labels move through
+    ONE hash join; old edges move nowhere.
+    """
+    lab = labels.select(
+        "id", F.col(labels.columns[1]).alias("component")
+    ).localCheckpoint()
+    delta = (
+        new_edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    # endpoint -> old component (previously unseen endpoints keep
+    # their own id — they are singleton "old components")
+    contracted = (
+        delta.join(
+            lab.select(F.col("id").alias("src"), F.col("component").alias("_cs")),
+            "src",
+            "left",
+        )
+        .join(
+            lab.select(F.col("id").alias("dst"), F.col("component").alias("_cd")),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("_cs", "src").alias("src"),
+            F.coalesce("_cd", "dst").alias("dst"),
+        )
+    )
+    merged = connected_components(contracted, max_iter=max_iter, mode=mode)
+    # compose: every old vertex re-points through its component's new
+    # label; components untouched by the delta keep theirs (left join)
+    relabel = merged.select(
+        F.col("id").alias("component"), F.col("component").alias("_nc")
+    )
+    old = lab.join(relabel, "component", "left").select(
+        "id", F.coalesce("_nc", "component").alias("component")
+    )
+    # delta endpoints not previously labeled enter the vertex set
+    new_v = (
+        delta.select(F.col("src").alias("id"))
+        .union(delta.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(lab.select("id"), "id", "left_anti")
+    )
+    fresh = new_v.join(merged, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+    return old.unionByName(fresh)
+
+
+def attack_tolerance(
+    edges: DataFrame,
+    fractions: tuple[float, ...] = (0.0, 0.05, 0.1),
+    max_iter: int = 50,
+    mode: str = "auto",
+) -> DataFrame:
+    """Targeted-attack robustness curve (Albert, Jeong & Barabási,
+    "Error and attack tolerance of complex networks", Nature 2000) —
+    for each fraction f: remove the top ``floor(f·V)`` vertices under
+    the deterministic (simple degree DESC, id ASC) order, then report
+    the surviving graph's fragmentation. One row per fraction:
+    ``DataFrame[fraction, n_removed, n_left, n_components,
+    giant_size]`` (singleton survivors count as components; at f=0.0
+    the row is the baseline connectivity).
+
+    The standard resilience diagnostic for a link graph: scale-free
+    webs survive random failure but shatter under hub-targeted attack
+    — exactly the curve a crawler/CDN planner reads. Vertex semantics:
+    the vertex set is the ORIGINAL graph's; survivors isolated by the
+    removal stay as singleton components.
+
+    Shape: one degree pass; per fraction one broadcast semi-join
+    filter (the removed set is f·V ids) + a :func:`connected_
+    components` run on the shrunken edge set + an O(V) fold. The
+    driver-side loop is over len(fractions) values — each fraction is
+    an independent bounded job, not an iteration. The top-k removal
+    compiles to a ``TakeOrderedAndProject`` heap and the removed set
+    broadcasts, so fractions are priced for the SMALL f·V regime the
+    attack literature probes (up to ~10⁷ removed ids); for removing a
+    constant fraction of a 10¹²-vertex graph, switch to a degree-
+    threshold predicate (approx_percentile on the degree histogram)
+    instead of exact rank order.
+    """
+    fr = sorted(set(float(f) for f in fractions))
+    if not fr or fr[0] < 0.0 or fr[-1] >= 1.0:
+        raise ValueError("fractions must be in [0, 1)")
+    from pagerank_spark.operators.triangles import (
+        _simple_degrees,
+        _simple_undirected,
+    )
+
+    spark = edges.sparkSession
+    simple = _simple_undirected(edges).localCheckpoint()
+    deg = _simple_degrees(simple).localCheckpoint()
+    n_v = deg.count()
+    ranked = deg.orderBy(F.desc("deg"), F.asc("id")).select("id")
+    out = None
+    for f in fr:
+        k = int(f * n_v)
+        removed = ranked.limit(k).localCheckpoint()
+        surv_e = simple.join(
+            F.broadcast(removed).withColumnRenamed("id", "a"), "a", "left_anti"
+        ).join(
+            F.broadcast(removed).withColumnRenamed("id", "b"), "b", "left_anti"
+        )
+        surv_v = deg.select("id").join(
+            F.broadcast(removed), "id", "left_anti"
+        )
+        comp = connected_components(
+            surv_e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            max_iter=max_iter,
+            mode=mode,
+        )
+        lab = surv_v.join(comp, "id", "left").select(
+            "id", F.coalesce("component", "id").alias("component")
+        )
+        sizes = lab.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        row = sizes.agg(
+            F.lit(float(f)).alias("fraction"),
+            F.lit(k).cast("long").alias("n_removed"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_left"),
+            F.count(F.lit(1)).alias("n_components"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("giant_size"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -457,3 +457,75 @@ def scrub_pii(
     return docs.select(
         F.col(id_col).alias("doc_id"), cur.alias(text_col), *counts
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rank: int = 10_000,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution — one
+    row: ``DataFrame[n_tokens, vocab_size, ranks_used, zipf_exponent,
+    log_c, r_squared]``.
+
+    Least squares of ``ln f_r = log_c − s·ln r`` over the top
+    ``max_rank`` terms (rank = ``row_number`` under the deterministic
+    (freq DESC, term ASC) order); ``zipf_exponent`` = s (≈1 for
+    natural language, Zipf 1949), ``r_squared`` the fit quality —
+    the standard sanity probe that a crawled corpus looks like
+    language rather than boilerplate/logs (which bend the curve), and
+    the pair of the Gopher/perplexity per-document signals: this one
+    is corpus-level. Tokenization matches :func:`unigram_perplexity`
+    (lowercased whitespace tokens).
+
+    Scale shape: one explode scan → vocabulary-sized count table →
+    ``TakeOrderedAndProject`` top-``max_rank`` heap (the cap is what
+    keeps rank assignment off the full vocabulary — fitting the head
+    is also the statistically standard practice, since the rank tail
+    always bends away from the power law); the windowed rank then
+    touches ≤ max_rank rows, and the fit is one scalar fold.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w")
+    ).where(F.col("w") != "")
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(int(max_rank))
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("ranks_used"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    n = F.col("ranks_used").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    varx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vary = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    slope = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    return fit.crossJoin(F.broadcast(totals)).select(
+        "n_tokens",
+        "vocab_size",
+        "ranks_used",
+        (-slope).alias("zipf_exponent"),
+        ((F.col("_sy") - slope * F.col("_sx")) / n).alias("log_c"),
+        F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary))
+        .otherwise(F.lit(0.0))
+        .alias("r_squared"),
+    )

@@ -143,3 +143,34 @@ def clustering_coefficient(
         .otherwise(F.lit(0.0))
         .alias("coeff")
     )
+
+
+def effective_size(edges: DataFrame) -> DataFrame:
+    """Burt's structural-hole metrics on the unweighted undirected
+    simple graph — ``DataFrame[id, deg, effective_size, efficiency]``,
+    one row per non-isolated vertex.
+
+    ``effective_size(v) = deg(v) − 2·T(v)/deg(v)`` — the Borgatti 1997
+    simplification of Burt 1992's redundancy formula for unweighted
+    ego networks: each triangle through v makes one alter redundant
+    with another, so the ego's non-redundant contact count is degree
+    minus the mean alter-alter tie count. ``efficiency`` divides by
+    degree ([1/deg, 1]; 1 = no two contacts know each other — the
+    broker position). The standard ego-level complement of the
+    edge-level Backstrom-Kleinberg dispersion already in the engine.
+
+    Cost: exactly the per-vertex triangle kernel (Σ min-deg oriented
+    join — hub-safe) plus the O(V) degree join
+    :func:`clustering_coefficient` already pays; no new shuffle shape.
+    """
+    simple = _simple_undirected(edges)
+    deg = _simple_degrees(simple).localCheckpoint()
+    o = _orient(simple, deg).localCheckpoint()
+    tri = _corner_counts(_triangles(o))
+    es = F.col("deg") - 2.0 * F.coalesce("triangles", F.lit(0)) / F.col("deg")
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "deg",
+        es.alias("effective_size"),
+        (es / F.col("deg")).alias("efficiency"),
+    )

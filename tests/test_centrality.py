@@ -1527,3 +1527,46 @@ def test_global_efficiency_no_reachable_pairs(spark):
     assert row["n_vertices"] == 2
     assert row["reachable_pairs"] == 0
     assert row["efficiency"] == 0.0
+
+
+def test_cheirank_is_reverse_pagerank(spark):
+    """cheirank == pagerank on the hand-transposed edge table; the 2D
+    plane separates a pure in-hub (high PageRank, low CheiRank) from a
+    pure out-hub."""
+    from pagerank_spark.operators.centrality import cheirank
+    from pagerank_spark.operators.pagerank import pagerank
+    from pyspark.sql import functions as F
+
+    E = [(1, 0), (2, 0), (3, 0), (4, 5), (4, 6), (4, 7)]
+    e = spark.createDataFrame(E, "src long, dst long")
+    rev = spark.createDataFrame([(b, a) for a, b in E], "src long, dst long")
+    ch = cheirank(e, dangling="redistribute", eps=1e-10)
+    want = {r["id"]: r["rank"]
+            for r in pagerank(rev, dangling="redistribute",
+                              eps=1e-10).ranks.collect()}
+    got = {r["id"]: r["rank"] for r in ch.ranks.collect()}
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    pr = {r["id"]: r["rank"]
+          for r in pagerank(e, dangling="redistribute",
+                            eps=1e-10).ranks.collect()}
+    # vertex 0: cited by 3 -> high PageRank; vertex 4: cites 3 -> high
+    # CheiRank; each ranks low on the other axis
+    assert pr[0] > pr[4] and got[4] > got[0]
+
+
+def test_anti_trustrank_distrust_flows_upstream(spark):
+    """Distrust propagates along REVERSED links: pages linking INTO
+    the spam seed inherit suspicion, pages the seed links to do not."""
+    from pagerank_spark.operators.centrality import anti_trustrank
+
+    # y -> s (spam), s -> t, z isolated side chain u -> z
+    E = [(10, 1), (11, 1), (1, 20), (30, 31)]
+    e = spark.createDataFrame(E, "src long, dst long")
+    d = {r["id"]: r["distrust"]
+         for r in anti_trustrank(e, [1], eps=1e-12).collect()}
+    assert d[1] > 0.15                   # seed keeps teleport share
+    assert d[10] > 0 and d[11] > 0       # linkers into spam flagged
+    assert d[20] == 0.0                  # being linked BY spam: clean
+    assert d[30] == 0.0 and d[31] == 0.0
+    assert abs(sum(d.values()) - 1.0) < 1e-9  # redistribute mode

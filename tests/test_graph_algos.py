@@ -1659,3 +1659,111 @@ def test_wedge_caps_default_finite(spark):
     # hub degree 10_001 > default cap -> no hub-mediated wedges
     assert link_prediction(star).count() == 0
     assert four_cycles(star).collect()[0]["n_four_cycles"] == 0
+
+
+def test_incremental_components_matches_full(spark):
+    """incremental_components(labels, delta) must equal full CC on the
+    union graph bit-for-bit — including delta-only vertices, label
+    re-pointing of merged old components, and the empty delta."""
+    import random as _random
+
+    from pagerank_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = _random.Random(13)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(180)]
+    old, delta = edges[:120], edges[120:] + [(900, 901), (901, 17), (950, 950)]
+    eo = spark.createDataFrame(old, "src long, dst long")
+    ed = spark.createDataFrame(delta, "src long, dst long")
+    eu = spark.createDataFrame(old + delta, "src long, dst long")
+    lab = connected_components(eo)
+    inc = {r["id"]: r["component"]
+           for r in incremental_components(lab, ed).collect()}
+    full = {r["id"]: r["component"]
+            for r in connected_components(eu).collect()}
+    assert inc == full
+    assert inc[900] == inc[17]  # delta-only chain merged into old comp
+    # empty delta: labels unchanged
+    empty = spark.createDataFrame([], "src long, dst long")
+    same = {r["id"]: r["component"]
+            for r in incremental_components(lab, empty).collect()}
+    assert same == {r["id"]: r["component"] for r in lab.collect()}
+
+
+def test_attack_tolerance_vs_bruteforce(spark):
+    """The fragmentation curve matches a driver union-find replay of
+    the same deterministic (degree DESC, id ASC) removal order."""
+    import random as _random
+
+    from pagerank_spark.operators.components import attack_tolerance
+
+    rng = _random.Random(3)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(70)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    order = sorted(adj, key=lambda v: (-len(adj[v]), v))
+    fr = (0.0, 0.1, 0.25, 0.5)
+    got = {r["fraction"]: (r["n_removed"], r["n_left"], r["n_components"],
+                           r["giant_size"])
+           for r in attack_tolerance(e, fr).collect()}
+    for f in fr:
+        k = int(f * len(adj))
+        gone = set(order[:k])
+        surv = set(adj) - gone
+        parent = {v: v for v in surv}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in simple:
+            if a in surv and b in surv:
+                parent[find(a)] = find(b)
+        comps = {}
+        for v in surv:
+            comps.setdefault(find(v), 0)
+            comps[find(v)] += 1
+        want = (k, len(surv), len(comps), max(comps.values()) if comps else 0)
+        assert got[f] == want, (f, got[f], want)
+
+
+def test_effective_size_closed_forms(spark):
+    """Burt effective size: star center deg (efficiency 1), K4 members
+    1.0, and the deg − 2t/deg identity on a random graph."""
+    from pagerank_spark.operators.triangles import effective_size
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "src long, dst long"
+    )
+    es = {r["id"]: (r["effective_size"], r["efficiency"])
+          for r in effective_size(star).collect()}
+    assert es[0] == (6.0, 1.0)      # no two leaves adjacent
+    assert es[1] == (1.0, 1.0)      # leaf ego = just the hub
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    es4 = {r["id"]: r["effective_size"]
+           for r in effective_size(
+               spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert all(v == 1.0 for v in es4.values())  # 3 - 2*3/3
+    import numpy as np
+
+    rng = np.random.RandomState(8)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 25, size=(80, 2))]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    got = {r["id"]: r["effective_size"] for r in effective_size(e).collect()}
+    for v, ns in adj.items():
+        t = sum(1 for x in ns for y in ns if x < y and y in adj.get(x, ()))
+        want = len(ns) - 2.0 * t / len(ns)
+        assert abs(got[v] - want) < 1e-12, v

@@ -508,3 +508,33 @@ def test_value_percentiles_exact_and_approx(spark):
     glob = value_percentiles(df, "value", [], probabilities=(0.5,))
     row = glob.collect()[0]
     assert row["n"] == 5000 and "p50" in glob.columns
+
+
+def test_zipf_fit_known_distribution(spark):
+    """Slope/intercept/r² of the rank-frequency fit match a NumPy
+    least-squares replay, and a perfect power law fits with r² = 1."""
+    import numpy as np
+
+    from pagerank_spark.operators.textstats import zipf_fit
+
+    # corpus engineered so term t_r appears round(1000 / r) times —
+    # an exact-ish Zipf exponent 1 head
+    words = []
+    for r in range(1, 41):
+        words += [f"t{r:02d}"] * round(1000 / r)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert row["n_tokens"] == len(words)
+    assert row["vocab_size"] == 40 and row["ranks_used"] == 40
+    freqs = sorted((round(1000 / r) for r in range(1, 41)), reverse=True)
+    x = np.log(np.arange(1, 41, dtype=float))
+    y = np.log(np.array(freqs, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["zipf_exponent"] - (-slope)) < 1e-9
+    assert abs(row["log_c"] - intercept) < 1e-9
+    assert 0.99 < row["r_squared"] <= 1.0
+    # max_rank caps the fit depth
+    capped = zipf_fit(docs, max_rank=10).collect()[0]
+    assert capped["ranks_used"] == 10 and capped["vocab_size"] == 40
