@@ -2851,6 +2851,137 @@ def q_attack_tolerance(spark, sf_dir):
     ).orderBy("fraction")
 
 
+def q_failure_tolerance_md5(spark, sf_dir):
+    """The Albert-Jeong-Barabási RANDOM-FAILURE contrast of the attack
+    curve, de-randomized via the portable md5 order (hash(id) ASC,
+    id ASC) so the oracle replays the identical removal sequence."""
+    from pagerank_spark.operators.components import attack_tolerance
+
+    return attack_tolerance(
+        _edges(spark, sf_dir), ATTACK_FRACTIONS, order="hash",
+        hash_fn="md5",
+    ).orderBy("fraction")
+
+
+ATTR_ASSORT_MOD = 4
+
+
+def q_attr_assortativity(spark, sf_dir):
+    """Newman nominal mixing r over the id % 4 vertex categories —
+    the categorical twin of degree assortativity."""
+    from pagerank_spark.operators.degrees import attribute_assortativity
+
+    e = _edges(spark, sf_dir)
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", (F.col("id") % ATTR_ASSORT_MOD).alias("label"))
+    )
+    out = attribute_assortativity(e, labels)
+    return out.select("n_edges", F.round("r", 7).alias("r"))
+
+
+def q_incremental_cc_stream(spark, sf_dir):
+    """Streaming CC: the canonical edge table chopped into per-file
+    micro-batches, folded through incremental_components — the drained
+    labeling must equal one batch CC run (the plain CC oracle),
+    whatever the batch boundaries (confluence + min-id composition)."""
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.graph import (
+        StreamingComponents,
+        read_edge_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="scc_gate_" + uuid.uuid4().hex[:6])
+    ck = tempfile.mkdtemp(prefix="scc_gate_ck_")
+    _edges(spark, sf_dir).repartition(6).write.mode("overwrite").parquet(d)
+    sc = StreamingComponents()
+    q = (
+        read_edge_stream(spark, d)
+        .writeStream.foreachBatch(sc.fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sc.batches > 1, "gate must exercise a multi-batch fold"
+    return sc.labels.orderBy("id")
+
+
+def q_burt_constraint(spark, sf_dir):
+    """Burt network constraint per vertex (structural holes eq. 2.4,
+    unweighted): sum over ties of (direct + indirect investment)²,
+    indirect = the weighted common-neighbor kernel."""
+    from pagerank_spark.operators.triangles import burt_constraint
+
+    return (
+        burt_constraint(_edges(spark, sf_dir))
+        .select("id", F.round("constraint", 7).alias("constraint"))
+        .orderBy("id")
+    )
+
+
+def q_conductance(spark, sf_dir):
+    """Per-community conductance (cut / min-volume) of the id % 4
+    categorization — the community-quality score next to modularity."""
+    from pagerank_spark.operators.labelprop import conductance
+
+    e = _edges(spark, sf_dir)
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", (F.col("id") % ATTR_ASSORT_MOD).alias("label"))
+    )
+    out = conductance(e, labels)
+    return out.select(
+        "label",
+        "n_vertices",
+        "volume",
+        "cut",
+        F.round("conductance", 7).alias("conductance"),
+    ).orderBy("label")
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangular embedding covariance — the d(d+1)/2 skinny agg
+    behind PCA/whitening; rounded to absorb float sum association."""
+    from pagerank_spark.operators.similarity import embedding_covariance
+
+    out = embedding_covariance(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "i", "j", F.round("cov", 7).alias("cov")
+    ).orderBy("i", "j")
+
+
+def q_embedding_pca(spark, sf_dir):
+    """Top-2 principal-component scores per embedding. Rows-only by
+    construction: the d×d eigendecomposition (driver NumPy on the
+    distributed covariance) has no ANSI-SQL equivalent; the NumPy
+    replay equivalence is pytest-pinned instead."""
+    from pagerank_spark.operators.similarity import embedding_pca
+
+    out = embedding_pca(_t(spark, sf_dir, "embeddings"), k=2)
+    return out.select(
+        "vec_id",
+        F.round(F.col("pc")[0], 6).alias("pc1"),
+        F.round(F.col("pc")[1], 6).alias("pc2"),
+    ).orderBy("vec_id")
+
+
+def q_four_profile(spark, sf_dir):
+    """Induced 4-vertex graphlet census (ESCAPE-style combinatorial
+    decomposition — stars/paths/tails from degree+triangle moments,
+    C4 from the co-degree kernel, diamonds/K4 from per-edge support
+    pairs, then exact inclusion-exclusion)."""
+    from pagerank_spark.operators.linkpred import four_profile
+
+    return four_profile(_edges(spark, sf_dir))
+
+
 def q_effective_size(spark, sf_dir):
     """Burt effective size / efficiency (structural holes) per vertex
     — degree minus mean alter-alter ties, off the per-vertex triangle
@@ -2908,8 +3039,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheirank": q_cheirank,
         "anti_trustrank": q_anti_trustrank,
         "incremental_cc": q_incremental_cc,
+        "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
+        "failure_tolerance_md5": q_failure_tolerance_md5,
+        "attr_assortativity": q_attr_assortativity,
         "effective_size": q_effective_size,
+        "four_profile": q_four_profile,
+        "burt_constraint": q_burt_constraint,
+        "conductance": q_conductance,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
         "zipf_fit": q_zipf_fit,
         "simrank": q_simrank,
         "salsa": q_salsa,
@@ -4449,9 +4588,15 @@ def _sssp_sql(edges_sql: str, weighted: bool = False) -> str:
     return "\n".join(parts)
 
 
-def _attack_sql(edges_sql: str, fractions: tuple, rounds: int) -> str:
+def _attack_sql(
+    edges_sql: str,
+    fractions: tuple,
+    rounds: int,
+    order_sql: str = "d DESC, id ASC",
+) -> str:
     """Per-fraction replay of the targeted-attack curve: remove the
-    top floor(f·V) vertices under (degree DESC, id ASC), then an
+    top floor(f·V) vertices under ``order_sql`` (default the degree
+    attack; the failure twin passes the portable md5 order), then an
     unrolled min-label CC over the survivors (extra rounds past the
     fixpoint are idempotent no-ops, so one generous unroll is exact
     for every fraction and sf)."""
@@ -4469,7 +4614,7 @@ def _attack_sql(edges_sql: str, fractions: tuple, rounds: int) -> str:
         p = f"a{i}_"
         parts += [
             f"{p}rm AS MATERIALIZED (SELECT id FROM "
-            f"(SELECT id, row_number() OVER (ORDER BY d DESC, id ASC) "
+            f"(SELECT id, row_number() OVER (ORDER BY {order_sql}) "
             f"AS rn FROM deg) WHERE rn <= "
             f"(SELECT CAST(floor({f!r} * n) AS BIGINT) FROM nv)),",
             f"{p}sv AS MATERIALIZED (SELECT id FROM deg WHERE id NOT IN "
@@ -5229,8 +5374,164 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "incremental_cc": _cc_sql(),
+        "incremental_cc_stream": _cc_sql(),
         "attack_tolerance": _attack_sql(
             _EDGES_SQL, ATTACK_FRACTIONS, ATTACK_CC_SQL_ROUNDS
+        ),
+        "failure_tolerance_md5": _attack_sql(
+            _EDGES_SQL,
+            ATTACK_FRACTIONS,
+            ATTACK_CC_SQL_ROUNDS,
+            order_sql=(
+                _MD5H.format(x="CAST(id AS VARCHAR)") + " ASC, id ASC"
+            ),
+        ),
+        "four_profile": (
+            f"WITH eg AS MATERIALIZED ({_EDGES_SQL}), "
+            "simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM eg WHERE src <> dst), "
+            "deg AS MATERIALIZED (SELECT id, count(*) AS d FROM "
+            "(SELECT a AS id FROM simple UNION ALL SELECT b FROM simple) "
+            "GROUP BY id), "
+            "o AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND "
+            "s.a < s.b) THEN s.a ELSE s.b END AS u, "
+            "CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b) "
+            "THEN s.b ELSE s.a END AS v "
+            "FROM simple s JOIN deg da ON s.a = da.id "
+            "JOIN deg db ON s.b = db.id), "
+            "tr AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z "
+            "FROM o e1 JOIN o e2 ON e1.v = e2.u "
+            "JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "tt AS (SELECT count(*) AS t FROM tr), "
+            "tv AS (SELECT id, count(*) AS tv FROM (SELECT x AS id FROM tr "
+            "UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr) "
+            "GROUP BY id), "
+            "vm AS (SELECT CAST(sum(d.d * (d.d - 1) * (d.d - 2)) "
+            "AS BIGINT) // 6 AS n_star, "
+            "CAST(coalesce(sum(coalesce(tv.tv, 0) * (d.d - 2)), 0) "
+            "AS BIGINT) AS n_paw "
+            "FROM deg d LEFT JOIN tv ON d.id = tv.id), "
+            "pp AS (SELECT CAST(sum((da.d - 1) * (db.d - 1)) AS BIGINT) "
+            "AS pp FROM simple s JOIN deg da ON s.a = da.id "
+            "JOIN deg db ON s.b = db.id), "
+            "sym AS (SELECT a AS u, b AS v FROM simple "
+            "UNION ALL SELECT b, a FROM simple), "
+            "codeg AS (SELECT s1.u AS u, s2.v AS b, count(*) AS c "
+            "FROM (SELECT v AS w, u FROM sym) s1 "
+            "JOIN (SELECT u AS w, v FROM sym) s2 ON s1.w = s2.w "
+            "WHERE s1.u < s2.v GROUP BY 1, 2), "
+            "c4 AS (SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) / 2 "
+            "AS BIGINT) AS n_c4 FROM codeg), "
+            "cn AS MATERIALIZED (SELECT least(x, y) AS a, "
+            "greatest(x, y) AS b, z AS w FROM tr "
+            "UNION ALL SELECT least(y, z), greatest(y, z), x FROM tr "
+            "UNION ALL SELECT least(x, z), greatest(x, z), y FROM tr), "
+            "sup AS (SELECT a, b, count(*) AS s FROM cn GROUP BY a, b), "
+            "dia AS (SELECT CAST(coalesce(sum(s * (s - 1)), 0) AS BIGINT) "
+            "// 2 AS n_dia FROM sup), "
+            "k4 AS (SELECT count(*) // 6 AS n_k4 FROM "
+            "(SELECT l.a, l.b, least(l.w, r.w) AS pa, "
+            "greatest(l.w, r.w) AS pb FROM cn l "
+            "JOIN cn r ON l.a = r.a AND l.b = r.b AND l.w < r.w) p "
+            "JOIN simple sp ON p.pa = sp.a AND p.pb = sp.b) "
+            "SELECT "
+            "CAST((pp.pp - 3 * tt.t) - 4 * (c4.n_c4 - (dia.n_dia "
+            "- 6 * k4.n_k4) - 3 * k4.n_k4) - 2 * (vm.n_paw "
+            "- 4 * (dia.n_dia - 6 * k4.n_k4) - 12 * k4.n_k4) "
+            "- 6 * (dia.n_dia - 6 * k4.n_k4) - 12 * k4.n_k4 AS BIGINT) "
+            "AS n_path4, "
+            "CAST(vm.n_star - (vm.n_paw - 4 * (dia.n_dia - 6 * k4.n_k4) "
+            "- 12 * k4.n_k4) - 2 * (dia.n_dia - 6 * k4.n_k4) "
+            "- 4 * k4.n_k4 AS BIGINT) AS n_3star, "
+            "CAST(c4.n_c4 - (dia.n_dia - 6 * k4.n_k4) - 3 * k4.n_k4 "
+            "AS BIGINT) AS n_cycle4, "
+            "CAST(vm.n_paw - 4 * (dia.n_dia - 6 * k4.n_k4) "
+            "- 12 * k4.n_k4 AS BIGINT) AS n_tailed_tri, "
+            "CAST(dia.n_dia - 6 * k4.n_k4 AS BIGINT) AS n_diamond, "
+            "CAST(k4.n_k4 AS BIGINT) AS n_k4 "
+            "FROM vm, pp, tt, c4, dia, k4"
+        ),
+        "burt_constraint": (
+            f"WITH eg AS MATERIALIZED ({_EDGES_SQL}), "
+            "simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM eg WHERE src <> dst), "
+            "deg AS MATERIALIZED (SELECT id, count(*) AS d FROM "
+            "(SELECT a AS id FROM simple UNION ALL SELECT b FROM simple) "
+            "GROUP BY id), "
+            "sym AS MATERIALIZED (SELECT a AS u, b AS w FROM simple "
+            "UNION ALL SELECT b, a FROM simple), "
+            "cn AS (SELECT s1.u AS v, s2.u AS j, s1.w AS q "
+            "FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u <> s2.u "
+            "JOIN simple e ON e.a = least(s1.u, s2.u) "
+            "AND e.b = greatest(s1.u, s2.u)), "
+            "ind AS (SELECT c.v, c.j, "
+            "sum(1.0 / (dv.d * dq.d)) AS ind FROM cn c "
+            "JOIN deg dv ON c.v = dv.id JOIN deg dq ON c.q = dq.id "
+            "GROUP BY c.v, c.j), "
+            "ord AS (SELECT a AS v, b AS j FROM simple "
+            "UNION ALL SELECT b, a FROM simple) "
+            "SELECT o.v AS id, "
+            "round(sum(pow(1.0 / dv.d + coalesce(i.ind, 0.0), 2)), 7) "
+            "AS constraint FROM ord o "
+            "JOIN deg dv ON o.v = dv.id "
+            "LEFT JOIN ind i ON o.v = i.v AND o.j = i.j "
+            "GROUP BY o.v ORDER BY o.v"
+        ),
+        "conductance": (
+            f"WITH eg AS ({_EDGES_SQL}), "
+            "simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM eg WHERE src <> dst), "
+            "deg AS (SELECT id, count(*) AS d FROM "
+            "(SELECT a AS id FROM simple UNION ALL SELECT b FROM simple) "
+            "GROUP BY id), "
+            f"vol AS (SELECT id % {ATTR_ASSORT_MOD} AS c, "
+            "count(*) AS n_vertices, sum(d) AS volume FROM deg GROUP BY 1), "
+            f"x AS (SELECT a % {ATTR_ASSORT_MOD} AS ca, "
+            f"b % {ATTR_ASSORT_MOD} AS cb FROM simple "
+            f"WHERE a % {ATTR_ASSORT_MOD} <> b % {ATTR_ASSORT_MOD}), "
+            "cut AS (SELECT c, count(*) AS cut FROM "
+            "(SELECT ca AS c FROM x UNION ALL SELECT cb FROM x) GROUP BY c), "
+            "tv AS (SELECT 2 * count(*) AS t FROM simple) "
+            "SELECT vol.c AS label, CAST(vol.n_vertices AS BIGINT) "
+            "AS n_vertices, CAST(vol.volume AS BIGINT) AS volume, "
+            "CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut, "
+            "round(CASE WHEN least(vol.volume, tv.t - vol.volume) > 0 "
+            "THEN CAST(coalesce(cut.cut, 0) AS DOUBLE) "
+            "/ least(vol.volume, tv.t - vol.volume) END, 7) AS conductance "
+            "FROM vol LEFT JOIN cut ON vol.c = cut.c, tv ORDER BY label"
+        ),
+        "embedding_covariance": (
+            "WITH x AS MATERIALIZED (SELECT vec_id, u.i AS i, "
+            "CAST(u.v AS DOUBLE) AS v FROM (SELECT vec_id, "
+            "unnest(list_transform(embedding, (x, ix) -> "
+            "{'i': ix - 1, 'v': x})) AS u FROM embeddings "
+            "WHERE embedding IS NOT NULL)), "
+            "p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy, "
+            "count(*) AS n FROM x a JOIN x b ON a.vec_id = b.vec_id "
+            "AND a.i <= b.i GROUP BY 1, 2), "
+            "s AS (SELECT i, sum(v) AS sv FROM x GROUP BY i) "
+            "SELECT p.i, p.j, round(p.sxy / p.n "
+            "- (si.sv / p.n) * (sj.sv / p.n), 7) AS cov "
+            "FROM p JOIN s si ON p.i = si.i JOIN s sj ON p.j = sj.i "
+            "ORDER BY p.i, p.j"
+        ),
+        "attr_assortativity": (
+            f"WITH eg AS ({_EDGES_SQL}), "
+            f"m AS (SELECT src % {ATTR_ASSORT_MOD} AS ci, "
+            f"dst % {ATTR_ASSORT_MOD} AS cj, count(*) AS n "
+            "FROM eg GROUP BY 1, 2), "
+            "t AS (SELECT sum(n) AS t FROM m), "
+            "tr AS (SELECT coalesce(sum(n), 0) AS tr FROM m WHERE ci = cj), "
+            "am AS (SELECT ci, sum(n) AS na FROM m GROUP BY ci), "
+            "bm AS (SELECT cj, sum(n) AS nb FROM m GROUP BY cj), "
+            "ab AS (SELECT coalesce(sum(na * nb), 0) AS sab "
+            "FROM am JOIN bm ON am.ci = bm.cj) "
+            "SELECT CAST(t.t AS BIGINT) AS n_edges, "
+            "round(CASE WHEN t.t > 0 AND t.t * t.t <> ab.sab THEN "
+            "(CAST(tr.tr AS DOUBLE) / t.t "
+            "- CAST(ab.sab AS DOUBLE) / (t.t * t.t)) "
+            "/ (1.0 - CAST(ab.sab AS DOUBLE) / (t.t * t.t)) END, 7) AS r "
+            "FROM t, tr, ab"
         ),
         "effective_size": (
             f"WITH eg AS ({_EDGES_SQL}), "

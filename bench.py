@@ -140,7 +140,14 @@ EXTRA = [
     "anti_trustrank",
     "incremental_cc",
     "attack_tolerance",
+    "failure_tolerance_md5",
+    "attr_assortativity",
+    "incremental_cc_stream",
     "effective_size",
+    "burt_constraint",
+    "conductance",
+    "embedding_covariance",
+    "embedding_pca",
     "zipf_fit",
     "pagerank_two_phase_bound",
     # trussness/widest_paths are gated (sf0.01) but not benched: their

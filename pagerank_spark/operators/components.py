@@ -301,6 +301,8 @@ def attack_tolerance(
     fractions: tuple[float, ...] = (0.0, 0.05, 0.1),
     max_iter: int = 50,
     mode: str = "auto",
+    order: str = "degree",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Targeted-attack robustness curve (Albert, Jeong & Barabási,
     "Error and attack tolerance of complex networks", Nature 2000) —
@@ -310,6 +312,14 @@ def attack_tolerance(
     ``DataFrame[fraction, n_removed, n_left, n_components,
     giant_size]`` (singleton survivors count as components; at f=0.0
     the row is the baseline connectivity).
+
+    ``order="hash"`` is the paper's RANDOM-FAILURE contrast, made
+    deterministic the engine's usual way: removal order is
+    (hash64(id) ASC, id ASC) — degree-blind, replayable across
+    engines and reruns; ``hash_fn="md5"`` uses the portable hash so a
+    DuckDB oracle recomputes the identical order. The attack/failure
+    GAP is the scale-free signature: the web shatters under the
+    former and shrugs off the latter.
 
     The standard resilience diagnostic for a link graph: scale-free
     webs survive random failure but shatter under hub-targeted attack
@@ -332,6 +342,9 @@ def attack_tolerance(
     fr = sorted(set(float(f) for f in fractions))
     if not fr or fr[0] < 0.0 or fr[-1] >= 1.0:
         raise ValueError("fractions must be in [0, 1)")
+    if order not in ("degree", "hash"):
+        raise ValueError("order must be 'degree' or 'hash'")
+    from pagerank_spark.functions.text import hash64
     from pagerank_spark.operators.triangles import (
         _simple_degrees,
         _simple_undirected,
@@ -341,7 +354,12 @@ def attack_tolerance(
     simple = _simple_undirected(edges).localCheckpoint()
     deg = _simple_degrees(simple).localCheckpoint()
     n_v = deg.count()
-    ranked = deg.orderBy(F.desc("deg"), F.asc("id")).select("id")
+    if order == "degree":
+        ranked = deg.orderBy(F.desc("deg"), F.asc("id")).select("id")
+    else:
+        ranked = deg.orderBy(
+            F.asc(hash64(F.col("id").cast("string"), hash_fn)), F.asc("id")
+        ).select("id")
     out = None
     for f in fr:
         k = int(f * n_v)

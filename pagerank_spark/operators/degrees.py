@@ -344,3 +344,74 @@ def s_metric(edges: DataFrame, normalized: bool = False) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("s_metric")
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    labels: DataFrame,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Nominal attribute assortativity (Newman, "Mixing patterns in
+    networks", PRE 2003, eq. 2) over DIRECTED edge instances — one
+    row ``DataFrame[n_edges, r]``:
+
+        r = (Σ_i e_ii − Σ_i a_i b_i) / (1 − Σ_i a_i b_i)
+
+    with ``e_ij`` the fraction of edges from category i to category j,
+    ``a_i = Σ_j e_ij`` (out-margin), ``b_i = Σ_j e_ji`` (in-margin).
+    r = 1 means edges stay within categories (perfect homophily —
+    e.g. links staying inside a language/domain community), 0 the
+    random-mixing baseline, negative disassortative; NULL when every
+    edge is intra-category by construction (denominator 0). Edges with
+    an unlabeled endpoint are dropped (and excluded from ``n_edges``).
+
+    The categorical twin of :func:`degree_assortativity`, and the
+    quantitative form of the per-community edge fractions
+    ``contract_graph`` exposes. Shape: two label joins against the
+    O(V) side (broadcast under the usual threshold), one mixing-matrix
+    aggregation bounded by (#categories)², two margin folds — the
+    matrix frame, never the graph, carries all downstream arithmetic.
+    """
+    # label/component columns both accepted, like modularity/conductance
+    lc = label_col or (
+        "label" if "label" in labels.columns else "component"
+    )
+    lab = labels.select("id", F.col(lc).alias("_c"))
+    m = (
+        edges.select("src", "dst")
+        .join(lab.select(F.col("id").alias("src"), F.col("_c").alias("_ci")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("_c").alias("_cj")), "dst")
+        .groupBy("_ci", "_cj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    tot = m.agg(F.sum("n").alias("t"))
+    am = m.groupBy("_ci").agg(F.sum("n").alias("na"))
+    bm = m.groupBy("_cj").agg(F.sum("n").alias("nb"))
+    trace = m.where(F.col("_ci") == F.col("_cj")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("tr")
+    )
+    ab = (
+        am.join(bm, am["_ci"] == bm["_cj"])
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("sab"))
+    )
+    return (
+        tot.crossJoin(trace)
+        .crossJoin(ab)
+        .select(
+            F.col("t").cast("long").alias("n_edges"),
+            F.when(
+                (F.col("t") > 0)
+                & (F.col("t") * F.col("t") != F.col("sab")),
+                (
+                    F.col("tr").cast("double") / F.col("t")
+                    - F.col("sab").cast("double") / (F.col("t") * F.col("t"))
+                )
+                / (
+                    F.lit(1.0)
+                    - F.col("sab").cast("double")
+                    / (F.col("t") * F.col("t"))
+                ),
+            ).alias("r"),
+        )
+    )

@@ -520,3 +520,72 @@ def louvain(
         wc = "weight"
     assert mapping is not None  # max_levels >= 1
     return mapping
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected simple graph —
+    ``DataFrame[label, n_vertices, volume, cut, conductance]``:
+
+        φ(S) = cut(S, S̄) / min(vol(S), vol(S̄))
+
+    (Shi & Malik 2000 normalized-cut numerator; the community-quality
+    score Leskovec et al. 2009's NCP plots made standard — LOW
+    conductance = a well-separated community, the metric to read NEXT
+    to modularity, which famously hides small communities). ``vol`` =
+    sum of member degrees; communities spanning the whole graph (S̄
+    empty, denominator 0) report NULL. Accepts ``label`` or
+    ``component`` label columns like :func:`modularity`.
+
+    Shape: two label joins against the O(V) side, one edge-level
+    same/cross flag aggregation (map-side combinable into ≤
+    #communities rows), one degree fold per community — every
+    downstream row count is #communities, never the graph.
+    """
+    lab_col = "label" if "label" in labels.columns else "component"
+    lab = labels.select("id", F.col(lab_col).alias("_c")).localCheckpoint()
+    from pagerank_spark.operators.triangles import (
+        _simple_degrees,
+        _simple_undirected,
+    )
+
+    simple = _simple_undirected(edges).localCheckpoint()
+    deg = _simple_degrees(simple)
+    vol = (
+        deg.join(lab, "id")
+        .groupBy("_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("deg").alias("volume"),
+        )
+    )
+    flagged = (
+        simple.join(
+            lab.select(F.col("id").alias("a"), F.col("_c").alias("_ca")), "a"
+        )
+        .join(
+            lab.select(F.col("id").alias("b"), F.col("_c").alias("_cb")), "b"
+        )
+        .where(F.col("_ca") != F.col("_cb"))
+    )
+    cut = (
+        flagged.select(F.col("_ca").alias("_c"))
+        .union(flagged.select(F.col("_cb").alias("_c")))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    total = simple.agg((2 * F.count(F.lit(1))).alias("_tv"))
+    return (
+        vol.join(cut, "_c", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("_c").alias("label"),
+            "n_vertices",
+            "volume",
+            F.coalesce("cut", F.lit(0)).alias("cut"),
+            F.when(
+                F.least("volume", F.col("_tv") - F.col("volume")) > 0,
+                F.coalesce("cut", F.lit(0))
+                / F.least("volume", F.col("_tv") - F.col("volume")),
+            ).alias("conductance"),
+        )
+    )

@@ -321,3 +321,181 @@ def edge_dispersion(
         F.coalesce("common", zero).alias("common"),
         dispersion.alias("dispersion"),
     )
+
+
+def four_profile(
+    edges: DataFrame,
+    max_degree: int | None = 10_000,
+    max_common: int | None = 10_000,
+) -> DataFrame:
+    """Induced 4-vertex graphlet census of the undirected simple graph
+    — one row ``DataFrame[n_path4, n_3star, n_cycle4, n_tailed_tri,
+    n_diamond, n_k4]`` (counts of INDUCED connected 4-vertex
+    subgraphs by isomorphism class). The full 4-profile is the
+    standard structural fingerprint above the triangle level (Ahmed,
+    Neville, Rossi & Duffield, "Efficient graphlet counting for large
+    networks", ICDM 2015; Pinar, Seshadhri & Vishal's ESCAPE) —
+    link-farm bipartite cores light up diamonds/C4s while organic webs
+    are tailed-triangle-heavy.
+
+    Combinatorial decomposition, NOT subgraph enumeration: every term
+    reduces to the engine's existing degree / per-vertex-triangle /
+    per-edge-support kernels plus two capped quadratic joins —
+
+    - NON-induced counts first: 3-stars ``Σ C(d,3)``; tailed
+      triangles ``Σ_v t_v·(d_v−2)``; paths ``Σ_e (d_a−1)(d_b−1)−3T``;
+      4-cycles from the co-degree wedge join (``max_degree`` hub cap,
+      as :func:`four_cycles`); diamonds ``Σ_e C(sup_e, 2)``; K4s =
+      adjacent common-neighbor pairs per edge / 6 (``max_common``
+      caps the per-edge pair join, as :func:`edge_dispersion`).
+    - then the exact inclusion-exclusion down-conversion (each
+      induced class contains a known number of spanning copies of
+      each sparser pattern): i_k4 = n_k4; i_dia = n_dia − 6·i_k4;
+      i_paw = n_paw − 4·i_dia − 12·i_k4; i_c4 = n_c4 − i_dia −
+      3·i_k4; i_star = n_star − i_paw − 2·i_dia − 4·i_k4; i_p4 =
+      n_p4 − 4·i_c4 − 2·i_paw − 6·i_dia − 12·i_k4.
+
+    All scalar sums widen to decimal(38,0) before summing (Σ d³-scale
+    terms wrap int64 on hub-dense graphs — the s_metric precedent);
+    outputs are exact longs while each count < 2⁶³. The caps make the
+    two inherently quadratic terms (C4 wedges, K4/diamond pair joins)
+    hub-safe by default; with no vertex above the caps the census is
+    exact. Density caveat: on a NEAR-CLIQUE region the K4 pair join
+    is Σ_e C(sup_e, 2) ~ n⁵ by nature (every 4-profile algorithm pays
+    it, ESCAPE included) — ``max_common`` is the honest knob there,
+    trading K4/diamond exactness on over-embedded edges for bounded
+    work. Brute-force-verified by pytest over all C(n,4) induced
+    subgraphs on random graphs.
+    """
+    from pagerank_spark.operators.triangles import (
+        _corner_counts,
+        _orient,
+        _simple_degrees,
+        _simple_undirected,
+        _triangles,
+    )
+
+    simple = _simple_undirected(edges).localCheckpoint()
+    deg = _simple_degrees(simple).localCheckpoint()
+    o = _orient(simple, deg).localCheckpoint()
+    tris = _triangles(o).localCheckpoint()
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+
+    n_T = tris.count()
+    # per-vertex: stars and tails
+    tv = _corner_counts(tris)
+    vstats = (
+        deg.join(tv, "id", "left")
+        .select(
+            d19(
+                F.col("deg") * (F.col("deg") - 1) * (F.col("deg") - 2)
+            ).alias("_s3x6"),
+            d19(
+                F.coalesce("triangles", F.lit(0)) * (F.col("deg") - 2)
+            ).alias("_tail"),
+        )
+        .agg(
+            F.coalesce(F.sum("_s3x6"), F.lit(0).cast("decimal(38,0)"))
+            .alias("_s3x6"),
+            F.coalesce(F.sum("_tail"), F.lit(0).cast("decimal(38,0)"))
+            .alias("_tail"),
+        )
+    )
+    r = vstats.collect()[0]
+    n_star = int(r["_s3x6"]) // 6
+    n_paw = int(r["_tail"])
+    # paths: per-edge degree products
+    pe = (
+        simple.join(
+            deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")),
+            "b",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(d19((F.col("_da") - 1) * (F.col("_db") - 1))),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_pp")
+        )
+        .collect()[0]
+    )
+    n_p4 = int(pe["_pp"]) - 3 * n_T
+    # 4-cycles (non-induced) — reuse the capped co-degree kernel
+    n_c4 = four_cycles(edges, max_degree=max_degree).collect()[0][
+        "n_four_cycles"
+    ]
+    # per-edge triangle support -> diamonds; adjacent support pairs -> K4
+    cn = (
+        tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"),
+                        F.col("z").alias("w"),
+                    ),
+                    F.struct(
+                        F.least("y", "z").alias("a"),
+                        F.greatest("y", "z").alias("b"),
+                        F.col("x").alias("w"),
+                    ),
+                    F.struct(
+                        F.least("x", "z").alias("a"),
+                        F.greatest("x", "z").alias("b"),
+                        F.col("y").alias("w"),
+                    ),
+                )
+            ).alias("_t")
+        )
+        .select("_t.a", "_t.b", "_t.w")
+        .localCheckpoint()
+    )
+    sup = cn.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_s"))
+    if max_common is not None:
+        sup = sup.where(F.col("_s") <= max_common)
+        cn = cn.join(sup.select("a", "b"), ["a", "b"], "left_semi")
+    dia = sup.agg(
+        F.coalesce(
+            F.sum(d19(F.col("_s") * (F.col("_s") - 1))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_d2")
+    ).collect()[0]
+    n_dia = int(dia["_d2"]) // 2
+    k4pairs = (
+        cn.alias("l")
+        .join(
+            cn.alias("r"),
+            (F.col("l.a") == F.col("r.a"))
+            & (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.w") < F.col("r.w")),
+        )
+        .select(
+            F.least("l.w", "r.w").alias("pa"),
+            F.greatest("l.w", "r.w").alias("pb"),
+        )
+        .join(
+            simple.select(
+                F.col("a").alias("pa"), F.col("b").alias("pb")
+            ),
+            ["pa", "pb"],
+            "left_semi",
+        )
+        .count()
+    )
+    n_k4 = k4pairs // 6
+    # induced down-conversion
+    i_k4 = n_k4
+    i_dia = n_dia - 6 * i_k4
+    i_paw = n_paw - 4 * i_dia - 12 * i_k4
+    i_c4 = n_c4 - i_dia - 3 * i_k4
+    i_star = n_star - i_paw - 2 * i_dia - 4 * i_k4
+    i_p4 = n_p4 - 4 * i_c4 - 2 * i_paw - 6 * i_dia - 12 * i_k4
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(i_p4, i_star, i_c4, i_paw, i_dia, i_k4)],
+        "n_path4 long, n_3star long, n_cycle4 long, n_tailed_tri long, "
+        "n_diamond long, n_k4 long",
+    )

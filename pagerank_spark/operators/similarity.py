@@ -620,3 +620,130 @@ def semdedup(
         .agg(F.min("vec_id").alias("vec_id"))
         .select("vec_id")
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangular covariance of an embedding column —
+    ``DataFrame[i, j, cov]`` for 0 ≤ i ≤ j < d (population covariance,
+    E[x_i x_j] − E[x_i]E[x_j]) plus the count baked into every
+    engine's replay. The d×d second-moment structure is the input to
+    PCA/whitening/Mahalanobis — the standard embedding-column health
+    check (collapsed dimensions, correlated axes) before ANN indexing.
+
+    Shape: NO self-join and NO row ids — each row expands to its own
+    d(d+1)/2 upper-triangle products via nested higher-order
+    ``transform`` (whole-stage codegen), which partial-aggregates
+    map-side to at most d(d+1)/2 rows per task before the single
+    skinny shuffle; the per-dimension mean pass rides a posexplode of
+    the same column. For d=64 that is 2080 accumulators per task —
+    constant state however many rows flow through.
+    """
+    d_pairs = F.expr(
+        f"flatten(transform({vec_col}, (x, i) -> "
+        f"transform(slice({vec_col}, i + 1, size({vec_col}) - i), "
+        f"(y, k) -> struct(i AS i, i + k AS j, "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS xy))))"
+    )
+    prods = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.explode(d_pairs).alias("_p"))
+        .select("_p.i", "_p.j", "_p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("_sxy"), F.count(F.lit(1)).alias("_n"))
+    )
+    sums = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast("double")).alias("_s"))
+    )
+    return (
+        prods.join(
+            F.broadcast(sums.select(F.col("i"), F.col("_s").alias("_si"))),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("_s").alias("_sj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("_sxy") / F.col("_n")
+                - (F.col("_si") / F.col("_n")) * (F.col("_sj") / F.col("_n"))
+            ).alias("cov"),
+        )
+    )
+
+
+def embedding_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Principal-component projection of an embedding column —
+    ``DataFrame[<id_col>, pc: array<double>]`` with the top-``k``
+    component scores per vector (centered data · eigenvectors of the
+    covariance, eigenvalue-descending order).
+
+    The Spark-first split of work: the d×d covariance comes from
+    :func:`embedding_covariance` (one skinny distributed pass), the
+    d×d eigendecomposition runs on the DRIVER (NumPy ``eigh`` — d is
+    tens-to-thousands, never data-sized), and the projection broadcasts
+    the k×d component matrix back as literal arrays folded with
+    ``aggregate``/``zip_with`` — zero Python in the row path. Sign
+    convention: each component's largest-|loading| entry is positive
+    (eigenvectors are sign-ambiguous; this pins a deterministic
+    choice). Eigendecomposition is not ANSI-SQL-expressible, so the
+    driver gate is rows-only; correctness is pinned by pytest against
+    a NumPy PCA replay.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps = vecs[:, order].T  # k × d
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    means = np.zeros(d)
+    sums = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    )
+    for r in sums:
+        means[r["i"]] = r["m"]
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in means]),
+        lambda x, m: x - m,
+    )
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(w)) for w in comp]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in comps
+    ]
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.array(*projections).alias("pc")
+    )

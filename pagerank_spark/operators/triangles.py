@@ -174,3 +174,77 @@ def effective_size(edges: DataFrame) -> DataFrame:
         es.alias("effective_size"),
         (es / F.col("deg")).alias("efficiency"),
     )
+
+
+def burt_constraint(edges: DataFrame) -> DataFrame:
+    """Burt's network constraint (Burt 1992, "Structural Holes", eq.
+    2.4; unweighted undirected ego networks) — ``DataFrame[id,
+    constraint]``, one row per non-isolated vertex:
+
+        c(v) = Σ_{j∈N(v)} ( p_vj + Σ_{q∈N(v)∩N(j)} p_vq · p_qj )²
+
+    with ``p_xy = 1/deg(x)`` (equal investment across an ego's ties).
+    Low constraint = the ego brokers structural holes (contacts don't
+    know each other); high = the ego is locked inside one dense group.
+    The scalar that, with :func:`effective_size`, completes the
+    standard structural-holes pair.
+
+    Shape: the indirect term is a per-ORDERED-edge weighted
+    common-neighbor sum — each triangle (x, y, z) contributes to all
+    six ordered (v, j) corner pairs with weight 1/(deg_v · deg_q) —
+    i.e. the SAME oriented triangle kernel `edge_dispersion` uses
+    (Σ min-deg join rows, hub-safe), plus two O(V) degree joins and
+    one per-vertex fold. No wedge join, no Σ deg² term.
+    """
+    simple = _simple_undirected(edges).localCheckpoint()
+    deg = _simple_degrees(simple).localCheckpoint()
+    o = _orient(simple, deg).localCheckpoint()
+    # ordered-edge frame (v, j): both directions of every simple edge
+    ordered = simple.select(
+        F.col("a").alias("v"), F.col("b").alias("j")
+    ).union(simple.select(F.col("b").alias("v"), F.col("a").alias("j")))
+    # triangle corner contributions: for ordered pair (v, j), q is the
+    # third corner; weight 1/(deg_v * deg_q)
+    tris = _triangles(o)
+    corner = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("v"), F.col("y").alias("j"),
+                         F.col("z").alias("q")),
+                F.struct(F.col("y").alias("v"), F.col("x").alias("j"),
+                         F.col("z").alias("q")),
+                F.struct(F.col("x").alias("v"), F.col("z").alias("j"),
+                         F.col("y").alias("q")),
+                F.struct(F.col("z").alias("v"), F.col("x").alias("j"),
+                         F.col("y").alias("q")),
+                F.struct(F.col("y").alias("v"), F.col("z").alias("j"),
+                         F.col("x").alias("q")),
+                F.struct(F.col("z").alias("v"), F.col("y").alias("j"),
+                         F.col("x").alias("q")),
+            )
+        ).alias("_t")
+    ).select("_t.v", "_t.j", "_t.q")
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("_dv"))
+    dq = deg.select(F.col("id").alias("q"), F.col("deg").alias("_dq"))
+    indirect = (
+        corner.join(dv, "v")
+        .join(dq, "q")
+        .groupBy("v", "j")
+        .agg(
+            F.sum(1.0 / (F.col("_dv") * F.col("_dq"))).alias("_ind")
+        )
+    )
+    per_tie = (
+        ordered.join(indirect, ["v", "j"], "left")
+        .join(dv, "v")
+        .select(
+            "v",
+            (
+                (1.0 / F.col("_dv") + F.coalesce("_ind", F.lit(0.0)))
+                ** 2
+            ).alias("_c"),
+        )
+    )
+    return per_tie.groupBy(F.col("v").alias("id")).agg(
+        F.sum("_c").alias("constraint")
+    )

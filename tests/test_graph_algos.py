@@ -1767,3 +1767,257 @@ def test_effective_size_closed_forms(spark):
         t = sum(1 for x in ns for y in ns if x < y and y in adj.get(x, ()))
         want = len(ns) - 2.0 * t / len(ns)
         assert abs(got[v] - want) < 1e-12, v
+
+
+def test_failure_tolerance_hash_order_replay(spark):
+    """order='hash' removes by the portable (md5(id) ASC, id ASC)
+    order — verified against a driver union-find replay computing the
+    same top-15-hex-chars md5 values in pure Python."""
+    import hashlib
+    import random as _random
+
+    from pagerank_spark.operators.components import attack_tolerance
+
+    rng = _random.Random(7)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(90)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    order = sorted(adj, key=lambda v: (h(v), v))
+    fr = (0.0, 0.2, 0.4)
+    got = {r["fraction"]: (r["n_removed"], r["n_left"], r["n_components"],
+                           r["giant_size"])
+           for r in attack_tolerance(e, fr, order="hash",
+                                     hash_fn="md5").collect()}
+    for f in fr:
+        k = int(f * len(adj))
+        gone = set(order[:k])
+        surv = set(adj) - gone
+        parent = {v: v for v in surv}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in simple:
+            if a in surv and b in surv:
+                parent[find(a)] = find(b)
+        comps = {}
+        for v in surv:
+            comps[find(v)] = comps.get(find(v), 0) + 1
+        want = (k, len(surv), len(comps), max(comps.values()) if comps else 0)
+        assert got[f] == want, (f, got[f], want)
+
+
+def test_attribute_assortativity_closed_forms(spark):
+    """Newman nominal mixing r: +1 for pure intra-category edges, -1
+    for a balanced bipartite category split, matches the eq. 2 formula
+    on a random categorized graph, NULL when the denominator is 0."""
+    import numpy as np
+
+    from pagerank_spark.operators.degrees import attribute_assortativity
+
+    def run(edges, labels):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        lab = spark.createDataFrame(labels, "id long, label long")
+        return attribute_assortativity(e, lab).collect()[0]
+
+    # two categories, only intra edges -> perfect homophily
+    r = run([(0, 1), (1, 0), (2, 3), (3, 2)],
+            [(0, 0), (1, 0), (2, 1), (3, 1)])
+    assert r["n_edges"] == 4 and abs(r["r"] - 1.0) < 1e-12
+    # balanced bipartite (all edges cross categories) -> -1
+    r = run([(0, 2), (2, 0), (1, 3), (3, 1)],
+            [(0, 0), (1, 0), (2, 1), (3, 1)])
+    assert abs(r["r"] - (-1.0)) < 1e-12
+    # single category: every edge intra by construction -> NULL
+    r = run([(0, 1), (1, 2)], [(0, 0), (1, 0), (2, 0)])
+    assert r["r"] is None
+    # random graph vs the eq. 2 formula in NumPy
+    rng = np.random.RandomState(4)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 30, size=(120, 2))]
+    labels = [(v, v % 3) for v in range(30)]
+    got = run(edges, labels)
+    m = np.zeros((3, 3))
+    for a, b in edges:
+        m[a % 3][b % 3] += 1
+    m /= m.sum()
+    s = float(m.sum(axis=1) @ m.sum(axis=0))
+    want = (np.trace(m) - s) / (1 - s)
+    assert abs(got["r"] - want) < 1e-12
+
+
+def test_streaming_cc_equals_batch_any_batching(spark, tmp_path):
+    """The foreachBatch incremental-CC fold is batching-invariant:
+    drained labels equal one batch CC run whatever the file/micro-batch
+    chopping (confluence + min-id composition)."""
+    import random as _random
+
+    from pagerank_spark.operators.components import connected_components
+    from pagerank_spark.streaming.graph import (
+        StreamingComponents,
+        read_edge_stream,
+    )
+
+    rng = _random.Random(31)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(200)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = {r["id"]: r["component"]
+            for r in connected_components(e).collect()}
+    for n_files, per_trigger in ((5, 1), (8, 3)):
+        d = str(tmp_path / f"edges_{n_files}_{per_trigger}")
+        ck = str(tmp_path / f"ck_{n_files}_{per_trigger}")
+        e.repartition(n_files).write.mode("overwrite").parquet(d)
+        sc = StreamingComponents()
+        q = (
+            read_edge_stream(spark, d, max_files_per_trigger=per_trigger)
+            .writeStream.foreachBatch(sc.fold)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sc.batches > 1
+        got = {r["id"]: r["component"] for r in sc.labels.collect()}
+        assert got == want, (n_files, per_trigger)
+
+
+def test_burt_constraint_matches_direct_formula(spark):
+    """Burt eq. 2.4 replayed directly per ego in Python, plus closed
+    forms: an isolated dyad's ends have constraint 1, a K3 member
+    (1/2 + 1/4)^2 * 2 = 1.125."""
+    from pagerank_spark.operators.triangles import burt_constraint
+
+    E = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (0, 5), (5, 6),
+         (8, 9)]
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def c(v):
+        out = 0.0
+        for j in adj[v]:
+            p = 1.0 / len(adj[v])
+            ind = sum(
+                (1.0 / len(adj[v])) * (1.0 / len(adj[q]))
+                for q in adj[v] & adj[j]
+            )
+            out += (p + ind) ** 2
+        return out
+
+    e = spark.createDataFrame(E, "src long, dst long")
+    got = {r["id"]: r["constraint"] for r in burt_constraint(e).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        assert abs(got[v] - c(v)) < 1e-12, v
+    assert got[8] == 1.0 and got[9] == 1.0  # dyad
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    k3 = {r["id"]: r["constraint"] for r in burt_constraint(tri).collect()}
+    assert all(abs(v - 1.125) < 1e-12 for v in k3.values())
+
+
+def test_conductance_closed_forms(spark):
+    """Two K4s joined by one bridge, labeled by clique: each side has
+    cut 1, volume 13, conductance 1/13; a whole-graph community is
+    NULL; cut-free separated communities are 0."""
+    from pagerank_spark.operators.labelprop import conductance
+
+    cliq = [(a, b) for base in (0, 10) for a in range(base, base + 4)
+            for b in range(a + 1, base + 4)]
+    e = spark.createDataFrame(cliq + [(3, 10)], "src long, dst long")
+    lab = spark.createDataFrame(
+        [(v, v // 10) for v in [0, 1, 2, 3, 10, 11, 12, 13]],
+        "id long, label long",
+    )
+    got = {r["label"]: r for r in conductance(e, lab).collect()}
+    for c in (0, 1):
+        assert got[c]["n_vertices"] == 4
+        assert got[c]["volume"] == 13  # 4 vertices of K4 + bridge end
+        assert got[c]["cut"] == 1
+        assert abs(got[c]["conductance"] - 1 / 13) < 1e-12
+    # single community spanning everything -> min(vol, 2m - vol) = 0
+    one = spark.createDataFrame(
+        [(v, 0) for v in [0, 1, 2, 3, 10, 11, 12, 13]], "id long, label long"
+    )
+    row = conductance(e, one).collect()[0]
+    assert row["conductance"] is None and row["cut"] == 0
+    # two components, no cut
+    e2 = spark.createDataFrame(cliq, "src long, dst long")
+    got2 = {r["label"]: r["conductance"]
+            for r in conductance(e2, lab).collect()}
+    assert got2 == {0: 0.0, 1: 0.0}
+
+
+def test_four_profile_vs_bruteforce(spark):
+    """The induced 4-graphlet census (combinatorial decomposition +
+    inclusion-exclusion) matches exhaustive enumeration over all
+    C(n,4) induced subgraphs, plus closed forms: K5 has C(5,4)=5 K4s
+    and nothing else; a 6-star has C(6,3)=20 induced 3-stars; C6 has
+    6 induced P4s (one per run of 4 consecutive vertices)."""
+    import itertools
+    import random as _random
+
+    from pagerank_spark.operators.linkpred import four_profile
+
+    def brute(E):
+        adjset = {(min(a, b), max(a, b)) for a, b in E if a != b}
+        verts = sorted({v for e in adjset for v in e})
+        c = dict(p4=0, star=0, c4=0, paw=0, dia=0, k4=0)
+        for quad in itertools.combinations(verts, 4):
+            es = [p for p in itertools.combinations(quad, 2) if p in adjset]
+            m = len(es)
+            if m < 3:
+                continue
+            g = {v: set() for v in quad}
+            for a, b in es:
+                g[a].add(b)
+                g[b].add(a)
+            seen, st = {quad[0]}, [quad[0]]
+            while st:
+                for w in g[st.pop()]:
+                    if w not in seen:
+                        seen.add(w)
+                        st.append(w)
+            if len(seen) < 4:
+                continue
+            degs = sorted(len(g[v]) for v in quad)
+            if m == 3:
+                c["star" if degs == [1, 1, 1, 3] else "p4"] += 1
+            elif m == 4:
+                c["c4" if degs == [2, 2, 2, 2] else "paw"] += 1
+            elif m == 5:
+                c["dia"] += 1
+            else:
+                c["k4"] += 1
+        return c
+
+    def run(E):
+        r = four_profile(
+            spark.createDataFrame(E, "src long, dst long")
+        ).collect()[0]
+        return dict(p4=r["n_path4"], star=r["n_3star"], c4=r["n_cycle4"],
+                    paw=r["n_tailed_tri"], dia=r["n_diamond"], k4=r["n_k4"])
+
+    rng = _random.Random(19)
+    for _ in range(3):
+        E = list({(rng.randrange(13), rng.randrange(13))
+                  for _ in range(45)})
+        assert run(E) == brute(E)
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert run(k5) == dict(p4=0, star=0, c4=0, paw=0, dia=0, k4=5)
+    star6 = [(0, i) for i in range(1, 7)]
+    assert run(star6) == dict(p4=0, star=20, c4=0, paw=0, dia=0, k4=0)
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    assert run(c6) == dict(p4=6, star=0, c4=0, paw=0, dia=0, k4=0)

@@ -196,6 +196,10 @@ def test_driver_contract_key_consistency():
         # HLL sketch estimation has no ANSI equivalent; the exact
         # neighborhood_function twin carries the value check
         "hyper_anf",
+        # d x d eigendecomposition (driver NumPy over the distributed
+        # covariance) has no ANSI equivalent; embedding_covariance is
+        # the oracled half, the NumPy replay is pytest-pinned
+        "embedding_pca",
     }
     assert q - o == allowed_rows_only
 

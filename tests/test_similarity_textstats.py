@@ -538,3 +538,45 @@ def test_zipf_fit_known_distribution(spark):
     # max_rank caps the fit depth
     capped = zipf_fit(docs, max_rank=10).collect()[0]
     assert capped["ranks_used"] == 10 and capped["vocab_size"] == 40
+
+
+def test_embedding_covariance_and_pca_vs_numpy(spark):
+    """The distributed covariance equals np.cov(bias=True) to float
+    tolerance, and PCA scores equal the NumPy eigh replay under the
+    same sign convention, joined by id."""
+    import numpy as np
+
+    from pagerank_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_pca,
+    )
+
+    rng = np.random.RandomState(17)
+    d, n = 8, 400
+    base = rng.normal(0, 1, size=(n, 3)) @ rng.normal(0, 1, size=(3, d))
+    X = base + 0.05 * rng.normal(0, 1, size=(n, d))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # the array<float> column quantizes to float32 before the engine
+    # ever sees a value — replay that cast
+    Xf = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    C = np.cov(Xf.T, bias=True)
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in embedding_covariance(df).collect()}
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert abs(got[(i, j)] - C[i, j]) < 1e-9, (i, j)
+    k = 3
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    want = (Xf - Xf.mean(0)) @ comps.T
+    pc = {r["vec_id"]: r["pc"] for r in embedding_pca(df, k=k).collect()}
+    for i in range(n):
+        assert np.abs(np.array(pc[i]) - want[i]).max() < 1e-9, i
+    # the 3-factor structure shows: top-3 variance dominates
+    assert vals[order].sum() / vals.sum() > 0.95
