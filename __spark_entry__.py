@@ -824,6 +824,26 @@ def q_unigram_ppl(spark, sf_dir):
     )
 
 
+def q_bigram_ppl(spark, sf_dir):
+    """Bigram LM perplexity per document (add-0.5 conditional
+    smoothing, model fit on the corpus itself) — order-2 sibling of
+    ``unigram_ppl``; catches shuffled/template-stitched text whose
+    unigram profile looks clean. Rounded at 6 dp (per-doc double-sum
+    ordering)."""
+    from pagerank_spark.operators.textstats import bigram_perplexity
+
+    return (
+        bigram_perplexity(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("bits_per_bigram", 6).alias("bits_per_bigram"),
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _pages(spark, sf_dir, docs=None):
     """Deterministic multi-line 'pages' synthesized from the documents
     table: page p holds the texts of docs with doc_id % 40 == p joined
@@ -2290,6 +2310,108 @@ def q_user_sessions(spark, sf_dir):
     ).orderBy("user_id", "session_seq")
 
 
+_DEC_EP = "decimal(20,2)"
+_DEC_DISC = "decimal(12,2)"
+
+# DuckDB twin of _revenue_col(): identical decimal types, so the sum is
+# exact (order-independent) on both engines
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(20,2)) * "
+    "(CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+
+def _revenue_col():
+    """Exact (order-independent) revenue term: decimal end-to-end so
+    Spark's and DuckDB's sums agree bit-for-bit regardless of row
+    order — the same trick as ``pricing_summary``'s decimal sums."""
+    ep = F.col("l_extendedprice").cast(_DEC_EP)
+    disc = F.col("l_discount").cast(_DEC_DISC)
+    return ep * (F.lit("1.00").cast(_DEC_DISC) - disc)
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analogue (shipping priority): 3-way join
+    customer ⋈ orders ⋈ lineitem with segment + date predicates, exact
+    decimal revenue, top 10. Catalyst pushes both date filters into
+    the parquet scans and prunes to the 4 columns each side needs;
+    the customer side reduces to a semi-join-sized key set before the
+    orders join at scale."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 analogue (local supplier volume): the 6-table join
+    chain lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region
+    with the same-nation (customer = supplier) predicate. nation and
+    region are broadcast (25 / 5 rows at any scale); supplier rides a
+    shuffle join keyed on l_suppkey. Exact decimal revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 analogue (returned-item reporting): revenue lost to
+    returns per customer over a two-quarter window, top 20. The
+    lineitem side filters on l_returnflag at the scan; nation is
+    broadcast. Exact decimal revenue."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_events_hourly_stream(spark, sf_dir):
     """Structured Streaming gate: the events parquet replayed as a
     bounded file-source stream (availableNow), through the watermarked
@@ -3107,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_md5": q_skipgram_md5,
         "gopher_filter": q_gopher_filter,
         "unigram_ppl": q_unigram_ppl,
+        "bigram_ppl": q_bigram_ppl,
         "line_dedup": q_line_dedup,
         "c4_clean": q_c4_clean,
         "scrub_pii": q_scrub_pii,
@@ -3179,6 +3302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational delegation demos
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
+        "nation_revenue": q_nation_revenue,
+        "returned_items": q_returned_items,
         "events_hourly": q_events_hourly,
         "user_top_events": q_user_top_events,
         "user_sessions": q_user_sessions,
@@ -6115,6 +6241,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, round(b, 6) AS bits_per_token, "
             "round(pow(2.0, b), 6) AS perplexity FROM pd ORDER BY doc_id"
         ),
+        "bigram_ppl": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w, "
+            "unnest(range(1, len(string_split_regex(lower(trim(text)), '\\s+')) + 1)) AS pos "
+            "FROM documents), "
+            "tk AS MATERIALIZED (SELECT doc_id, pos, w FROM toks WHERE w <> ''), "
+            "bi AS MATERIALIZED (SELECT doc_id, v, w FROM "
+            "(SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS v, w FROM tk) "
+            "WHERE v IS NOT NULL), "
+            "c2 AS MATERIALIZED (SELECT v, w, count(*) AS c2 FROM bi GROUP BY v, w), "
+            "c1 AS MATERIALIZED (SELECT v, count(*) AS c1 FROM bi GROUP BY v), "
+            "tot AS (SELECT count(DISTINCT t) AS tv FROM "
+            "(SELECT v AS t FROM bi UNION ALL SELECT w AS t FROM bi)), "
+            "lp AS (SELECT b.doc_id, "
+            "log2((coalesce(c2.c2, 0) + 0.5) / (coalesce(c1.c1, 0) "
+            "+ 0.5 * ((SELECT tv FROM tot) + 1))) AS lp "
+            "FROM bi b LEFT JOIN c2 ON b.v = c2.v AND b.w = c2.w "
+            "LEFT JOIN c1 ON b.v = c1.v), "
+            "pd AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "(- sum(lp)) / count(*) AS b FROM lp GROUP BY doc_id) "
+            "SELECT doc_id, n_bigrams, round(b, 6) AS bits_per_bigram, "
+            "round(pow(2.0, b), 6) AS perplexity FROM pd ORDER BY doc_id"
+        ),
         "line_dedup": _LINE_DEDUP_CTES + (
             "SELECT page_id, "
             "coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos), '') AS text, "
@@ -6260,6 +6409,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_spent, "
             "count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_custkey, c_name ORDER BY total_spent DESC, c_custkey LIMIT 10"
+        ),
+        "shipping_priority": (
+            f"SELECT l_orderkey, CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "nation_revenue": (
+            f"SELECT n_name, CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "returned_items": (
+            f"SELECT c_custkey, c_name, n_name, CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-07-01' "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         "events_hourly": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "

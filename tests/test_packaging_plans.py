@@ -382,3 +382,29 @@ def test_matching_checkpoint_resume(spark, tmp_path):
         assert a not in seen and b not in seen
         seen.update((a, b))
     e.unpersist()
+
+
+def test_tpch_join_suite_plans_and_values(spark):
+    """The TPC-H-style relational gates: nation/region ride broadcast
+    joins (dims are tiny at any scale), the segment + date predicates
+    reach the parquet scans, and the decimal revenue term keeps the
+    aggregate exact (order-independent)."""
+    import __spark_entry__ as entry
+    from pagerank_spark.plans import plan_has
+
+    q5 = entry.q_nation_revenue(spark, SF_DIR)
+    assert plan_has(q5, "BroadcastHashJoin")
+    q3 = entry.q_shipping_priority(spark, SF_DIR)
+    assert plan_has(q3, "PushedFilters")
+    assert plan_has(q3, "IsNotNull(c_mktsegment)") or plan_has(
+        q3, "EqualTo(c_mktsegment,BUILDING)"
+    )
+    rows = q3.collect()
+    assert len(rows) <= 10
+    # top-10 revenue ordering is non-increasing
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    q10 = entry.q_returned_items(spark, SF_DIR)
+    assert plan_has(q10, "EqualTo(l_returnflag,R)")
+    got = q10.collect()
+    assert all(r["revenue"] > 0 for r in got)

@@ -580,3 +580,46 @@ def test_embedding_covariance_and_pca_vs_numpy(spark):
         assert np.abs(np.array(pc[i]) - want[i]).max() < 1e-9, i
     # the 3-factor structure shows: top-3 variance dominates
     assert vals[order].sum() / vals.sum() > 0.95
+
+
+def test_bigram_perplexity_matches_hand_model(spark):
+    """Hand-computed add-0.5 bigram model on corpus 'a b a' / 'b a':
+    bigrams (a,b) (b,a) (b,a) -> c2[(a,b)]=1 c2[(b,a)]=2,
+    contexts c1[a]=1 c1[b]=2, V = |{a,b}| = 2, denom_v = c1[v] + 0.5*3."""
+    import math
+
+    from pagerank_spark.operators.textstats import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_bigram"])
+        for r in bigram_perplexity(docs).collect()
+    }
+    # docs with < 2 tokens have no bigram and are absent — note "solo"
+    # contributes a token but no bigram, so V counts bigram positions only
+    assert set(got) == {1, 2}
+    p_ab = (1 + 0.5) / (1 + 0.5 * (2 + 1))  # c2/c1 for context a
+    p_ba = (2 + 0.5) / (2 + 0.5 * (2 + 1))  # context b
+    b1 = -(math.log2(p_ab) + math.log2(p_ba)) / 2
+    b2 = -math.log2(p_ba)
+    assert got[1][0] == 2 and abs(got[1][1] - b1) < 1e-12
+    assert got[2][0] == 1 and abs(got[2][1] - b2) < 1e-12
+    # word order sensitivity: shuffled text keeps its unigram profile
+    # but scores strictly worse under the bigram model fit on the
+    # ordered corpus
+    model = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(5)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "fox the jumps quick brown")],
+        "doc_id long, text string",
+    )
+    m = {
+        r["doc_id"]: r["perplexity"]
+        for r in bigram_perplexity(probe, model_docs=model).collect()
+    }
+    assert m[101] > m[100]
