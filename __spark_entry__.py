@@ -3144,6 +3144,99 @@ def q_zipf_fit(spark, sf_dir):
     )
 
 
+LR_ITERS = 10
+TEMPORAL_HOPS = 8
+
+
+def _eid_edges(spark, sf_dir):
+    """Canonical graph with a unique per-row edge id (l_orderkey*8 +
+    l_linenumber is unique per lineitem row — linenumber is 1..7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("eid"),
+        (F.col("l_partkey") % N_MOD).alias("src"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias("dst"),
+    )
+
+
+_EID_EDGES_SQL = (
+    f"SELECT l_orderkey * 8 + l_linenumber AS eid, "
+    f"l_partkey % {N_MOD} AS src, "
+    f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst FROM lineitem"
+)
+
+
+def _tedges(spark, sf_dir):
+    """Canonical graph with a deterministic integer timestamp 0..63."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_partkey") % N_MOD).alias("src"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias("dst"),
+        ((F.col("l_orderkey") * 3 + F.col("l_suppkey")) % 64).alias("t"),
+    )
+
+
+_TEDGES_SQL = (
+    f"SELECT l_partkey % {N_MOD} AS src, "
+    f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst, "
+    f"(l_orderkey * 3 + l_suppkey) % 64 AS t FROM lineitem"
+)
+
+
+def q_leaderrank(spark, sf_dir):
+    """LeaderRank: ground-node-augmented undamped (d=1) walk, fixed
+    LR_ITERS iterations — value-checked vs the d=1.0 unrolled CTE chain
+    over the explicitly augmented edge list (ground node wired
+    bidirectionally to every vertex)."""
+    from pagerank_spark.operators.centrality import leaderrank
+
+    out = leaderrank(_edges(spark, sf_dir), eps=0.0, max_iter=LR_ITERS)
+    return out.select(
+        "id",
+        F.round("rank", 7).alias("rank"),
+        F.round("score", 7).alias("score"),
+    ).orderBy("id")
+
+
+def q_refex_features(spark, sf_dir):
+    """ReFeX recursive structural features (2 rounds): exact integer
+    neighbor-sum chains + the two trailing neighbor-degree ratios."""
+    from pagerank_spark.operators.features import refex_features
+
+    out = refex_features(_edges(spark, sf_dir))
+    keep = [c for c in out.columns if not c.startswith("mean_")]
+    return out.select(
+        *keep,
+        F.round("mean_out_outdeg", 7).alias("mean_out_outdeg"),
+        F.round("mean_in_indeg", 7).alias("mean_in_indeg"),
+    ).orderBy("id")
+
+
+def q_config_rewire_md5(spark, sf_dir):
+    """One deterministic configuration-model draw (portable md5 stub
+    order) — degree sequence preserved exactly, joint structure
+    hash-shuffled; replays bit-exact in ANSI SQL."""
+    from pagerank_spark.operators.nullmodel import configuration_rewire
+
+    out = configuration_rewire(
+        _eid_edges(spark, sf_dir), id_col="eid", seed=42, hash_fn="md5"
+    )
+    return out.orderBy("rn")
+
+
+def q_temporal_reachability(spark, sf_dir):
+    """Earliest-arrival temporal reachability from vertex 0 over the
+    timestamped canonical graph, exactly TEMPORAL_HOPS relaxation
+    rounds — all-integer arithmetic, bit-exact cross-engine."""
+    from pagerank_spark.operators.temporal import temporal_reachability
+
+    out = temporal_reachability(
+        _tedges(spark, sf_dir), sources=[0], start=0,
+        max_hops=TEMPORAL_HOPS,
+    )
+    return out.orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph operators (SURVEY.md §2.1 + §2.3)
@@ -3160,6 +3253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "cheirank": q_cheirank,
         "anti_trustrank": q_anti_trustrank,
+        "leaderrank": q_leaderrank,
+        "refex_features": q_refex_features,
+        "config_rewire_md5": q_config_rewire_md5,
+        "temporal_reachability": q_temporal_reachability,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -3338,6 +3435,7 @@ def _pr_cte_sql(
     personalize: list[int] | None = None,
     prefix: str = "",
     bare: bool = False,
+    d: float = 0.85,
 ) -> str:
     """Unrolled power iteration r0..r{iters} as a chained CTE.
 
@@ -3355,6 +3453,11 @@ def _pr_cte_sql(
     CTE materialization and re-evaluates the chain per reference
     (measured: the spam-mass oracle went from minutes to seconds).
     """
+    # damping literals: keep the historical "0.85"/"0.15" text when d is
+    # the default (oracle strings are diffed across rounds); other d
+    # values (e.g. LeaderRank's undamped d=1.0) format exactly
+    ds = "0.85" if d == 0.85 else repr(float(d))
+    tp = "0.15" if d == 0.85 else repr(1.0 - float(d))
     parts = [
         "WITH eg AS (__EDGES_SQL__),",
         "nn AS (SELECT CAST(1 + max(greatest(src, dst)) AS DOUBLE) AS n FROM eg),",
@@ -3362,13 +3465,13 @@ def _pr_cte_sql(
     if weighted:
         parts += [
             "st AS (SELECT src, CAST(sum(weight) AS DOUBLE) AS s FROM eg GROUP BY src),",
-            "w AS (SELECT e.src, e.dst, 0.85 * e.weight / st.s AS w "
+            f"w AS (SELECT e.src, e.dst, {ds} * e.weight / st.s AS w "
             "FROM eg e JOIN st ON e.src = st.src),",
         ]
     else:
         parts += [
             "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM eg GROUP BY src),",
-            "w AS (SELECT e.src, e.dst, 0.85 / od.odeg AS w FROM eg e JOIN od ON e.src = od.src),",
+            f"w AS (SELECT e.src, e.dst, {ds} / od.odeg AS w FROM eg e JOIN od ON e.src = od.src),",
         ]
     parts.append(
         "v AS (SELECT CAST(unnest(range(0, (SELECT CAST(n AS BIGINT) FROM nn))) AS BIGINT) AS id),"
@@ -3391,7 +3494,7 @@ def _pr_cte_sql(
         )
     for k in range(1, iters + 1):
         if personalize is None:
-            base = "0.15 / (SELECT n FROM nn)"
+            base = f"{tp} / (SELECT n FROM nn)"
             if dangling == "redistribute":
                 # hoisted + MATERIALIZED for the same reason as the
                 # personalized dm{k} below: an inline scalar subquery
@@ -3405,12 +3508,12 @@ def _pr_cte_sql(
                     f"FROM r{k-1} r JOIN dang ON r.id = dang.id),"
                 )
                 base += (
-                    f" + 0.85 * (SELECT m FROM dm{k}) / (SELECT n FROM nn)"
+                    f" + {ds} * (SELECT m FROM dm{k}) / (SELECT n FROM nn)"
                 )
         else:
             ids = ", ".join(str(int(s)) for s in personalize)
             s_cnt = len(personalize)
-            inner = f"0.15 / {s_cnt}"
+            inner = f"{tp} / {s_cnt}"
             if dangling == "redistribute":
                 # dangling mass hoisted into its own per-level CTE: a
                 # scalar subquery INSIDE the per-row CASE defeats
@@ -3419,7 +3522,7 @@ def _pr_cte_sql(
                     f"dm{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0) AS m "
                     f"FROM r{k-1} r JOIN dang ON r.id = dang.id),"
                 )
-                inner += f" + 0.85 * (SELECT m FROM dm{k}) / {s_cnt}"
+                inner += f" + {ds} * (SELECT m FROM dm{k}) / {s_cnt}"
             base = f"CASE WHEN v.id IN ({ids}) THEN {inner} ELSE 0.0 END"
         # redistribute mode double-references r{k-1} (dm{k} + gather):
         # without materialization the inlined chain doubles per level
@@ -4691,6 +4794,123 @@ def _converged_iters(sf_dir: str, weighted: bool = False) -> int:
     return _CONV_ITERS_CACHE[key]
 
 
+_LR_AUG_SQL = (
+    "WITH b AS (__BASE__), "
+    "mx AS (SELECT CAST(1 + max(greatest(src, dst)) AS BIGINT) AS n FROM b) "
+    "SELECT src, dst FROM b "
+    "UNION ALL SELECT CAST(unnest(range(0, (SELECT n FROM mx))) AS BIGINT) AS src, "
+    "(SELECT n FROM mx) AS dst "
+    "UNION ALL SELECT (SELECT n FROM mx) AS src, "
+    "CAST(unnest(range(0, (SELECT n FROM mx))) AS BIGINT) AS dst"
+)
+
+
+def _leaderrank_sql() -> str:
+    """LeaderRank = d=1.0 unrolled power iteration over the explicitly
+    ground-augmented edge list; final select folds the ground node's
+    rank back (score = rank + rank(g)/n) and drops the ground row.
+    In the CTE chain nn.n is the AUGMENTED count (ground id = n - 1)."""
+    k = LR_ITERS
+    final = (
+        f"SELECT r.id, round(r.rank, 7) AS rank, "
+        f"round(r.rank + (SELECT g.rank FROM r{k} g "
+        f"WHERE g.id = (SELECT CAST(n AS BIGINT) FROM nn) - 1) "
+        f"/ ((SELECT n FROM nn) - 1.0), 7) AS score "
+        f"FROM r{k} r WHERE r.id < (SELECT CAST(n AS BIGINT) FROM nn) - 1 "
+        f"ORDER BY r.id"
+    )
+    aug = _LR_AUG_SQL.replace("__BASE__", _EDGES_SQL)
+    return _pr_cte_sql(aug, k, dangling="redistribute", d=1.0, final=final)
+
+
+def _refex_sql() -> str:
+    """ReFeX 2-round degree-chain features: every recursive feature is
+    an exact integer sum (CAST AS BIGINT — DuckDB sum() widens to
+    HUGEINT, which the checker forbids); the two trailing means are
+    exact-int / exact-int divisions, rounded like the engine gate."""
+    return (
+        f"WITH eg AS ({_EDGES_SQL}),\n"
+        "o AS (SELECT src AS id, count(*) AS out_deg FROM eg GROUP BY src),\n"
+        "i AS (SELECT dst AS id, count(*) AS in_deg FROM eg GROUP BY dst),\n"
+        "base AS (SELECT coalesce(o.id, i.id) AS id, "
+        "coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg "
+        "FROM o FULL OUTER JOIN i ON o.id = i.id),\n"
+        "r1o AS (SELECT e.src AS id, "
+        "CAST(sum(b.out_deg) AS BIGINT) AS s_out_out_deg, "
+        "CAST(sum(b.in_deg) AS BIGINT) AS s_out_in_deg "
+        "FROM eg e JOIN base b ON e.dst = b.id GROUP BY e.src),\n"
+        "r1i AS (SELECT e.dst AS id, "
+        "CAST(sum(b.out_deg) AS BIGINT) AS s_in_out_deg, "
+        "CAST(sum(b.in_deg) AS BIGINT) AS s_in_in_deg "
+        "FROM eg e JOIN base b ON e.src = b.id GROUP BY e.dst),\n"
+        "f1 AS (SELECT b.id, b.out_deg, b.in_deg, "
+        "coalesce(r1o.s_out_out_deg, 0) AS s_out_out_deg, "
+        "coalesce(r1o.s_out_in_deg, 0) AS s_out_in_deg, "
+        "coalesce(r1i.s_in_out_deg, 0) AS s_in_out_deg, "
+        "coalesce(r1i.s_in_in_deg, 0) AS s_in_in_deg "
+        "FROM base b LEFT JOIN r1o ON b.id = r1o.id "
+        "LEFT JOIN r1i ON b.id = r1i.id),\n"
+        "r2o AS (SELECT e.src AS id, "
+        "CAST(sum(f.s_out_out_deg) AS BIGINT) AS s2_out_s_out_out_deg, "
+        "CAST(sum(f.s_out_in_deg) AS BIGINT) AS s2_out_s_out_in_deg "
+        "FROM eg e JOIN f1 f ON e.dst = f.id GROUP BY e.src),\n"
+        "r2i AS (SELECT e.dst AS id, "
+        "CAST(sum(f.s_in_out_deg) AS BIGINT) AS s2_in_s_in_out_deg, "
+        "CAST(sum(f.s_in_in_deg) AS BIGINT) AS s2_in_s_in_in_deg "
+        "FROM eg e JOIN f1 f ON e.src = f.id GROUP BY e.dst)\n"
+        "SELECT f.id, f.out_deg, f.in_deg, f.s_out_out_deg, "
+        "f.s_out_in_deg, f.s_in_out_deg, f.s_in_in_deg, "
+        "coalesce(r2o.s2_out_s_out_out_deg, 0) AS s2_out_s_out_out_deg, "
+        "coalesce(r2o.s2_out_s_out_in_deg, 0) AS s2_out_s_out_in_deg, "
+        "coalesce(r2i.s2_in_s_in_out_deg, 0) AS s2_in_s_in_out_deg, "
+        "coalesce(r2i.s2_in_s_in_in_deg, 0) AS s2_in_s_in_in_deg, "
+        "round(CASE WHEN f.out_deg > 0 THEN "
+        "CAST(f.s_out_out_deg AS DOUBLE) / f.out_deg ELSE 0.0 END, 7) "
+        "AS mean_out_outdeg, "
+        "round(CASE WHEN f.in_deg > 0 THEN "
+        "CAST(f.s_in_in_deg AS DOUBLE) / f.in_deg ELSE 0.0 END, 7) "
+        "AS mean_in_indeg "
+        "FROM f1 f LEFT JOIN r2o ON f.id = r2o.id "
+        "LEFT JOIN r2i ON f.id = r2i.id ORDER BY f.id"
+    )
+
+
+def _config_rewire_sql(seed: int = 42) -> str:
+    """Configuration-model draw replay: the portable md5 stub hash is
+    the same `conv(substr(md5(s),1,15),16,10)` value on both engines;
+    row_number over (hash, eid) reproduces the engine's sorted
+    zipWithIndex pairing exactly."""
+    ho = _MD5H.format(x=f"CAST(eid AS VARCHAR) || '-o-{seed}'")
+    hi = _MD5H.format(x=f"CAST(eid AS VARCHAR) || '-i-{seed}'")
+    return (
+        f"WITH eg AS ({_EID_EDGES_SQL}), "
+        f"o AS (SELECT row_number() OVER (ORDER BY {ho}, eid) AS rn, src FROM eg), "
+        f"i AS (SELECT row_number() OVER (ORDER BY {hi}, eid) AS rn, dst FROM eg) "
+        "SELECT o.rn, o.src, i.dst FROM o JOIN i ON o.rn = i.rn ORDER BY o.rn"
+    )
+
+
+def _temporal_sql() -> str:
+    """Unrolled earliest-arrival relaxation from vertex 0 at t=0:
+    a_{k+1}(v) = min(a_k(v), min{t : (u,v,t), t >= a_k(u)}) — exactly
+    the engine's TEMPORAL_HOPS rounds, all-integer."""
+    parts = [
+        f"WITH eg AS ({_TEDGES_SQL}),",
+        "a0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS arrival),",
+    ]
+    for k in range(1, TEMPORAL_HOPS + 1):
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT id, min(arrival) AS arrival FROM ("
+            f"SELECT id, arrival FROM a{k-1} UNION ALL "
+            f"SELECT e.dst AS id, e.t AS arrival "
+            f"FROM eg e JOIN a{k-1} x ON e.src = x.id WHERE e.t >= x.arrival"
+            f") GROUP BY id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, arrival FROM a{TEMPORAL_HOPS} ORDER BY id")
+    return "\n".join(parts)
+
+
 def _sssp_sql(edges_sql: str, weighted: bool = False) -> str:
     """Unrolled min-distance relaxation from vertex 0 (reached only)."""
     if weighted:
@@ -5499,6 +5719,10 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM r{PR_FIXED_ITERS} ORDER BY id"
             ),
         ),
+        "leaderrank": _leaderrank_sql(),
+        "refex_features": _refex_sql(),
+        "config_rewire_md5": _config_rewire_sql(),
+        "temporal_reachability": _temporal_sql(),
         "incremental_cc": _cc_sql(),
         "incremental_cc_stream": _cc_sql(),
         "attack_tolerance": _attack_sql(

@@ -79,10 +79,14 @@ from pagerank_spark.operators.centrality import (
     edge_betweenness,
     eigenvector_centrality,
     katz_centrality,
+    leaderrank,
     personalized_pagerank_keyed,
 )
 from pagerank_spark.operators.summary import graph_summary
 from pagerank_spark.operators.derive import derive_edges
+from pagerank_spark.operators.features import refex_features
+from pagerank_spark.operators.nullmodel import configuration_rewire
+from pagerank_spark.operators.temporal import temporal_reachability
 from pagerank_spark.operators.dedup import (
     contamination,
     dedup_exact,
@@ -157,6 +161,10 @@ __all__ = [
     "closeness_centrality",
     "katz_centrality",
     "eigenvector_centrality",
+    "leaderrank",
+    "refex_features",
+    "configuration_rewire",
+    "temporal_reachability",
     "betweenness_centrality",
     "edge_betweenness",
     "personalized_pagerank_keyed",

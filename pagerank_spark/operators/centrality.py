@@ -669,3 +669,68 @@ def anti_trustrank(
         max_iter=max_iter, **pagerank_kwargs,
     )
     return tr.select("id", F.col("trust").alias("distrust"))
+
+
+def leaderrank(
+    edges: DataFrame,
+    n: int | None = None,
+    eps: float = 1e-6,
+    max_iter: int | None = None,
+    **pagerank_kwargs,
+) -> DataFrame:
+    """LeaderRank (Lü, Zhang, Yeung & Zhou, "Leaders in social
+    networks, the Delicious case", PLoS ONE 2011): parameter-free
+    ranking via a GROUND NODE g wired bidirectionally to every vertex,
+    then an undamped (d = 1) random walk — the ground edges make the
+    chain strongly connected and aperiodic, replacing PageRank's
+    teleport knob. After convergence the ground node's score is
+    redistributed evenly: ``score(v) = rank(v) + rank(g)/n``. More
+    tolerant to noisy/spammy links than PageRank in the published
+    benchmarks, with no damping factor to tune.
+
+    Returns ``(id, rank, score)`` over the original vertex space
+    (the ground node row is folded in, not emitted).
+
+    Scale shape: the augmentation adds 2n skinny rows to the edge
+    table (a `range` union, no shuffle of its own), then it is exactly
+    one :func:`~pagerank_spark.operators.pagerank.pagerank` run —
+    blocks or join mode, same salting/checkpoint knobs. The augmented
+    graph has no dangling vertices by construction (every v points at
+    g), so the d = 1 walk conserves mass without any dangling pass.
+    """
+    from pagerank_spark.operators.pagerank import pagerank
+
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    if n is None:
+        row = e.agg(
+            F.max(F.greatest("src", "dst")).alias("m")
+        ).first()
+        if row is None or row["m"] is None:
+            raise ValueError("leaderrank: empty edge table")
+        n = int(row["m"]) + 1
+    ground = n
+    vs = spark.range(n).select(F.col("id").cast("long").alias("v"))
+    aug = (
+        e.union(vs.select(F.col("v").alias("src"), F.lit(ground).cast("long").alias("dst")))
+        .union(vs.select(F.lit(ground).cast("long").alias("src"), F.col("v").alias("dst")))
+    )
+    res = pagerank(
+        aug, n=n + 1, d=1.0, eps=eps, max_iter=max_iter,
+        dangling="redistribute", **pagerank_kwargs,
+    )
+    g_rank = res.ranks.where(F.col("id") == ground).select(
+        F.col("rank").alias("_g")
+    )
+    return (
+        res.ranks.where(F.col("id") != ground)
+        .crossJoin(F.broadcast(g_rank))
+        .select(
+            "id",
+            "rank",
+            (F.col("rank") + F.col("_g") / F.lit(float(n))).alias("score"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Degree-preserving null models.
+
+The configuration model is the standard null hypothesis behind
+modularity, assortativity and rich-club normalization (Newman, "The
+structure and function of complex networks", SIAM Rev. 2003 §4.2.1;
+Maslov & Sneppen, Science 2002 use the equivalent edge-swap form):
+"what would this metric look like on a random graph with exactly this
+degree sequence?" This module draws one deterministic sample from the
+directed configuration model by hash-shuffling edge stubs — no RNG
+state, so the same input produces the same rewiring on any partition
+layout, executor count, or engine (the md5 mode replays bit-exact in
+ANSI SQL).
+
+Reference parity note: the C reference (see SURVEY.md §2.1) has no
+null-model stage; this extends the §2.3 analytics surface the same way
+``rich_club``/``assortativity`` already do — those metrics' published
+forms are *ratios against exactly this null*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions.text import hash64
+
+
+def configuration_rewire(
+    edges: DataFrame,
+    id_col: str = "eid",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One deterministic draw from the directed configuration model.
+
+    Every edge contributes one OUT-stub (its ``src``) and one IN-stub
+    (its ``dst``). Each stub list is put in hash order — key
+    ``hash(eid, side, seed)`` with the stub's edge id as tie-break —
+    and the i-th out-stub is paired with the i-th in-stub. The result
+    has exactly the original out-degree and in-degree multiset (every
+    stub is used exactly once), with the joint (src, dst) structure
+    randomized: self-loops and parallel edges may appear, as the
+    standard configuration model allows.
+
+    ``id_col`` must hold a unique id per edge row (it seeds the
+    per-stub hash and breaks ties, making the draw total-ordered and
+    reproducible). ``hash_fn="md5"`` uses the portable 60-bit md5 hash
+    so the pairing replays bit-exact in ANSI SQL.
+
+    Returns ``(rn, src, dst)`` — ``rn`` is the 1-based pair index.
+
+    Scale shape: two range-partitioned sorts of skinny ``(hash, id,
+    endpoint)`` rows (Spark's sort shuffle — the same machinery a
+    sort-merge join pays) and one co-partitioned join on the dense
+    rank. Nothing is ever collected; no vertex or edge state beyond
+    the two stub frames.
+    """
+    sside = lambda tag: F.concat_ws(  # noqa: E731
+        "-", F.col("_eid").cast("string"), F.lit(tag), F.lit(str(seed))
+    )
+
+    def ranked(endpoint: str, tag: str) -> DataFrame:
+        # sort + zipWithIndex — the same scale-safe dense-rank
+        # primitive densify_ids uses (per-partition counts + offsets;
+        # NO single-partition window, no driver collect)
+        stubs = (
+            edges.select(F.col(id_col).alias("_eid"), F.col(endpoint))
+            .withColumn("h", hash64(sside(tag), hash_fn))
+            .sort("h", "_eid")
+        )
+        return (
+            stubs.rdd.map(lambda r: (r[endpoint],))
+            .zipWithIndex()
+            .map(lambda t: (t[1] + 1, t[0][0]))
+            .toDF(["rn", endpoint])
+            .select(F.col("rn").cast("long"), F.col(endpoint).cast("long"))
+        )
+
+    return (
+        ranked("src", "o")
+        .join(ranked("dst", "i"), "rn")
+        .select("rn", "src", "dst")
+    )

@@ -1,0 +1,192 @@
+"""Round-5 operators: LeaderRank, ReFeX features, configuration-model
+rewiring, temporal reachability."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pagerank_spark import (
+    configuration_rewire,
+    leaderrank,
+    refex_features,
+    temporal_reachability,
+)
+
+
+def _edf(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+# ---------------------------------------------------------------------------
+# LeaderRank
+# ---------------------------------------------------------------------------
+
+def _leaderrank_numpy(edges, n, iters):
+    """Driver-side replay: ground node g=n wired both ways, d=1 walk."""
+    import numpy as np
+
+    g = n
+    aug = list(edges) + [(v, g) for v in range(n)] + [(g, v) for v in range(n)]
+    odeg = np.zeros(n + 1)
+    for s, _ in aug:
+        odeg[s] += 1
+    r = np.full(n + 1, 1.0 / (n + 1))
+    for _ in range(iters):
+        nxt = np.zeros(n + 1)
+        for s, d in aug:
+            nxt[d] += r[s] / odeg[s]
+        r = nxt
+    return r
+
+
+def test_leaderrank_matches_numpy(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 0)]
+    out = leaderrank(_edf(spark, edges), eps=0.0, max_iter=12).orderBy("id")
+    rows = out.collect()
+    ref = _leaderrank_numpy(edges, 4, 12)
+    assert [r["id"] for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert math.isclose(r["rank"], ref[r["id"]], rel_tol=1e-9)
+        assert math.isclose(
+            r["score"], ref[r["id"]] + ref[4] / 4.0, rel_tol=1e-9
+        )
+
+
+def test_leaderrank_mass_conserved(spark):
+    # d=1 on the ground-augmented (strongly connected) graph conserves
+    # total mass exactly: sum(rank_v) + rank(g) == 1, and folding the
+    # ground back keeps sum(score) == 1.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    out = leaderrank(_edf(spark, edges), eps=0.0, max_iter=10)
+    tot = out.agg(F.sum("score").alias("s")).first()["s"]
+    assert math.isclose(tot, 1.0, rel_tol=1e-9)
+
+
+def test_leaderrank_ground_breaks_dangling(spark):
+    # vertex 2 is a sink in the base graph; the ground edges make the
+    # walk well-defined without any dangling handling, and the sink
+    # still receives a sensible positive score.
+    out = leaderrank(_edf(spark, [(0, 2), (1, 2), (0, 1)]),
+                     eps=0.0, max_iter=20)
+    scores = {r["id"]: r["score"] for r in out.collect()}
+    assert set(scores) == {0, 1, 2}
+    assert all(v > 0 for v in scores.values())
+    assert scores[2] == max(scores.values())
+
+
+# ---------------------------------------------------------------------------
+# ReFeX
+# ---------------------------------------------------------------------------
+
+def test_refex_hand_computed(spark):
+    # path 0 -> 1 -> 2 plus 0 -> 2
+    out = refex_features(_edf(spark, [(0, 1), (1, 2), (0, 2)]))
+    f = {r["id"]: r.asDict() for r in out.collect()}
+    assert f[0]["out_deg"] == 2 and f[0]["in_deg"] == 0
+    # out-neighbors of 0 are {1, 2}: their out-degs sum 1+0, in-degs 1+2
+    assert f[0]["s_out_out_deg"] == 1
+    assert f[0]["s_out_in_deg"] == 3
+    # in-neighbors of 2 are {1, 0}: out-degs 1+2, in-degs 1+0
+    assert f[2]["s_in_out_deg"] == 3
+    assert f[2]["s_in_in_deg"] == 1
+    # second order: s2_out of 0 sums s_out_* over {1, 2}:
+    # s_out_out_deg(1)=0 (nbr 2 has out 0), s_out_out_deg(2)=0
+    assert f[0]["s2_out_s_out_out_deg"] == 0
+    # means: vertex 0's out-nbrs have avg out-degree (1+0)/2
+    assert math.isclose(f[0]["mean_out_outdeg"], 0.5)
+    assert f[1]["mean_in_indeg"] == 0.0  # in-nbr 0 has in_deg 0
+
+
+def test_refex_multigraph_multiplicity(spark):
+    # parallel edges count once per edge row (multigraph convention)
+    out = refex_features(_edf(spark, [(0, 1), (0, 1)]))
+    f = {r["id"]: r.asDict() for r in out.collect()}
+    assert f[0]["out_deg"] == 2
+    assert f[1]["in_deg"] == 2
+    # each of the two 0->1 edges contributes in_deg(1)=2 once: sum 4
+    assert f[0]["s_out_in_deg"] == 4
+
+
+def test_refex_isolated_in_only_vertex(spark):
+    out = refex_features(_edf(spark, [(5, 9)]))
+    f = {r["id"]: r.asDict() for r in out.collect()}
+    assert set(f) == {5, 9}
+    assert f[9]["out_deg"] == 0 and f[9]["mean_out_outdeg"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# configuration model
+# ---------------------------------------------------------------------------
+
+def _ed_eid(spark, rows):
+    return spark.createDataFrame(rows, "eid long, src long, dst long")
+
+
+def test_config_rewire_preserves_degree_sequence(spark):
+    rows = [(i, i % 5, (i * 3 + 1) % 7) for i in range(40)]
+    e = _ed_eid(spark, rows)
+    r = configuration_rewire(e, id_col="eid", seed=7)
+    assert r.count() == 40
+    orig_out = sorted(s for _, s, _ in rows)
+    orig_in = sorted(d for _, _, d in rows)
+    got = r.collect()
+    assert sorted(x["src"] for x in got) == orig_out
+    assert sorted(x["dst"] for x in got) == orig_in
+
+
+def test_config_rewire_deterministic_and_seeded(spark):
+    rows = [(i, i % 4, (i + 1) % 4) for i in range(20)]
+    e = _ed_eid(spark, rows)
+    a = sorted(map(tuple, configuration_rewire(e, seed=1).collect()))
+    b = sorted(map(tuple, configuration_rewire(e.repartition(7), seed=1).collect()))
+    c = sorted(map(tuple, configuration_rewire(e, seed=2).collect()))
+    assert a == b  # partition-layout independent
+    assert a != c  # seed actually changes the draw
+
+
+def test_config_rewire_md5_mode(spark):
+    rows = [(i, i % 3, (i + 2) % 5) for i in range(15)]
+    r = configuration_rewire(_ed_eid(spark, rows), hash_fn="md5")
+    got = r.orderBy("rn").collect()
+    assert [x["rn"] for x in got] == list(range(1, 16))
+    assert sorted(x["src"] for x in got) == sorted(s for _, s, _ in rows)
+
+
+# ---------------------------------------------------------------------------
+# temporal reachability
+# ---------------------------------------------------------------------------
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, t long")
+
+
+def test_temporal_respects_time_order(spark):
+    # A->B at 12, B->C at 9: C is NOT temporally reachable from A
+    te = _tdf(spark, [(0, 1, 12), (1, 2, 9)])
+    got = {r["id"]: r["arrival"] for r in
+           temporal_reachability(te, sources=[0]).collect()}
+    assert got == {0: 0, 1: 12}
+
+
+def test_temporal_earliest_arrival(spark):
+    # two routes to 3: via 1 (arrive 5 then 7) and via 2 (arrive 2 then 4)
+    te = _tdf(spark, [(0, 1, 5), (1, 3, 7), (0, 2, 2), (2, 3, 4),
+                      (3, 4, 3)])  # 3->4 at t=3 < arrival(3)=4: unusable
+    got = {r["id"]: r["arrival"] for r in
+           temporal_reachability(te, sources=[0]).collect()}
+    assert got == {0: 0, 1: 5, 2: 2, 3: 4}
+
+
+def test_temporal_same_instant_relay_and_start(spark):
+    # non-strict convention: t == arrival is usable; start gates edges
+    te = _tdf(spark, [(0, 1, 10), (1, 2, 10), (0, 3, 4)])
+    got = {r["id"]: r["arrival"] for r in
+           temporal_reachability(te, sources=[0], start=5).collect()}
+    assert got == {0: 5, 1: 10, 2: 10}  # 0->3 at t=4 < start
+
+
+def test_temporal_max_hops_prefix(spark):
+    te = _tdf(spark, [(0, 1, 1), (1, 2, 2), (2, 3, 3)])
+    got = {r["id"]: r["arrival"] for r in
+           temporal_reachability(te, sources=[0], max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # 3 needs a third hop
