@@ -3237,6 +3237,35 @@ def q_temporal_reachability(spark, sf_dir):
     return out.orderBy("id")
 
 
+RMAT_N_EDGES = 20_000
+RMAT_SCALE = 9
+HIT_HORIZON = 10
+
+
+def q_rmat_md5(spark, sf_dir):
+    """Deterministic R-MAT generation (portable md5 decisions): the
+    same (n_edges, scale, seed) replays the identical edge list in
+    ANSI SQL — all-integer quadrant thresholds, zero input tables."""
+    from pagerank_spark.sources.rmat import rmat_edges
+
+    return rmat_edges(
+        spark, RMAT_N_EDGES, RMAT_SCALE, seed=42, hash_fn="md5"
+    ).orderBy("eid")
+
+
+def q_hitting_time(spark, sf_dir):
+    """K-truncated expected hitting time to the PPR seed set — one
+    out-edge SpMV per level, value-checked vs the unrolled CTE chain."""
+    from pagerank_spark.operators.absorbing import hitting_time
+
+    out = hitting_time(
+        _edges(spark, sf_dir), targets=PPR_SOURCES, horizon=HIT_HORIZON
+    )
+    return out.select(
+        "id", F.round("hitting", 7).alias("hitting")
+    ).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph operators (SURVEY.md §2.1 + §2.3)
@@ -3257,6 +3286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refex_features": q_refex_features,
         "config_rewire_md5": q_config_rewire_md5,
         "temporal_reachability": q_temporal_reachability,
+        "rmat_md5": q_rmat_md5,
+        "hitting_time": q_hitting_time,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -4911,6 +4942,70 @@ def _temporal_sql() -> str:
     return "\n".join(parts)
 
 
+def _rmat_sql(
+    n_edges: int = RMAT_N_EDGES,
+    scale: int = RMAT_SCALE,
+    seed: int = 42,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+) -> str:
+    """R-MAT replay: per (edge, level) the SAME portable md5 value mod
+    2^20 compared to the SAME integer thresholds the engine uses —
+    all-integer, bit-exact by construction, no input tables."""
+    m = 1 << 20
+    t1 = round(a * m)
+    t2 = round((a + b) * m)
+    t3 = round((a + b + c) * m)
+    parts = [
+        f"WITH g0 AS (SELECT CAST(unnest(range(0, {n_edges})) AS BIGINT) AS eid, "
+        "CAST(0 AS BIGINT) AS src, CAST(0 AS BIGINT) AS dst),"
+    ]
+    for lvl in range(scale):
+        h = _MD5H.format(x=f"CAST(eid AS VARCHAR) || '-{lvl}-{seed}'")
+        parts.append(
+            f"g{lvl + 1} AS (SELECT eid, "
+            f"src * 2 + CASE WHEN u < {t2} THEN 0 ELSE 1 END AS src, "
+            f"dst * 2 + CASE WHEN u < {t1} THEN 0 WHEN u < {t2} THEN 1 "
+            f"WHEN u < {t3} THEN 0 ELSE 1 END AS dst "
+            f"FROM (SELECT eid, src, dst, {h} % {m} AS u FROM g{lvl})),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT eid, src, dst FROM g{scale} ORDER BY eid")
+    return "\n".join(parts)
+
+
+def _hitting_sql() -> str:
+    """Unrolled truncated-hitting-time recursion: h0 = 0 everywhere;
+    per level h(v) = 0 on targets else 1 + sum_out p*h (dangling
+    vertices coalesce to their previous value — the self-loop patch)."""
+    t = ", ".join(str(int(x)) for x in PPR_SOURCES)
+    parts = [
+        f"WITH eg AS ({_EDGES_SQL}),",
+        "nn AS (SELECT CAST(1 + max(greatest(src, dst)) AS BIGINT) AS n FROM eg),",
+        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM eg GROUP BY src),",
+        "w AS (SELECT e.src, e.dst, 1.0 / od.odeg AS p "
+        "FROM eg e JOIN od ON e.src = od.src),",
+        "v AS (SELECT CAST(unnest(range(0, (SELECT n FROM nn))) AS BIGINT) AS id),",
+        "h0 AS (SELECT id, 0.0 AS h FROM v),",
+    ]
+    for k in range(1, HIT_HORIZON + 1):
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v.id, "
+            f"CASE WHEN v.id IN ({t}) THEN 0.0 "
+            f"ELSE 1.0 + coalesce(s.g, pr.h) END AS h "
+            f"FROM v JOIN h{k-1} pr USING (id) LEFT JOIN "
+            f"(SELECT w.src AS id, sum(w.p * ph.h) AS g "
+            f"FROM w JOIN h{k-1} ph ON w.dst = ph.id GROUP BY w.src) s "
+            f"USING (id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, round(h, 7) AS hitting FROM h{HIT_HORIZON} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
 def _sssp_sql(edges_sql: str, weighted: bool = False) -> str:
     """Unrolled min-distance relaxation from vertex 0 (reached only)."""
     if weighted:
@@ -5723,6 +5818,8 @@ def oracle_sql() -> dict[str, str]:
         "refex_features": _refex_sql(),
         "config_rewire_md5": _config_rewire_sql(),
         "temporal_reachability": _temporal_sql(),
+        "rmat_md5": _rmat_sql(),
+        "hitting_time": _hitting_sql(),
         "incremental_cc": _cc_sql(),
         "incremental_cc_stream": _cc_sql(),
         "attack_tolerance": _attack_sql(

@@ -87,6 +87,8 @@ from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.features import refex_features
 from pagerank_spark.operators.nullmodel import configuration_rewire
 from pagerank_spark.operators.temporal import temporal_reachability
+from pagerank_spark.operators.absorbing import hitting_time
+from pagerank_spark.sources.rmat import rmat_edges
 from pagerank_spark.operators.dedup import (
     contamination,
     dedup_exact,
@@ -165,6 +167,8 @@ __all__ = [
     "refex_features",
     "configuration_rewire",
     "temporal_reachability",
+    "hitting_time",
+    "rmat_edges",
     "betweenness_centrality",
     "edge_betweenness",
     "personalized_pagerank_keyed",

@@ -1,5 +1,5 @@
 """Round-5 operators: LeaderRank, ReFeX features, configuration-model
-rewiring, temporal reachability."""
+rewiring, temporal reachability, R-MAT generation, hitting time."""
 
 import math
 
@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from pagerank_spark import (
     configuration_rewire,
+    hitting_time,
     leaderrank,
     refex_features,
+    rmat_edges,
     temporal_reachability,
 )
 
@@ -190,3 +192,75 @@ def test_temporal_max_hops_prefix(spark):
     got = {r["id"]: r["arrival"] for r in
            temporal_reachability(te, sources=[0], max_hops=2).collect()}
     assert got == {0: 0, 1: 1, 2: 2}  # 3 needs a third hop
+
+
+# ---------------------------------------------------------------------------
+# R-MAT generator
+# ---------------------------------------------------------------------------
+
+def test_rmat_shape_and_bounds(spark):
+    e = rmat_edges(spark, 5000, 8, seed=1)
+    rows = e.collect()
+    assert len(rows) == 5000
+    assert all(0 <= r["src"] < 256 and 0 <= r["dst"] < 256 for r in rows)
+    assert sorted(r["eid"] for r in rows) == list(range(5000))
+
+
+def test_rmat_partition_independent(spark):
+    a = sorted(map(tuple, rmat_edges(spark, 2000, 7, seed=9,
+                                     num_partitions=1).collect()))
+    b = sorted(map(tuple, rmat_edges(spark, 2000, 7, seed=9,
+                                     num_partitions=13).collect()))
+    assert a == b
+    c = sorted(map(tuple, rmat_edges(spark, 2000, 7, seed=10).collect()))
+    assert a != c
+
+
+def test_rmat_skew(spark):
+    # a=0.57 concentrates mass in the top-left quadrant: vertex 0's
+    # expected out-degree share is (a+b)^scale >> uniform 1/2^scale
+    e = rmat_edges(spark, 20000, 8, seed=3)
+    deg = {r["src"]: r["cnt"] for r in
+           e.groupBy("src").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    top = max(deg.values())
+    assert top > 20000 / 256 * 5  # heavy skew vs uniform expectation
+    assert deg.get(0, 0) > 20000 / 256  # hub corner is above-uniform
+
+
+def test_rmat_uniform_probs(spark):
+    # a=b=c=d=0.25 degenerates to uniform-random pairs: no vertex
+    # should dominate (max degree within ~6x of uniform for 20k draws)
+    e = rmat_edges(spark, 20000, 6, a=0.25, b=0.25, c=0.25, seed=4)
+    top = (e.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.max("c")).first()[0])
+    assert top < 6 * 20000 / 64
+
+
+# ---------------------------------------------------------------------------
+# hitting time
+# ---------------------------------------------------------------------------
+
+def test_hitting_time_path(spark):
+    got = {r["id"]: r["hitting"] for r in
+           hitting_time(_edf(spark, [(0, 1), (1, 2)]),
+                        targets=[2], horizon=10).collect()}
+    assert got == {0: 2.0, 1: 1.0, 2: 0.0}
+
+
+def test_hitting_time_unreachable_is_horizon(spark):
+    # 2-cycle never reaches vertex 2: truncated value is the horizon
+    got = {r["id"]: r["hitting"] for r in
+           hitting_time(_edf(spark, [(0, 1), (1, 0)]),
+                        targets=[2], n=3, horizon=5).collect()}
+    assert got == {0: 5.0, 1: 5.0, 2: 0.0}
+
+
+def test_hitting_time_multigraph_weights(spark):
+    # P(0->1)=2/3 (parallel edges), P(0->2)=1/3; vertex 2 dangles so
+    # h_k(2)=k and h_k(0) = 1 + (1/3)h_{k-1}(2) = 1 + (k-1)/3
+    got = {r["id"]: r["hitting"] for r in
+           hitting_time(_edf(spark, [(0, 1), (0, 1), (0, 2)]),
+                        targets=[1], horizon=10).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 10.0
+    assert math.isclose(got[0], 1 + 9 / 3, rel_tol=1e-12)
