@@ -3266,6 +3266,33 @@ def q_hitting_time(spark, sf_dir):
     ).orderBy("id")
 
 
+ABSORB_B = [3, 99]
+
+
+def q_absorption(spark, sf_dir):
+    """Truncated committor P[hit the PPR seed core before the B core]
+    — the two-sided refinement of TrustRank's one-sided propagation."""
+    from pagerank_spark.operators.absorbing import absorption_probability
+
+    out = absorption_probability(
+        _edges(spark, sf_dir), targets_a=PPR_SOURCES, targets_b=ABSORB_B,
+        horizon=HIT_HORIZON,
+    )
+    return out.select("id", F.round("p_a", 7).alias("p_a")).orderBy("id")
+
+
+def q_temporal_reachability_keyed(spark, sf_dir):
+    """Per-source earliest arrival for the PPR pivot set in ONE keyed
+    relaxation run — all-integer, bit-exact cross-engine."""
+    from pagerank_spark.operators.temporal import temporal_reachability_keyed
+
+    out = temporal_reachability_keyed(
+        _tedges(spark, sf_dir), sources=PPR_SOURCES, start=0,
+        max_hops=TEMPORAL_HOPS,
+    )
+    return out.orderBy("source", "id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph operators (SURVEY.md §2.1 + §2.3)
@@ -3288,6 +3315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability": q_temporal_reachability,
         "rmat_md5": q_rmat_md5,
         "hitting_time": q_hitting_time,
+        "absorption": q_absorption,
+        "temporal_reachability_keyed": q_temporal_reachability_keyed,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -5006,6 +5035,64 @@ def _hitting_sql() -> str:
     return "\n".join(parts)
 
 
+def _absorption_sql() -> str:
+    """Unrolled truncated committor: p0 = 1 on A else 0; per level
+    p(v) = 1 on A, 0 on B, else sum_out p·prev (dangling vertices hold
+    their value)."""
+    a = ", ".join(str(int(x)) for x in PPR_SOURCES)
+    b = ", ".join(str(int(x)) for x in ABSORB_B)
+    parts = [
+        f"WITH eg AS ({_EDGES_SQL}),",
+        "nn AS (SELECT CAST(1 + max(greatest(src, dst)) AS BIGINT) AS n FROM eg),",
+        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM eg GROUP BY src),",
+        "w AS (SELECT e.src, e.dst, 1.0 / od.odeg AS p "
+        "FROM eg e JOIN od ON e.src = od.src),",
+        "v AS (SELECT CAST(unnest(range(0, (SELECT n FROM nn))) AS BIGINT) AS id),",
+        f"p0 AS (SELECT id, CASE WHEN id IN ({a}) THEN 1.0 ELSE 0.0 END AS h FROM v),",
+    ]
+    for k in range(1, HIT_HORIZON + 1):
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT v.id, "
+            f"CASE WHEN v.id IN ({a}) THEN 1.0 "
+            f"WHEN v.id IN ({b}) THEN 0.0 "
+            f"ELSE coalesce(s.g, pr.h) END AS h "
+            f"FROM v JOIN p{k-1} pr USING (id) LEFT JOIN "
+            f"(SELECT w.src AS id, sum(w.p * ph.h) AS g "
+            f"FROM w JOIN p{k-1} ph ON w.dst = ph.id GROUP BY w.src) s "
+            f"USING (id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, round(h, 7) AS p_a FROM p{HIT_HORIZON} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _temporal_keyed_sql() -> str:
+    """Keyed unrolled earliest-arrival relaxation — one chain carrying
+    every pivot source as a key column."""
+    seeds = ", ".join(str(int(s)) for s in sorted(set(PPR_SOURCES)))
+    parts = [
+        f"WITH eg AS ({_TEDGES_SQL}),",
+        f"a0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) AS id, "
+        f"CAST(0 AS BIGINT) AS arrival FROM (SELECT unnest([{seeds}]) AS s)),",
+    ]
+    for k in range(1, TEMPORAL_HOPS + 1):
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT source, id, min(arrival) AS arrival "
+            f"FROM (SELECT source, id, arrival FROM a{k-1} UNION ALL "
+            f"SELECT x.source, e.dst AS id, e.t AS arrival "
+            f"FROM eg e JOIN a{k-1} x ON e.src = x.id WHERE e.t >= x.arrival"
+            f") GROUP BY source, id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT source, id, arrival FROM a{TEMPORAL_HOPS} "
+        f"ORDER BY source, id"
+    )
+    return "\n".join(parts)
+
+
 def _sssp_sql(edges_sql: str, weighted: bool = False) -> str:
     """Unrolled min-distance relaxation from vertex 0 (reached only)."""
     if weighted:
@@ -5820,6 +5907,8 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reachability": _temporal_sql(),
         "rmat_md5": _rmat_sql(),
         "hitting_time": _hitting_sql(),
+        "absorption": _absorption_sql(),
+        "temporal_reachability_keyed": _temporal_keyed_sql(),
         "incremental_cc": _cc_sql(),
         "incremental_cc_stream": _cc_sql(),
         "attack_tolerance": _attack_sql(

@@ -150,6 +150,12 @@ EXTRA = [
     "embedding_pca",
     "zipf_fit",
     "pagerank_two_phase_bound",
+    "leaderrank",
+    "refex_features",
+    "config_rewire_md5",
+    "temporal_reachability",
+    "rmat_md5",
+    "hitting_time",
     # trussness/widest_paths are gated (sf0.01) but not benched: their
     # sf0.1 fixpoints run 15/23 rounds of fixed per-round overhead —
     # legitimate for correctness, too slow for the per-round timing sweep

@@ -86,8 +86,14 @@ from pagerank_spark.operators.summary import graph_summary
 from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.features import refex_features
 from pagerank_spark.operators.nullmodel import configuration_rewire
-from pagerank_spark.operators.temporal import temporal_reachability
-from pagerank_spark.operators.absorbing import hitting_time
+from pagerank_spark.operators.temporal import (
+    temporal_reachability,
+    temporal_reachability_keyed,
+)
+from pagerank_spark.operators.absorbing import (
+    absorption_probability,
+    hitting_time,
+)
 from pagerank_spark.sources.rmat import rmat_edges
 from pagerank_spark.operators.dedup import (
     contamination,
@@ -168,6 +174,8 @@ __all__ = [
     "configuration_rewire",
     "temporal_reachability",
     "hitting_time",
+    "absorption_probability",
+    "temporal_reachability_keyed",
     "rmat_edges",
     "betweenness_centrality",
     "edge_betweenness",

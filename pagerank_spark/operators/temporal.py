@@ -64,15 +64,20 @@ def temporal_reachability(
             .where(F.col("t") >= F.col("arrival"))
             .select(F.col("dst").alias("id"), F.col("t").alias("arrival"))
         )
+        # materialize each round: the O(reached) frame is skinny, and
+        # without it both the fixpoint probe and the next round re-derive
+        # the whole relaxation chain from scratch (lineage doubles)
         new = (
             arr.union(relax)
             .groupBy("id")
             .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
         )
         rounds += 1
         if max_hops is not None and rounds >= max_hops:
             return new
         # fixpoint check: any vertex whose arrival still improved?
+        # (both sides materialized — this probe costs one cheap job)
         changed = (
             new.join(arr.withColumnRenamed("arrival", "_old"), "id", "left")
             .where(
@@ -83,4 +88,69 @@ def temporal_reachability(
         )
         if changed == 0:
             return new
-        arr = new.localCheckpoint(eager=True) if rounds % 8 == 0 else new
+        arr = new
+
+
+def temporal_reachability_keyed(
+    tedges: DataFrame,
+    sources: list[int],
+    start: int = 0,
+    max_hops: int | None = None,
+) -> DataFrame:
+    """Per-source earliest arrival for a pivot set — the temporal twin
+    of the keyed multi-source BFS (``paths.py``): one relaxation run
+    carries EVERY source as a key column instead of one job per source.
+    The per-source reached-set sizes are the outbreak/influence
+    statistic of temporal-network analysis (Holme & Saramäki 2012 §4).
+
+    Returns ``(source, id, arrival)`` — one row per (source, reached
+    vertex). Scale shape per round: ONE join of the edge table against
+    the O(Σ reached) arrival frame on the vertex id plus a
+    min-combinable aggregate keyed (source, dst); state is the keyed
+    arrival frame, |sources| × O(reached) skinny rows.
+    """
+    spark = tedges.sparkSession
+    te = tedges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("t").cast("long"),
+    )
+    arr = spark.createDataFrame(
+        [(int(s), int(s), int(start)) for s in sorted(set(sources))],
+        "source long, id long, arrival long",
+    )
+    rounds = 0
+    while True:
+        relax = (
+            te.join(arr, te["src"] == arr["id"])
+            .where(F.col("t") >= F.col("arrival"))
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                F.col("t").alias("arrival"),
+            )
+        )
+        new = (
+            arr.union(relax)
+            .groupBy("source", "id")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        if max_hops is not None and rounds >= max_hops:
+            return new
+        changed = (
+            new.join(
+                arr.withColumnRenamed("arrival", "_old"),
+                ["source", "id"],
+                "left",
+            )
+            .where(
+                F.col("_old").isNull() | (F.col("arrival") < F.col("_old"))
+            )
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            return new
+        arr = new

@@ -264,3 +264,62 @@ def test_hitting_time_multigraph_weights(spark):
     assert got[1] == 0.0
     assert got[2] == 10.0
     assert math.isclose(got[0], 1 + 9 / 3, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# absorption probability
+# ---------------------------------------------------------------------------
+
+def test_absorption_hand_computed(spark):
+    from pagerank_spark import absorption_probability
+
+    # 1 -> 0 (A) and 1 -> 2 (B): committor of 1 is 1/2; isolated 3 -> 0
+    got = {r["id"]: r["p_a"] for r in
+           absorption_probability(_edf(spark, [(1, 0), (1, 2)]),
+                                  targets_a=[0], targets_b=[2],
+                                  n=4, horizon=10).collect()}
+    assert got == {0: 1.0, 1: 0.5, 2: 0.0, 3: 0.0}
+
+
+def test_absorption_multigraph(spark):
+    from pagerank_spark import absorption_probability
+
+    # parallel edges weight the step: P(1->0)=2/3
+    got = {r["id"]: r["p_a"] for r in
+           absorption_probability(_edf(spark, [(1, 0), (1, 0), (1, 2)]),
+                                  targets_a=[0], targets_b=[2],
+                                  horizon=10).collect()}
+    assert math.isclose(got[1], 2 / 3, rel_tol=1e-12)
+
+
+def test_absorption_gamblers_ruin(spark):
+    from pagerank_spark import absorption_probability
+
+    # symmetric walk on path 0-1-2-3-4, absorb at 0 (A) and 4 (B):
+    # exact committor is 1 - v/4; a long horizon gets within 1e-6
+    und = []
+    for u, v in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        und += [(u, v), (v, u)]
+    got = {r["id"]: r["p_a"] for r in
+           absorption_probability(_edf(spark, und), targets_a=[0],
+                                  targets_b=[4], horizon=60).collect()}
+    for v in range(5):
+        assert math.isclose(got[v], 1 - v / 4, abs_tol=1e-6), (v, got[v])
+
+
+# ---------------------------------------------------------------------------
+# keyed temporal reachability
+# ---------------------------------------------------------------------------
+
+def test_temporal_keyed_matches_single_runs(spark):
+    from pagerank_spark import temporal_reachability_keyed
+
+    rows = [(0, 1, 5), (1, 3, 7), (0, 2, 2), (2, 3, 4), (3, 4, 9),
+            (7, 2, 1), (7, 0, 3), (4, 7, 1)]
+    te = _tdf(spark, rows)
+    keyed = temporal_reachability_keyed(te, sources=[0, 7])
+    got = {(r["source"], r["id"]): r["arrival"] for r in keyed.collect()}
+    for s in (0, 7):
+        solo = {r["id"]: r["arrival"] for r in
+                temporal_reachability(te, sources=[s]).collect()}
+        assert {v: a for (src, v), a in got.items() if src == s} == solo
