@@ -3293,6 +3293,26 @@ def q_temporal_reachability_keyed(spark, sf_dir):
     return out.orderBy("source", "id")
 
 
+SNAPSHOT_BOUNDS = [0, 32, 64]
+
+
+def q_snapshot_pagerank(spark, sf_dir):
+    """Per-time-window PageRank snapshots (two windows over the 0..63
+    timestamp range) — each window an independent fixed-10 leak-mode
+    run, value-checked vs two prefixed unrolled CTE chains."""
+    from pagerank_spark.operators.temporal import snapshot_pagerank
+
+    out = snapshot_pagerank(
+        _tedges(spark, sf_dir), SNAPSHOT_BOUNDS,
+        dangling="leak", eps=0.0, max_iter=PR_FIXED_ITERS,
+    )
+    return out.select(
+        F.col("window").alias("win"),
+        "id",
+        F.round("rank", 7).alias("rank"),
+    ).orderBy("win", "id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph operators (SURVEY.md §2.1 + §2.3)
@@ -3317,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hitting_time": q_hitting_time,
         "absorption": q_absorption,
         "temporal_reachability_keyed": q_temporal_reachability_keyed,
+        "snapshot_pagerank": q_snapshot_pagerank,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -5068,6 +5089,29 @@ def _absorption_sql() -> str:
     return "\n".join(parts)
 
 
+def _snapshot_pr_sql() -> str:
+    """Two prefixed bare unrolled-PR CTE chains (one per time window)
+    UNION ALL'd — the `prefix`/`bare` machinery _pr_cte_sql already has
+    for embedding multiple chains in one statement."""
+    k = PR_FIXED_ITERS
+    bodies, sels = [], []
+    for i in range(len(SNAPSHOT_BOUNDS) - 1):
+        lo, hi = SNAPSHOT_BOUNDS[i], SNAPSHOT_BOUNDS[i + 1]
+        esql = (
+            f"SELECT src, dst FROM ({_TEDGES_SQL}) tt "
+            f"WHERE t >= {lo} AND t < {hi}"
+        )
+        bodies.append(_pr_cte_sql(esql, k, prefix=f"sw{i}", bare=True))
+        sels.append(
+            f"SELECT {i} AS win, id, round(rank, 7) AS rank "
+            f"FROM sw{i}r{k}"
+        )
+    return (
+        "WITH " + ",\n".join(bodies) + "\n"
+        + "\nUNION ALL ".join(sels) + " ORDER BY win, id"
+    )
+
+
 def _temporal_keyed_sql() -> str:
     """Keyed unrolled earliest-arrival relaxation — one chain carrying
     every pivot source as a key column."""
@@ -5909,6 +5953,7 @@ def oracle_sql() -> dict[str, str]:
         "hitting_time": _hitting_sql(),
         "absorption": _absorption_sql(),
         "temporal_reachability_keyed": _temporal_keyed_sql(),
+        "snapshot_pagerank": _snapshot_pr_sql(),
         "incremental_cc": _cc_sql(),
         "incremental_cc_stream": _cc_sql(),
         "attack_tolerance": _attack_sql(

@@ -87,6 +87,7 @@ from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.features import refex_features
 from pagerank_spark.operators.nullmodel import configuration_rewire
 from pagerank_spark.operators.temporal import (
+    snapshot_pagerank,
     temporal_reachability,
     temporal_reachability_keyed,
 )
@@ -176,6 +177,7 @@ __all__ = [
     "hitting_time",
     "absorption_probability",
     "temporal_reachability_keyed",
+    "snapshot_pagerank",
     "rmat_edges",
     "betweenness_centrality",
     "edge_betweenness",

@@ -91,6 +91,52 @@ def temporal_reachability(
         arr = new
 
 
+def snapshot_pagerank(
+    tedges: DataFrame,
+    boundaries: list[int],
+    **pagerank_kwargs,
+) -> DataFrame:
+    """Per-time-window PageRank over timestamped edges — the snapshot
+    view of temporal link analysis (Holme & Saramäki 2012 §3: a
+    temporal graph as a sequence of static snapshots). Window ``i``
+    covers ``[boundaries[i], boundaries[i+1])``; each snapshot is one
+    independent :func:`~pagerank_spark.operators.pagerank.pagerank`
+    run over the window's edge slice (every mode/dangling/salting knob
+    forwards), so rank drift across windows exposes rising/falling
+    pages the all-time rank averages away.
+
+    Returns ``(window, id, rank)``. Each window's vertex space is the
+    window's own [0, 1 + max id] — snapshots are self-contained, like
+    running the engine on that day's crawl alone.
+
+    Scale shape: the window filter is a pushed-down predicate on the
+    (partition-prunable, if t-partitioned) edge scan; windows run as
+    separate bounded jobs, trivially schedulable in parallel across a
+    cluster. No cross-window state.
+    """
+    if len(boundaries) < 2 or sorted(boundaries) != list(boundaries):
+        raise ValueError("snapshot_pagerank: need >= 2 sorted boundaries")
+    from pagerank_spark.operators.pagerank import pagerank
+
+    te = tedges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("t").cast("long"),
+    )
+    out = None
+    for i in range(len(boundaries) - 1):
+        lo, hi = int(boundaries[i]), int(boundaries[i + 1])
+        e = te.where((F.col("t") >= lo) & (F.col("t") < hi)).select(
+            "src", "dst"
+        )
+        res = pagerank(e, **pagerank_kwargs)
+        w = res.ranks.select(
+            F.lit(i).alias("window"), "id", "rank"
+        )
+        out = w if out is None else out.unionByName(w)
+    return out
+
+
 def temporal_reachability_keyed(
     tedges: DataFrame,
     sources: list[int],

@@ -323,3 +323,35 @@ def test_temporal_keyed_matches_single_runs(spark):
         solo = {r["id"]: r["arrival"] for r in
                 temporal_reachability(te, sources=[s]).collect()}
         assert {v: a for (src, v), a in got.items() if src == s} == solo
+
+
+# ---------------------------------------------------------------------------
+# snapshot (windowed) PageRank
+# ---------------------------------------------------------------------------
+
+def test_snapshot_pagerank_matches_solo_runs(spark):
+    from pagerank_spark import snapshot_pagerank
+    from pagerank_spark.operators.pagerank import pagerank
+
+    rows = [(0, 1, 3), (1, 2, 7), (2, 0, 9), (0, 2, 15), (2, 1, 18),
+            (1, 0, 4)]
+    te = _tdf(spark, rows)
+    out = snapshot_pagerank(te, [0, 10, 20], dangling="leak",
+                            eps=0.0, max_iter=5)
+    got = {(r["window"], r["id"]): r["rank"] for r in out.collect()}
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20)]):
+        e = _edf(spark, [(s, d) for s, d, t in rows if lo <= t < hi])
+        solo = {r["id"]: r["rank"] for r in
+                pagerank(e, dangling="leak", eps=0.0,
+                         max_iter=5).ranks.collect()}
+        assert {v: x for (w, v), x in got.items() if w == i} == solo
+
+
+def test_snapshot_pagerank_rejects_bad_boundaries(spark):
+    from pagerank_spark import snapshot_pagerank
+    import pytest
+
+    with pytest.raises(ValueError):
+        snapshot_pagerank(_tdf(spark, [(0, 1, 1)]), [5])
+    with pytest.raises(ValueError):
+        snapshot_pagerank(_tdf(spark, [(0, 1, 1)]), [10, 0])
