@@ -3293,6 +3293,40 @@ def q_temporal_reachability_keyed(spark, sf_dir):
     return out.orderBy("source", "id")
 
 
+def q_ppr_push_bound(spark, sf_dir):
+    """ACL forward-push PPR with its self-certifying error bound: the
+    push invariant gives max|ppr − p| ≤ 1 − Σp over ALL vertices, both
+    sides computed in-engine (push estimates vs the tightly-converged
+    exact personalized run); the oracle pins the certificate TRUE —
+    the `pagerank_two_phase_bound` verification pattern."""
+    from pagerank_spark.operators.push import ppr_push
+    from pagerank_spark.operators.pagerank import pagerank
+
+    e = _edges(spark, sf_dir)
+    res = ppr_push(e, seed=PPR_SOURCES[0], alpha=0.15, eps_push=1e-7)
+    sp = res.estimates.agg(F.sum("p").alias("sp")).first()["sp"]
+    bound = 1.0 - float(sp)
+    exact = pagerank(
+        e, dangling="redistribute", personalize=[PPR_SOURCES[0]],
+        eps=1e-12, max_iter=300,
+    ).ranks
+    mx = (
+        exact.join(res.estimates.select("id", "p"), "id", "left")
+        .select(
+            F.abs(
+                F.col("rank") - F.coalesce(F.col("p"), F.lit(0.0))
+            ).alias("diff")
+        )
+        .agg(F.max("diff"))
+        .first()[0]
+    )
+    nn = exact.count()
+    return spark.createDataFrame(
+        [(nn, bool(mx <= bound + 1e-9), bool(res.converged))],
+        "n_vertices long, within_bound boolean, push_converged boolean",
+    )
+
+
 SNAPSHOT_BOUNDS = [0, 32, 64]
 
 
@@ -3338,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absorption": q_absorption,
         "temporal_reachability_keyed": q_temporal_reachability_keyed,
         "snapshot_pagerank": q_snapshot_pagerank,
+        "ppr_push_bound": q_ppr_push_bound,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -5897,6 +5932,12 @@ def oracle_sql() -> dict[str, str]:
             f"FROM m JOIN od ON m.src = od.src ORDER BY m.src, m.dst"
         ),
         "pagerank_fixed10": _pagerank_fixed_sql(),
+        "ppr_push_bound": (
+            f"WITH eg AS ({_EDGES_SQL}), "
+            "nn AS (SELECT 1 + max(greatest(src, dst)) AS n FROM eg) "
+            "SELECT CAST(n AS BIGINT) AS n_vertices, "
+            "TRUE AS within_bound, TRUE AS push_converged FROM nn"
+        ),
         "pagerank_two_phase_bound": (
             f"WITH eg AS ({_EDGES_SQL}), "
             "nn AS (SELECT 1 + max(greatest(src, dst)) AS n FROM eg) "

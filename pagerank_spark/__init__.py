@@ -95,6 +95,7 @@ from pagerank_spark.operators.absorbing import (
     absorption_probability,
     hitting_time,
 )
+from pagerank_spark.operators.push import ppr_push
 from pagerank_spark.sources.rmat import rmat_edges
 from pagerank_spark.operators.dedup import (
     contamination,
@@ -178,6 +179,7 @@ __all__ = [
     "absorption_probability",
     "temporal_reachability_keyed",
     "snapshot_pagerank",
+    "ppr_push",
     "rmat_edges",
     "betweenness_centrality",
     "edge_betweenness",

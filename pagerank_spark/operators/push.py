@@ -1,0 +1,137 @@
+"""Local personalized PageRank via batched forward push.
+
+Andersen, Chung & Lang, "Local Graph Partitioning using PageRank
+Vectors" (FOCS 2006): maintain an estimate p and a residual r with the
+invariant
+
+    ppr_seed = p + Σ_v r(v) · ppr_v        (exact, every step)
+
+and repeatedly PUSH any vertex whose residual exceeds its threshold:
+p(v) += α·r(v), each out-neighbor's residual gains (1-α)·r(v)/d(v),
+r(v) drops to 0. Work is proportional to the residual mass moved —
+O(1/(α·ε)) pushes total, INDEPENDENT OF GRAPH SIZE — which is why
+push is the web-scale algorithm for single-source PPR: a query about
+one page touches only that page's neighborhood, never the 10^9-vertex
+rank vector. This implementation batches the push (all over-threshold
+vertices push simultaneously per round — the Jacobi form of ACL's
+Gauss-Seidel loop; the invariant is preserved verbatim) so each round
+is one bounded join + one combinable aggregate.
+
+Error certificate, computable in-engine with no oracle: pushing moves
+α·r(v) into Σp and removes exactly α·r(v) from Σr, so Σp + Σr = 1
+always; since 0 ≤ ppr_v(t) ≤ 1, the invariant gives, for every t,
+
+    |ppr_seed(t) − p(t)| ≤ Σ_v r(v) = 1 − Σ_v p(v).
+
+Dangling vertices route their pushed (1-α)·r mass back to the seed —
+the same convention the engine's exact personalized PageRank
+(``dangling="redistribute"``, ``personalize=[seed]``) uses, so the two
+agree in the limit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PushResult:
+    estimates: DataFrame  # (id, p, r) — only TOUCHED vertices
+    rounds: int
+    converged: bool
+
+
+def ppr_push(
+    edges: DataFrame,
+    seed: int,
+    alpha: float = 0.15,
+    eps_push: float = 1e-6,
+    max_rounds: int = 200,
+    checkpoint_every: int = 1,
+) -> PushResult:
+    """Single-seed PPR estimates by batched forward push.
+
+    ``alpha`` is the restart probability (= 1 − damping; 0.15 matches
+    the engine's d = 0.85 exact PPR). A vertex pushes while
+    ``r(v) > eps_push · out_deg(v)`` (dangling: ``r(v) > eps_push``).
+    Returns only the TOUCHED frontier — vertices never reached keep
+    the implicit (p, r) = (0, 0); ``sum(p)`` certifies the global
+    max-error bound ``1 − sum(p)`` over ALL vertices, reached or not.
+
+    Scale shape per round: the state frame holds O(touched) skinny
+    rows; one join of the pushing subset against the out-edge table on
+    ``src`` + one sum-combinable aggregate on the receiver id. Work
+    tracks residual mass (O(1/(α·ε)) pushes), not graph size — the
+    locality property is pytest-pinned (an untouched component never
+    enters the state).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("ppr_push: alpha must be in (0, 1)")
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    w = e.join(od, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("_od")).alias("share")
+    )
+    spark = edges.sparkSession
+    st = spark.createDataFrame(
+        [(int(seed), 0.0, 1.0)], "id long, p double, r double"
+    )
+    converged = False
+    rounds = 0
+    for k in range(max_rounds):
+        st = st.join(od.withColumnRenamed("src", "id"), "id", "left")
+        st = st.select(
+            "id", "p", "r",
+            F.coalesce("_od", F.lit(0)).alias("deg"),
+        )
+        active = F.col("r") > F.when(
+            F.col("deg") > 0, F.lit(eps_push) * F.col("deg")
+        ).otherwise(F.lit(eps_push))
+        st = st.withColumn("act", active)
+        if st.where("act").limit(1).count() == 0:
+            converged = True
+            st = st.drop("deg", "act")
+            break
+        rounds += 1
+        pushing = st.where("act").select("id", "r", "deg")
+        inc = (
+            pushing.where(F.col("deg") > 0)
+            .join(w, pushing["id"] == w["src"])
+            .select(
+                F.col("dst").alias("id"),
+                ((1.0 - alpha) * F.col("r") * F.col("share")).alias("dr"),
+            )
+        )
+        dang = pushing.where(F.col("deg") == 0).select(
+            F.lit(int(seed)).cast("long").alias("id"),
+            ((1.0 - alpha) * F.col("r")).alias("dr"),
+        )
+        kept = st.select(
+            "id",
+            (F.col("p") + F.when(F.col("act"), alpha * F.col("r"))
+             .otherwise(F.lit(0.0))).alias("p"),
+            F.when(F.col("act"), F.lit(0.0)).otherwise(F.col("r")).alias("r"),
+        )
+        nxt = (
+            kept.unionByName(
+                inc.unionByName(dang).select(
+                    "id", F.lit(0.0).alias("p"), F.col("dr").alias("r")
+                )
+            )
+            .groupBy("id")
+            .agg(F.sum("p").alias("p"), F.sum("r").alias("r"))
+        )
+        st = (
+            nxt.localCheckpoint(eager=True)
+            if (k + 1) % checkpoint_every == 0
+            else nxt
+        )
+    else:
+        st = st.drop("deg", "act")
+    return PushResult(estimates=st, rounds=rounds, converged=converged)

@@ -355,3 +355,55 @@ def test_snapshot_pagerank_rejects_bad_boundaries(spark):
         snapshot_pagerank(_tdf(spark, [(0, 1, 1)]), [5])
     with pytest.raises(ValueError):
         snapshot_pagerank(_tdf(spark, [(0, 1, 1)]), [10, 0])
+
+
+# ---------------------------------------------------------------------------
+# forward-push local PPR
+# ---------------------------------------------------------------------------
+
+def test_ppr_push_invariant_and_bound(spark):
+    from pagerank_spark.operators.push import ppr_push
+    from pagerank_spark.operators.pagerank import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3), (3, 4),
+             (4, 1)]
+    e = _edf(spark, edges)
+    res = ppr_push(e, seed=0, alpha=0.15, eps_push=1e-5)
+    assert res.converged
+    tot = res.estimates.agg(F.sum("p") + F.sum("r")).first()[0]
+    assert math.isclose(tot, 1.0, rel_tol=1e-9)  # sum p + sum r == 1
+    sp = res.estimates.agg(F.sum("p")).first()[0]
+    bound = 1.0 - sp
+    exact = pagerank(e, dangling="redistribute", personalize=[0],
+                     eps=1e-14, max_iter=500).ranks
+    got = {r["id"]: r["p"] for r in res.estimates.collect()}
+    for r in exact.collect():
+        assert abs(r["rank"] - got.get(r["id"], 0.0)) <= bound + 1e-12
+
+
+def test_ppr_push_locality(spark):
+    from pagerank_spark.operators.push import ppr_push
+
+    # two disconnected components; push from component A must NEVER
+    # materialize a component-B vertex — the bounded-work property
+    comp_a = [(0, 1), (1, 0)]
+    comp_b = [(10, 11), (11, 12), (12, 10)]
+    res = ppr_push(_edf(spark, comp_a + comp_b), seed=0, eps_push=1e-6)
+    touched = {r["id"] for r in res.estimates.collect()}
+    assert touched == {0, 1}
+
+
+def test_ppr_push_dangling_routes_to_seed(spark):
+    from pagerank_spark.operators.push import ppr_push
+    from pagerank_spark.operators.pagerank import pagerank
+
+    # vertex 1 dangles: its pushed mass returns to the seed, matching
+    # exact personalized redistribute semantics
+    e = _edf(spark, [(0, 1)])
+    res = ppr_push(e, seed=0, eps_push=1e-7)
+    exact = {r["id"]: r["rank"] for r in
+             pagerank(e, dangling="redistribute", personalize=[0],
+                      eps=1e-14, max_iter=1000).ranks.collect()}
+    got = {r["id"]: r["p"] for r in res.estimates.collect()}
+    for v, rank in exact.items():
+        assert math.isclose(got[v], rank, abs_tol=1e-6), (v, rank, got)
