@@ -3327,6 +3327,42 @@ def q_ppr_push_bound(spark, sf_dir):
     )
 
 
+def q_ppr_contrib_bound(spark, sf_dir):
+    """Reverse-push PageRank contributions with the per-source uniform
+    certificate |ppr_v(target) − p(v)| ≤ eps_push, spot-checked
+    in-engine against exact leak-mode personalized runs for the top-3
+    estimated contributors plus one untouched source; oracle pins the
+    certificate TRUE."""
+    from pagerank_spark.operators.push import ppr_contributions
+    from pagerank_spark.operators.pagerank import pagerank
+
+    e = _edges(spark, sf_dir)
+    eps = 1e-4
+    res = ppr_contributions(
+        e, target=PPR_SOURCES[1], alpha=0.15, eps_push=eps
+    )
+    est = {r["id"]: r["p"] for r in res.estimates.collect()}
+    ranked = sorted(est, key=lambda v: -est[v])
+    probes = ranked[:3] + ranked[-1:]  # top contributors + weakest
+    ok = True
+    for v in probes:
+        exact = pagerank(
+            e, dangling="leak", personalize=[int(v)],
+            eps=1e-12, max_iter=300,
+        ).ranks
+        pv = (
+            exact.where(F.col("id") == PPR_SOURCES[1])
+            .select("rank").first()
+        )
+        pv = float(pv["rank"]) if pv else 0.0
+        if abs(pv - est.get(v, 0.0)) > eps + 1e-9:
+            ok = False
+    return spark.createDataFrame(
+        [(len(est), ok, bool(res.converged))],
+        "n_touched long, within_bound boolean, push_converged boolean",
+    )
+
+
 SNAPSHOT_BOUNDS = [0, 32, 64]
 
 
@@ -3373,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability_keyed": q_temporal_reachability_keyed,
         "snapshot_pagerank": q_snapshot_pagerank,
         "ppr_push_bound": q_ppr_push_bound,
+        "ppr_contrib_bound": q_ppr_contrib_bound,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -5936,6 +5973,14 @@ def oracle_sql() -> dict[str, str]:
             f"WITH eg AS ({_EDGES_SQL}), "
             "nn AS (SELECT 1 + max(greatest(src, dst)) AS n FROM eg) "
             "SELECT CAST(n AS BIGINT) AS n_vertices, "
+            "TRUE AS within_bound, TRUE AS push_converged FROM nn"
+        ),
+        "ppr_contrib_bound": (
+            # dense canonical graph: reverse push from any vertex
+            # touches every source, so n_touched == n
+            f"WITH eg AS ({_EDGES_SQL}), "
+            "nn AS (SELECT 1 + max(greatest(src, dst)) AS n FROM eg) "
+            "SELECT CAST(n AS BIGINT) AS n_touched, "
             "TRUE AS within_bound, TRUE AS push_converged FROM nn"
         ),
         "pagerank_two_phase_bound": (

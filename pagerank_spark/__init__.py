@@ -95,7 +95,7 @@ from pagerank_spark.operators.absorbing import (
     absorption_probability,
     hitting_time,
 )
-from pagerank_spark.operators.push import ppr_push
+from pagerank_spark.operators.push import ppr_contributions, ppr_push
 from pagerank_spark.sources.rmat import rmat_edges
 from pagerank_spark.operators.dedup import (
     contamination,
@@ -180,6 +180,7 @@ __all__ = [
     "temporal_reachability_keyed",
     "snapshot_pagerank",
     "ppr_push",
+    "ppr_contributions",
     "rmat_edges",
     "betweenness_centrality",
     "edge_betweenness",

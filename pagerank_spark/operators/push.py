@@ -135,3 +135,97 @@ def ppr_push(
     else:
         st = st.drop("deg", "act")
     return PushResult(estimates=st, rounds=rounds, converged=converged)
+
+
+def ppr_contributions(
+    edges: DataFrame,
+    target: int,
+    alpha: float = 0.15,
+    eps_push: float = 1e-6,
+    max_rounds: int = 200,
+    checkpoint_every: int = 1,
+) -> PushResult:
+    """PageRank contributions to one target by batched REVERSE push.
+
+    Andersen, Borgs, Chayes, Hopcroft, Mirrokni & Teng, "Local
+    Computation of PageRank Contributions" (WAW 2007): estimate
+    ``ppr_v(target)`` for EVERY source v — "who sends rank to this
+    page" — by pushing along IN-edges. The estimate/residual pair
+    satisfies, per vertex v,
+
+        ppr_v(target) = p(v) + Σ_u r(u) · [u-step reachability term]
+
+    and pushing v moves α·r(v) into p(v) and spreads
+    (1−α)·r(v)/d_out(u) onto each IN-neighbor u (the share uses the
+    NEIGHBOR's out-degree — the transpose of forward push). At
+    termination every residual is ≤ eps_push, so the per-vertex
+    additive error is ≤ eps_push — a uniform certificate, unlike
+    forward push's aggregate one. The backlink-influence query behind
+    spam forensics: run it on the suspect page and read off which
+    sources prop it up, touching only the page's in-neighborhood.
+
+    Dangling sources leak in this convention — a walk from a dangling
+    v ends after its teleport step, so ppr_v(t) = α·[v = t] — which is
+    exactly ``pagerank(dangling="leak", personalize=[v])``; the
+    accuracy pytest pins that equivalence per source.
+
+    Returns ``(id, p, r)`` for TOUCHED sources only (untouched v have
+    ppr_v(target) < eps_push within the certificate).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("ppr_contributions: alpha must be in (0, 1)")
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    # reverse-push edge frame: receiver = src side, share = 1/d_out(src)
+    w = e.join(od, "src").select(
+        F.col("dst").alias("from_v"),
+        F.col("src").alias("to_u"),
+        (F.lit(1.0) / F.col("_od")).alias("share"),
+    )
+    spark = edges.sparkSession
+    st = spark.createDataFrame(
+        [(int(target), 0.0, 1.0)], "id long, p double, r double"
+    )
+    converged = False
+    rounds = 0
+    for k in range(max_rounds):
+        active = F.col("r") > F.lit(eps_push)
+        st = st.withColumn("act", active)
+        if st.where("act").limit(1).count() == 0:
+            converged = True
+            st = st.drop("act")
+            break
+        rounds += 1
+        pushing = st.where("act").select("id", "r")
+        inc = (
+            pushing.join(w, pushing["id"] == w["from_v"])
+            .select(
+                F.col("to_u").alias("id"),
+                ((1.0 - alpha) * F.col("r") * F.col("share")).alias("dr"),
+            )
+        )
+        kept = st.select(
+            "id",
+            (F.col("p") + F.when(F.col("act"), alpha * F.col("r"))
+             .otherwise(F.lit(0.0))).alias("p"),
+            F.when(F.col("act"), F.lit(0.0)).otherwise(F.col("r")).alias("r"),
+        )
+        nxt = (
+            kept.unionByName(
+                inc.select("id", F.lit(0.0).alias("p"),
+                           F.col("dr").alias("r"))
+            )
+            .groupBy("id")
+            .agg(F.sum("p").alias("p"), F.sum("r").alias("r"))
+        )
+        st = (
+            nxt.localCheckpoint(eager=True)
+            if (k + 1) % checkpoint_every == 0
+            else nxt
+        )
+    else:
+        st = st.drop("act")
+    return PushResult(estimates=st, rounds=rounds, converged=converged)

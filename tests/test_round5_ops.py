@@ -407,3 +407,34 @@ def test_ppr_push_dangling_routes_to_seed(spark):
     got = {r["id"]: r["p"] for r in res.estimates.collect()}
     for v, rank in exact.items():
         assert math.isclose(got[v], rank, abs_tol=1e-6), (v, rank, got)
+
+
+def test_ppr_contributions_matches_exact_per_source(spark):
+    from pagerank_spark.operators.push import ppr_contributions
+    from pagerank_spark.operators.pagerank import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3), (3, 4),
+             (4, 1)]
+    e = _edf(spark, edges)
+    eps = 1e-4
+    res = ppr_contributions(e, target=3, alpha=0.15, eps_push=eps)
+    assert res.converged
+    got = {r["id"]: r["p"] for r in res.estimates.collect()}
+    # per-source uniform certificate: |ppr_v(3) - p(v)| <= eps
+    for v in range(5):
+        exact = pagerank(e, dangling="leak", personalize=[v],
+                         eps=1e-14, max_iter=500).ranks
+        pv3 = {r["id"]: r["rank"] for r in exact.collect()}.get(3, 0.0)
+        assert abs(pv3 - got.get(v, 0.0)) <= eps + 1e-12, (v, pv3, got)
+
+
+def test_ppr_contributions_locality(spark):
+    from pagerank_spark.operators.push import ppr_contributions
+
+    # target in component A: component-B sources never materialize
+    comp_a = [(0, 1), (1, 0)]
+    comp_b = [(10, 11), (11, 10)]
+    res = ppr_contributions(_edf(spark, comp_a + comp_b), target=1,
+                            eps_push=1e-5)
+    touched = {r["id"] for r in res.estimates.collect()}
+    assert touched == {0, 1}
