@@ -3363,6 +3363,44 @@ def q_ppr_contrib_bound(spark, sf_dir):
     )
 
 
+def q_local_community_check(spark, sf_dir):
+    """ACL sweep-cut local community around the first PPR seed,
+    self-validated in-engine: the sweep's φ must equal the INDEPENDENT
+    `conductance` operator's value for the returned member set
+    (two implementations of the same definition cross-checked), the
+    seed must be a member, and φ ∈ [0, 1]; oracle pins all three."""
+    from pagerank_spark.operators.push import local_community
+    from pagerank_spark.operators.labelprop import conductance
+
+    e = _edges(spark, sf_dir)
+    comm = local_community(e, seed=PPR_SOURCES[0], eps_push=1e-5)
+    rows = comm.collect()
+    members = {r["id"] for r in rows}
+    phi_sweep = float(rows[0]["conductance"]) if rows else float("nan")
+    labels = spark.createDataFrame(
+        [(int(i), 1 if i in members else 0) for i in range(N_MOD)],
+        "id long, label int",
+    )
+    ref = {
+        r["label"]: r["conductance"]
+        for r in conductance(e, labels).collect()
+    }
+    phi_ref = ref.get(1)
+    agree = (
+        phi_ref is not None
+        and abs(phi_sweep - float(phi_ref)) < 1e-12
+    )
+    return spark.createDataFrame(
+        [(
+            bool(PPR_SOURCES[0] in members),
+            bool(agree),
+            bool(0.0 <= phi_sweep <= 1.0),
+        )],
+        "seed_in_community boolean, phi_matches_conductance boolean, "
+        "phi_in_range boolean",
+    )
+
+
 SNAPSHOT_BOUNDS = [0, 32, 64]
 
 
@@ -3410,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_pagerank": q_snapshot_pagerank,
         "ppr_push_bound": q_ppr_push_bound,
         "ppr_contrib_bound": q_ppr_contrib_bound,
+        "local_community_check": q_local_community_check,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -5982,6 +6021,10 @@ def oracle_sql() -> dict[str, str]:
             "nn AS (SELECT 1 + max(greatest(src, dst)) AS n FROM eg) "
             "SELECT CAST(n AS BIGINT) AS n_touched, "
             "TRUE AS within_bound, TRUE AS push_converged FROM nn"
+        ),
+        "local_community_check": (
+            "SELECT TRUE AS seed_in_community, "
+            "TRUE AS phi_matches_conductance, TRUE AS phi_in_range"
         ),
         "pagerank_two_phase_bound": (
             f"WITH eg AS ({_EDGES_SQL}), "

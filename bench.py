@@ -156,6 +156,13 @@ EXTRA = [
     "temporal_reachability",
     "rmat_md5",
     "hitting_time",
+    "absorption",
+    "temporal_reachability_keyed",
+    "snapshot_pagerank",
+    # ppr_push_bound / ppr_contrib_bound are gated (sf0.01) but not
+    # benched: each runs 1-4 exact eps=1e-12 personalized PageRank
+    # convergence loops as its comparison baseline — legitimate for the
+    # certificate check, not a representative operator timing
     # trussness/widest_paths are gated (sf0.01) but not benched: their
     # sf0.1 fixpoints run 15/23 rounds of fixed per-round overhead —
     # legitimate for correctness, too slow for the per-round timing sweep

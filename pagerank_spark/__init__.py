@@ -95,7 +95,11 @@ from pagerank_spark.operators.absorbing import (
     absorption_probability,
     hitting_time,
 )
-from pagerank_spark.operators.push import ppr_contributions, ppr_push
+from pagerank_spark.operators.push import (
+    local_community,
+    ppr_contributions,
+    ppr_push,
+)
 from pagerank_spark.sources.rmat import rmat_edges
 from pagerank_spark.operators.dedup import (
     contamination,
@@ -181,6 +185,7 @@ __all__ = [
     "snapshot_pagerank",
     "ppr_push",
     "ppr_contributions",
+    "local_community",
     "rmat_edges",
     "betweenness_centrality",
     "edge_betweenness",

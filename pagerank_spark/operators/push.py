@@ -229,3 +229,137 @@ def ppr_contributions(
     else:
         st = st.drop("act")
     return PushResult(estimates=st, rounds=rounds, converged=converged)
+
+
+def local_community(
+    edges: DataFrame,
+    seed: int,
+    alpha: float = 0.15,
+    eps_push: float = 1e-5,
+    max_candidates: int = 10_000,
+    **push_kwargs,
+) -> DataFrame:
+    """ACL local community detection: push + sweep cut.
+
+    The point of forward push in Andersen-Chung-Lang (FOCS 2006) is
+    LOCAL PARTITIONING: order the touched vertices by the
+    degree-normalized PPR score p(v)/deg(v) and take the
+    prefix with the best conductance — a community around the seed
+    whose quality is provably tied to the PPR vector, found without
+    ever looking at the rest of the graph. Push scores come from the
+    directed walk; degrees/volume/cut use the SIMPLE UNDIRECTED
+    projection — the same convention as
+    :func:`~pagerank_spark.operators.labelprop.conductance`, so the
+    sweep's φ is directly comparable (the gate cross-checks the two
+    implementations against each other).
+
+    Returns the best prefix as ``(id, sweep_rank, conductance)`` —
+    ``conductance`` is the same value on every row (the winning
+    prefix's φ); ``sweep_rank`` is the vertex's 1-based position in
+    the sweep order (p/deg DESC, id ASC for determinism).
+
+    Scale shape: the push state is O(touched); the sweep runs on at
+    most ``max_candidates`` rows (top by normalized score via a top-k
+    heap, never a global sort) — the candidate-internal edge join is
+    bounded by the candidate set, and the prefix folds are windows
+    over ≤ max_candidates rows, a documented driver-bounded frame
+    (the same single-small-frame concession the rich-club suffix sums
+    make).
+    """
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.triangles import (
+        _simple_degrees,
+        _simple_undirected,
+    )
+
+    res = ppr_push(
+        edges, seed=seed, alpha=alpha, eps_push=eps_push, **push_kwargs
+    )
+    simple = _simple_undirected(edges).localCheckpoint(eager=True)
+    deg = _simple_degrees(simple)
+    two_m_row = simple.count() * 2
+    cand = (
+        res.estimates.where(F.col("p") > 0)
+        .join(deg, "id")
+        .select(
+            "id", "deg", (F.col("p") / F.col("deg")).alias("score")
+        )
+        .orderBy(F.desc("score"), "id")
+        .limit(max_candidates)
+    )
+    wsort = Window.orderBy(F.desc("score"), "id")
+    ranked = cand.select(
+        "id", "deg", F.row_number().over(wsort).alias("sweep_rank")
+    ).localCheckpoint(eager=True)
+    # an undirected pair becomes internal at prefix k = max(rank_a,
+    # rank_b) — one row per simple edge with both endpoints candidate
+    ra = ranked.select(
+        F.col("id").alias("_u"), F.col("sweep_rank").alias("_ru")
+    )
+    rb = ranked.select(
+        F.col("id").alias("_v"), F.col("sweep_rank").alias("_rv")
+    )
+    internal_at = (
+        simple.join(ra, simple["a"] == F.col("_u"))
+        .join(rb, simple["b"] == F.col("_v"))
+        .select(F.greatest("_ru", "_rv").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("new_internal"))
+    )
+    wcum = Window.orderBy("sweep_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = (
+        ranked.join(
+            internal_at, ranked["sweep_rank"] == internal_at["k"], "left"
+        )
+        .select(
+            "id",
+            "sweep_rank",
+            "deg",
+            F.coalesce("new_internal", F.lit(0)).alias("ni"),
+        )
+        .select(
+            "id",
+            "sweep_rank",
+            F.sum("deg").over(wcum).alias("vol"),
+            # cut(prefix) = vol(prefix) - 2 * internal(prefix): every
+            # member's simple degree minus twice the in-prefix pairs
+            (F.sum("deg").over(wcum) - 2 * F.sum("ni").over(wcum)).alias(
+                "cut"
+            ),
+        )
+        .select(
+            "id",
+            "sweep_rank",
+            # try_divide: the prefix covering the whole volume has
+            # min(vol, 2m - vol) = 0 -> NULL (ANSI-safe), filtered below
+            F.try_divide(
+                F.col("cut").cast("double"),
+                F.least(
+                    F.col("vol"), F.lit(two_m_row) - F.col("vol")
+                ).cast("double"),
+            ).alias("phi"),
+        )
+    )
+    # the winning prefix: smallest phi (ties -> smallest prefix);
+    # exclude the degenerate full-volume prefix (phi undefined/0-div)
+    best = (
+        sweep.where(F.col("phi").isNotNull() & ~F.isnan("phi"))
+        .orderBy("phi", "sweep_rank")
+        .limit(1)
+        .select(
+            F.col("sweep_rank").alias("_best_k"),
+            F.col("phi").alias("_best_phi"),
+        )
+    )
+    return (
+        sweep.crossJoin(F.broadcast(best))
+        .where(F.col("sweep_rank") <= F.col("_best_k"))
+        .select(
+            "id",
+            "sweep_rank",
+            F.col("_best_phi").alias("conductance"),
+        )
+    )

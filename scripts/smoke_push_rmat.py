@@ -1,0 +1,70 @@
+"""R-MAT 10M-edge forward-push locality smoke.
+
+Generates a deterministic 10M-edge / 2^21-vertex R-MAT graph with the
+shuffle-free generator, then answers a single-page PPR query with
+batched forward push at three push tolerances — demonstrating the
+local-computation claim at scale: wall time and TOUCHED-vertex count
+track the residual tolerance, not the graph size, while the certified
+error bound (1 − Σp, from the push invariant) is reported alongside.
+This is the query shape a 10^9-edge deployment uses for per-page
+neighborhood questions: no O(V) rank vector is ever materialized.
+
+Usage: PYTHONPATH=/root/repo python scripts/smoke_push_rmat.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pagerank_spark.session import get_spark  # noqa: E402
+from pagerank_spark.operators.push import ppr_push  # noqa: E402
+from pagerank_spark.sources.rmat import rmat_edges  # noqa: E402
+
+N_EDGES = 10_000_000
+SCALE = 21  # 2^21 = 2,097,152 vertices
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="smoke-push-rmat",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    t0 = time.monotonic()
+    g = rmat_edges(spark, N_EDGES, SCALE, seed=7).select("src", "dst")
+    g = g.repartition(64).persist()
+    n_edges = g.count()
+    n_vertices = g.select(
+        F.max(F.greatest("src", "dst"))
+    ).first()[0] + 1
+    print(
+        f"rmat: {n_edges} edges over <= 2^{SCALE} vertices "
+        f"(max id + 1 = {n_vertices}) generated+cached in "
+        f"{time.monotonic() - t0:.1f}s"
+    )
+
+    # the R-MAT hub corner: vertex 0 has the largest expected degree
+    seed = 0
+    for eps in (1e-4, 1e-5, 1e-6):
+        t1 = time.monotonic()
+        res = ppr_push(g, seed=seed, alpha=0.15, eps_push=eps)
+        touched = res.estimates.count()
+        sp = res.estimates.agg(F.sum("p")).first()[0]
+        dt = time.monotonic() - t1
+        print(
+            f"eps={eps:g}: rounds={res.rounds} converged={res.converged} "
+            f"touched={touched}/{n_vertices} "
+            f"({100.0 * touched / n_vertices:.1f}%) "
+            f"sum_p={sp:.6f} bound={1.0 - sp:.3e} wall={dt:.1f}s"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

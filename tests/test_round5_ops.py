@@ -438,3 +438,54 @@ def test_ppr_contributions_locality(spark):
                             eps_push=1e-5)
     touched = {r["id"] for r in res.estimates.collect()}
     assert touched == {0, 1}
+
+
+def test_local_community_two_cliques(spark):
+    from pagerank_spark.operators.push import local_community
+
+    # two K4 cliques joined by one bridge; seed in clique A must
+    # recover exactly clique A with the known conductance 1/13
+    # (cut=1, vol(A) = 3+3+3+4 = 13 simple degrees)
+    a = [0, 1, 2, 3]
+    b = [10, 11, 12, 13]
+    und = []
+    for grp in (a, b):
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    und += [(i, j), (j, i)]
+    und += [(3, 10), (10, 3)]  # bridge
+    out = local_community(_edf(spark, und), seed=0, eps_push=1e-6)
+    rows = out.collect()
+    assert {r["id"] for r in rows} == set(a)
+    assert math.isclose(rows[0]["conductance"], 1 / 13, rel_tol=1e-12)
+
+
+def test_local_community_phi_matches_conductance_operator(spark):
+    from pagerank_spark.operators.push import local_community
+    from pagerank_spark.operators.labelprop import conductance
+
+    # ring of 3 cliques: the sweep's phi must equal the independent
+    # conductance operator's value for the same member set
+    cliques = [[0, 1, 2, 3], [10, 11, 12], [20, 21, 22, 23, 24]]
+    und = []
+    for grp in cliques:
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    und += [(i, j), (j, i)]
+    for x, y in [(3, 10), (12, 20), (24, 0)]:
+        und += [(x, y), (y, x)]
+    e = _edf(spark, und)
+    comm = local_community(e, seed=20, eps_push=1e-6)
+    members = [r["id"] for r in comm.collect()]
+    phi_sweep = comm.first()["conductance"]
+    labels = spark.createDataFrame(
+        [(int(v), 1 if v in members else 0) for v in
+         {x for p in und for x in p}],
+        "id long, label int",
+    )
+    phi_ref = {r["label"]: r["conductance"] for r in
+               conductance(e, labels).collect()}[1]
+    assert math.isclose(phi_sweep, phi_ref, rel_tol=1e-12), (
+        phi_sweep, phi_ref, members)
