@@ -3401,6 +3401,28 @@ def q_local_community_check(spark, sf_dir):
     )
 
 
+def q_corpus_divergence(spark, sf_dir):
+    """KL/JS/TV between the even- and odd-doc_id halves of the
+    documents table — smoothed unigram distributions over the union
+    vocabulary; the corpus-drift diagnostic."""
+    from pagerank_spark.operators.textstats import corpus_divergence
+
+    d = _docs(spark, sf_dir)
+    out = corpus_divergence(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+    )
+    return out.select(
+        "tokens_a",
+        "tokens_b",
+        "vocab_union",
+        F.round("kl_ab", 6).alias("kl_ab"),
+        F.round("kl_ba", 6).alias("kl_ba"),
+        F.round("js_divergence", 6).alias("js_divergence"),
+        F.round("total_variation", 6).alias("total_variation"),
+    )
+
+
 SNAPSHOT_BOUNDS = [0, 32, 64]
 
 
@@ -3449,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_push_bound": q_ppr_push_bound,
         "ppr_contrib_bound": q_ppr_contrib_bound,
         "local_community_check": q_local_community_check,
+        "corpus_divergence": q_corpus_divergence,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -6025,6 +6048,35 @@ def oracle_sql() -> dict[str, str]:
         "local_community_check": (
             "SELECT TRUE AS seed_in_community, "
             "TRUE AS phi_matches_conductance, TRUE AS phi_in_range"
+        ),
+        "corpus_divergence": (
+            "WITH ta AS MATERIALIZED (SELECT w FROM "
+            "(SELECT unnest(string_split_regex(lower(trim(text)), "
+            "'\\s+')) AS w FROM documents WHERE doc_id % 2 = 0) "
+            "WHERE w <> ''), "
+            "tb AS MATERIALIZED (SELECT w FROM "
+            "(SELECT unnest(string_split_regex(lower(trim(text)), "
+            "'\\s+')) AS w FROM documents WHERE doc_id % 2 = 1) "
+            "WHERE w <> ''), "
+            "ca AS (SELECT w, count(*) AS ca FROM ta GROUP BY w), "
+            "cb AS (SELECT w, count(*) AS cb FROM tb GROUP BY w), "
+            "j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb "
+            "FROM ca FULL OUTER JOIN cb ON ca.w = cb.w), "
+            "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS tca, "
+            "CAST(sum(cb) AS BIGINT) AS tcb, count(*) AS v FROM j), "
+            "terms AS (SELECT "
+            "(ca + 0.5) / ((SELECT tca FROM tot) + 0.5 * (SELECT v FROM tot)) AS pa, "
+            "(cb + 0.5) / ((SELECT tcb FROM tot) + 0.5 * (SELECT v FROM tot)) AS pb "
+            "FROM j) "
+            "SELECT (SELECT tca FROM tot) AS tokens_a, "
+            "(SELECT tcb FROM tot) AS tokens_b, "
+            "(SELECT v FROM tot) AS vocab_union, "
+            "round(sum(pa * log2(pa / pb)), 6) AS kl_ab, "
+            "round(sum(pb * log2(pb / pa)), 6) AS kl_ba, "
+            "round(sum(0.5 * (pa * log2(pa / ((pa + pb) / 2)) "
+            "+ pb * log2(pb / ((pa + pb) / 2)))), 6) AS js_divergence, "
+            "round(sum(0.5 * abs(pa - pb)), 6) AS total_variation "
+            "FROM terms"
         ),
         "pagerank_two_phase_bound": (
             f"WITH eg AS ({_EDGES_SQL}), "

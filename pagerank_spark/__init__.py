@@ -119,6 +119,7 @@ from pagerank_spark.operators.similarity import (
 )
 from pagerank_spark.graph import LinkGraph
 from pagerank_spark.operators.textstats import (
+    corpus_divergence,
     fingerprints,
     gopher_filter,
     repetition_scores,
@@ -186,6 +187,7 @@ __all__ = [
     "ppr_push",
     "ppr_contributions",
     "local_community",
+    "corpus_divergence",
     "rmat_edges",
     "betweenness_centrality",
     "edge_betweenness",

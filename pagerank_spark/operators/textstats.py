@@ -532,6 +532,87 @@ def scrub_pii(
     )
 
 
+def corpus_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution distance between two corpus slices — the
+    domain-shift / mixture-drift diagnostic (Kullback-Leibler 1951;
+    Lin 1991 for the Jensen-Shannon form). A training-data pipeline
+    reads this to answer "did this month's crawl drift from last
+    month's", "how far is the held-out slice from the train mixture",
+    or "which source bucket is the outlier" — the corpus-level
+    companion of the per-document perplexity score.
+
+    Both unigram distributions are add-``alpha`` smoothed over the
+    UNION vocabulary (same support → every quantity finite and each
+    distribution sums to exactly 1):
+
+        p_X(w) = (c_X(w) + alpha) / (C_X + alpha·|V∪|)
+
+    Returns ONE row: ``(tokens_a, tokens_b, vocab_union, kl_ab,
+    kl_ba, js_divergence, total_variation)`` — KL in bits (log2), JS
+    the symmetric ½KL(A‖M)+½KL(B‖M) against the midpoint (bounded by
+    1 bit), TV = ½Σ|p_a − p_b| ∈ [0, 1].
+
+    Scale shape: one tokenize-explode scan per corpus into a
+    vocabulary-sized count table (map-side combinable), ONE full-outer
+    join of the two skinny count tables on the term, and a single
+    combinable scalar fold — document text never rides a shuffle; all
+    arithmetic ANSI-replayable.
+    """
+    tok = lambda df: df.select(  # noqa: E731
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    ca = tok(docs_a).groupBy("w").agg(F.count(F.lit(1)).alias("ca"))
+    cb = tok(docs_b).groupBy("w").agg(F.count(F.lit(1)).alias("cb"))
+    j = (
+        ca.join(cb, "w", "full")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    totals = j.agg(
+        F.sum("ca").alias("_Ca"),
+        F.sum("cb").alias("_Cb"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    pa = (F.col("ca") + F.lit(alpha)) / (
+        F.col("_Ca") + F.lit(alpha) * F.col("_V")
+    )
+    pb = (F.col("cb") + F.lit(alpha)) / (
+        F.col("_Cb") + F.lit(alpha) * F.col("_V")
+    )
+    m = (pa + pb) / 2
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_Ca").alias("tokens_a"),
+            F.col("_Cb").alias("tokens_b"),
+            F.col("_V").alias("vocab_union"),
+            (pa * F.log2(pa / pb)).alias("_kab"),
+            (pb * F.log2(pb / pa)).alias("_kba"),
+            (0.5 * (pa * F.log2(pa / m) + pb * F.log2(pb / m))).alias(
+                "_js"
+            ),
+            (0.5 * F.abs(pa - pb)).alias("_tv"),
+        )
+        .groupBy("tokens_a", "tokens_b", "vocab_union")
+        .agg(
+            F.sum("_kab").alias("kl_ab"),
+            F.sum("_kba").alias("kl_ba"),
+            F.sum("_js").alias("js_divergence"),
+            F.sum("_tv").alias("total_variation"),
+        )
+    )
+
+
 def zipf_fit(
     docs: DataFrame,
     id_col: str = "doc_id",

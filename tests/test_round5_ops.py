@@ -489,3 +489,52 @@ def test_local_community_phi_matches_conductance_operator(spark):
                conductance(e, labels).collect()}[1]
     assert math.isclose(phi_sweep, phi_ref, rel_tol=1e-12), (
         phi_sweep, phi_ref, members)
+
+
+# ---------------------------------------------------------------------------
+# corpus divergence
+# ---------------------------------------------------------------------------
+
+def _docs_df(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_corpus_divergence_identical_is_zero(spark):
+    from pagerank_spark import corpus_divergence
+
+    a = _docs_df(spark, ["the cat sat", "on the mat"])
+    row = corpus_divergence(a, a).first()
+    assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0
+    assert row["js_divergence"] == 0.0 and row["total_variation"] == 0.0
+
+
+def test_corpus_divergence_matches_numpy(spark):
+    from pagerank_spark import corpus_divergence
+    import numpy as np
+    from collections import Counter
+
+    ta = "the quick brown fox jumps over the lazy dog the end".split()
+    tb = "la rapida zorra marron salta sobre el perro the la".split()
+    a = _docs_df(spark, [" ".join(ta)])
+    b = _docs_df(spark, [" ".join(tb)], start=100)
+    row = corpus_divergence(a, b, alpha=0.5).first()
+    cca, ccb = Counter(ta), Counter(tb)
+    vocab = sorted(set(cca) | set(ccb))
+    va = np.array([cca[w] for w in vocab], float)
+    vb = np.array([ccb[w] for w in vocab], float)
+    pa = (va + 0.5) / (va.sum() + 0.5 * len(vocab))
+    pb = (vb + 0.5) / (vb.sum() + 0.5 * len(vocab))
+    m = (pa + pb) / 2
+    assert row["tokens_a"] == len(ta) and row["tokens_b"] == len(tb)
+    assert row["vocab_union"] == len(vocab)
+    assert math.isclose(row["kl_ab"], (pa * np.log2(pa / pb)).sum(),
+                        rel_tol=1e-12)
+    js = 0.5 * ((pa * np.log2(pa / m)).sum() + (pb * np.log2(pb / m)).sum())
+    assert math.isclose(row["js_divergence"], js, rel_tol=1e-12)
+    assert math.isclose(row["total_variation"],
+                        0.5 * np.abs(pa - pb).sum(), rel_tol=1e-12)
+    assert 0 < row["js_divergence"] <= 1.0
+    assert 0 < row["total_variation"] < 1.0
