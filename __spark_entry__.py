@@ -3401,6 +3401,42 @@ def q_local_community_check(spark, sf_dir):
     )
 
 
+def q_ppr_push_keyed_bound(spark, sf_dir):
+    """Multi-seed batched push: one keyed run answers all three PPR
+    seeds; the per-seed certificate max|ppr_s − p_s| ≤ 1 − Σp_s is
+    checked in-engine against each exact personalized run."""
+    from pagerank_spark.operators.push import ppr_push_keyed
+    from pagerank_spark.operators.pagerank import pagerank
+
+    e = _edges(spark, sf_dir)
+    res = ppr_push_keyed(e, seeds=PPR_SOURCES, alpha=0.15, eps_push=1e-6)
+    rows = []
+    for s in sorted(PPR_SOURCES):
+        est = res.estimates.where(F.col("seed") == s)
+        sp = est.agg(F.sum("p")).first()[0] or 0.0
+        bound = 1.0 - float(sp)
+        exact = pagerank(
+            e, dangling="redistribute", personalize=[int(s)],
+            eps=1e-12, max_iter=300,
+        ).ranks
+        mx = (
+            exact.join(est.select("id", "p"), "id", "left")
+            .select(
+                F.abs(
+                    F.col("rank") - F.coalesce(F.col("p"), F.lit(0.0))
+                ).alias("d")
+            )
+            .agg(F.max("d"))
+            .first()[0]
+        )
+        rows.append(
+            (int(s), bool(mx <= bound + 1e-9), bool(res.converged))
+        )
+    return spark.createDataFrame(
+        rows, "seed long, within_bound boolean, push_converged boolean"
+    ).orderBy("seed")
+
+
 def q_corpus_divergence(spark, sf_dir):
     """KL/JS/TV between the even- and odd-doc_id halves of the
     documents table — smoothed unigram distributions over the union
@@ -3472,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_contrib_bound": q_ppr_contrib_bound,
         "local_community_check": q_local_community_check,
         "corpus_divergence": q_corpus_divergence,
+        "ppr_push_keyed_bound": q_ppr_push_keyed_bound,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -6048,6 +6085,10 @@ def oracle_sql() -> dict[str, str]:
         "local_community_check": (
             "SELECT TRUE AS seed_in_community, "
             "TRUE AS phi_matches_conductance, TRUE AS phi_in_range"
+        ),
+        "ppr_push_keyed_bound": (
+            "SELECT CAST(unnest([0, 7, 42]) AS BIGINT) AS seed, "
+            "TRUE AS within_bound, TRUE AS push_converged ORDER BY seed"
         ),
         "corpus_divergence": (
             "WITH ta AS MATERIALIZED (SELECT w FROM "

@@ -99,6 +99,7 @@ from pagerank_spark.operators.push import (
     local_community,
     ppr_contributions,
     ppr_push,
+    ppr_push_keyed,
 )
 from pagerank_spark.sources.rmat import rmat_edges
 from pagerank_spark.operators.dedup import (
@@ -185,6 +186,7 @@ __all__ = [
     "temporal_reachability_keyed",
     "snapshot_pagerank",
     "ppr_push",
+    "ppr_push_keyed",
     "ppr_contributions",
     "local_community",
     "corpus_divergence",

@@ -137,6 +137,99 @@ def ppr_push(
     return PushResult(estimates=st, rounds=rounds, converged=converged)
 
 
+def ppr_push_keyed(
+    edges: DataFrame,
+    seeds: list[int],
+    alpha: float = 0.15,
+    eps_push: float = 1e-6,
+    max_rounds: int = 200,
+    checkpoint_every: int = 1,
+) -> PushResult:
+    """Batched forward push for MANY seeds in one run — every seed
+    rides as a key column through the same per-round join + aggregate,
+    the push twin of ``personalized_pagerank_keyed`` (exact E26).
+    A PPR-query service answers a whole batch of page questions with
+    one pass whose state is Σ_seeds O(touched_seed) skinny rows; the
+    per-seed certificate max|ppr_s − p_s| ≤ 1 − Σ p_s(v) holds
+    independently per key (the invariant is per-seed).
+
+    Returns ``(seed, id, p, r)`` over touched pairs.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("ppr_push_keyed: alpha must be in (0, 1)")
+    if not seeds:
+        raise ValueError("ppr_push_keyed: empty seed list")
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    w = e.join(od, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("_od")).alias("share")
+    )
+    spark = edges.sparkSession
+    st = spark.createDataFrame(
+        [(int(s), int(s), 0.0, 1.0) for s in sorted(set(seeds))],
+        "seed long, id long, p double, r double",
+    )
+    converged = False
+    rounds = 0
+    for k in range(max_rounds):
+        st = st.join(od.withColumnRenamed("src", "id"), "id", "left")
+        st = st.select(
+            "seed", "id", "p", "r",
+            F.coalesce("_od", F.lit(0)).alias("deg"),
+        )
+        active = F.col("r") > F.when(
+            F.col("deg") > 0, F.lit(eps_push) * F.col("deg")
+        ).otherwise(F.lit(eps_push))
+        st = st.withColumn("act", active)
+        if st.where("act").limit(1).count() == 0:
+            converged = True
+            st = st.drop("deg", "act")
+            break
+        rounds += 1
+        pushing = st.where("act").select("seed", "id", "r", "deg")
+        inc = (
+            pushing.where(F.col("deg") > 0)
+            .join(w, pushing["id"] == w["src"])
+            .select(
+                "seed",
+                F.col("dst").alias("id"),
+                ((1.0 - alpha) * F.col("r") * F.col("share")).alias("dr"),
+            )
+        )
+        dang = pushing.where(F.col("deg") == 0).select(
+            "seed",
+            F.col("seed").alias("id"),
+            ((1.0 - alpha) * F.col("r")).alias("dr"),
+        )
+        kept = st.select(
+            "seed", "id",
+            (F.col("p") + F.when(F.col("act"), alpha * F.col("r"))
+             .otherwise(F.lit(0.0))).alias("p"),
+            F.when(F.col("act"), F.lit(0.0)).otherwise(F.col("r")).alias("r"),
+        )
+        nxt = (
+            kept.unionByName(
+                inc.unionByName(dang).select(
+                    "seed", "id", F.lit(0.0).alias("p"),
+                    F.col("dr").alias("r"),
+                )
+            )
+            .groupBy("seed", "id")
+            .agg(F.sum("p").alias("p"), F.sum("r").alias("r"))
+        )
+        st = (
+            nxt.localCheckpoint(eager=True)
+            if (k + 1) % checkpoint_every == 0
+            else nxt
+        )
+    else:
+        st = st.drop("deg", "act")
+    return PushResult(estimates=st, rounds=rounds, converged=converged)
+
+
 def ppr_contributions(
     edges: DataFrame,
     target: int,

@@ -538,3 +538,22 @@ def test_corpus_divergence_matches_numpy(spark):
                         0.5 * np.abs(pa - pb).sum(), rel_tol=1e-12)
     assert 0 < row["js_divergence"] <= 1.0
     assert 0 < row["total_variation"] < 1.0
+
+
+def test_ppr_push_keyed_matches_single_seed(spark):
+    from pagerank_spark.operators.push import ppr_push, ppr_push_keyed
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3)]
+    e = _edf(spark, edges)
+    keyed = ppr_push_keyed(e, seeds=[0, 2], eps_push=1e-5)
+    assert keyed.converged
+    got = {(r["seed"], r["id"]): (r["p"], r["r"])
+           for r in keyed.estimates.collect()}
+    for s in (0, 2):
+        solo = ppr_push(e, seed=s, eps_push=1e-5)
+        sv = {r["id"]: (r["p"], r["r"]) for r in solo.estimates.collect()}
+        kv = {v: pr for (sd, v), pr in got.items() if sd == s}
+        assert set(sv) == set(kv)
+        for v in sv:
+            assert math.isclose(sv[v][0], kv[v][0], rel_tol=1e-12)
+            assert math.isclose(sv[v][1], kv[v][1], abs_tol=1e-15)
