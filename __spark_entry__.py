@@ -3224,6 +3224,38 @@ def q_config_rewire_md5(spark, sf_dir):
     return out.orderBy("rn")
 
 
+def _tedges_dur(spark, sf_dir):
+    """Timestamped canonical graph with a 0..4 integer traversal
+    duration per edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_partkey") % N_MOD).alias("src"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % N_MOD).alias("dst"),
+        ((F.col("l_orderkey") * 3 + F.col("l_suppkey")) % 64).alias("t"),
+        (F.col("l_linenumber") % 5).alias("dur"),
+    )
+
+
+_TEDGES_DUR_SQL = (
+    f"SELECT l_partkey % {N_MOD} AS src, "
+    f"(l_partkey * 7 + l_suppkey) % {N_MOD} AS dst, "
+    f"(l_orderkey * 3 + l_suppkey) % 64 AS t, "
+    f"l_linenumber % 5 AS dur FROM lineitem"
+)
+
+
+def q_temporal_reachability_dur(spark, sf_dir):
+    """Latency-aware earliest arrival (edges land at t + dur) from
+    vertex 0 — the transit-time generalization, all-integer."""
+    from pagerank_spark.operators.temporal import temporal_reachability
+
+    out = temporal_reachability(
+        _tedges_dur(spark, sf_dir), sources=[0], start=0,
+        max_hops=TEMPORAL_HOPS, duration_col="dur",
+    )
+    return out.orderBy("id")
+
+
 def q_temporal_reachability(spark, sf_dir):
     """Earliest-arrival temporal reachability from vertex 0 over the
     timestamped canonical graph, exactly TEMPORAL_HOPS relaxation
@@ -3501,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability": q_temporal_reachability,
         "rmat_md5": q_rmat_md5,
         "hitting_time": q_hitting_time,
+        "temporal_reachability_dur": q_temporal_reachability_dur,
         "absorption": q_absorption,
         "temporal_reachability_keyed": q_temporal_reachability_keyed,
         "snapshot_pagerank": q_snapshot_pagerank,
@@ -5142,19 +5175,21 @@ def _config_rewire_sql(seed: int = 42) -> str:
     )
 
 
-def _temporal_sql() -> str:
+def _temporal_sql(dur: bool = False) -> str:
     """Unrolled earliest-arrival relaxation from vertex 0 at t=0:
-    a_{k+1}(v) = min(a_k(v), min{t : (u,v,t), t >= a_k(u)}) — exactly
-    the engine's TEMPORAL_HOPS rounds, all-integer."""
+    a_{k+1}(v) = min(a_k(v), min{land : (u,v,t), t >= a_k(u)}) —
+    exactly the engine's TEMPORAL_HOPS rounds, all-integer; ``dur``
+    switches to the latency-aware landing time t + dur."""
+    land = "e.t + e.dur" if dur else "e.t"
     parts = [
-        f"WITH eg AS ({_TEDGES_SQL}),",
+        f"WITH eg AS ({_TEDGES_DUR_SQL if dur else _TEDGES_SQL}),",
         "a0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS arrival),",
     ]
     for k in range(1, TEMPORAL_HOPS + 1):
         parts.append(
             f"a{k} AS MATERIALIZED (SELECT id, min(arrival) AS arrival FROM ("
             f"SELECT id, arrival FROM a{k-1} UNION ALL "
-            f"SELECT e.dst AS id, e.t AS arrival "
+            f"SELECT e.dst AS id, {land} AS arrival "
             f"FROM eg e JOIN a{k-1} x ON e.src = x.id WHERE e.t >= x.arrival"
             f") GROUP BY id),"
         )
@@ -6171,6 +6206,7 @@ def oracle_sql() -> dict[str, str]:
         "refex_features": _refex_sql(),
         "config_rewire_md5": _config_rewire_sql(),
         "temporal_reachability": _temporal_sql(),
+        "temporal_reachability_dur": _temporal_sql(dur=True),
         "rmat_md5": _rmat_sql(),
         "hitting_time": _hitting_sql(),
         "absorption": _absorption_sql(),

@@ -159,6 +159,7 @@ EXTRA = [
     "absorption",
     "temporal_reachability_keyed",
     "snapshot_pagerank",
+    "corpus_divergence",
     # ppr_push_bound / ppr_contrib_bound are gated (sf0.01) but not
     # benched: each runs 1-4 exact eps=1e-12 personalized PageRank
     # convergence loops as its comparison baseline — legitimate for the

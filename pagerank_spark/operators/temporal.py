@@ -22,6 +22,7 @@ def temporal_reachability(
     sources: list[int],
     start: int = 0,
     max_hops: int | None = None,
+    duration_col: str | None = None,
 ) -> DataFrame:
     """Earliest-arrival time from a seed set over timestamped edges.
 
@@ -38,6 +39,14 @@ def temporal_reachability(
     confluent: arrival times only decrease and the fixpoint is
     independent of evaluation order, so the loop parallelizes freely.
 
+    ``duration_col`` names an optional non-negative integer edge
+    traversal time (latency-aware variant: crawl delay, retweet lag,
+    flight duration): an edge departing at ``t`` then lands at
+    ``t + duration``, i.e. ``arrival(v) ≤ t + dur`` — the
+    Kempe-Kleinberg-Kumar transit-time generalization. ``None`` keeps
+    the instantaneous (dur = 0) convention. Confluence is unaffected
+    (non-negative durations keep the relaxation monotone).
+
     Returns ``(id, arrival)`` for every reached vertex (seeds at
     ``start``). All-integer arithmetic — exact on any engine.
 
@@ -48,10 +57,18 @@ def temporal_reachability(
     ride as longs; no per-row Python.
     """
     spark = tedges.sparkSession
-    te = tedges.select(
+    cols = [
         F.col("src").cast("long"),
         F.col("dst").cast("long"),
         F.col("t").cast("long"),
+    ]
+    if duration_col is not None:
+        cols.append(F.col(duration_col).cast("long").alias("_dur"))
+    te = tedges.select(*cols)
+    land = (
+        (F.col("t") + F.col("_dur"))
+        if duration_col is not None
+        else F.col("t")
     )
     arr = spark.createDataFrame(
         [(int(s), int(start)) for s in sorted(set(sources))],
@@ -62,7 +79,7 @@ def temporal_reachability(
         relax = (
             te.join(arr, te["src"] == arr["id"])
             .where(F.col("t") >= F.col("arrival"))
-            .select(F.col("dst").alias("id"), F.col("t").alias("arrival"))
+            .select(F.col("dst").alias("id"), land.alias("arrival"))
         )
         # materialize each round: the O(reached) frame is skinny, and
         # without it both the fixpoint probe and the next round re-derive

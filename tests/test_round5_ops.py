@@ -557,3 +557,16 @@ def test_ppr_push_keyed_matches_single_seed(spark):
         for v in sv:
             assert math.isclose(sv[v][0], kv[v][0], rel_tol=1e-12)
             assert math.isclose(sv[v][1], kv[v][1], abs_tol=1e-15)
+
+
+def test_temporal_durations(spark):
+    # 0 -> 1 departs t=2 lands t=5 (dur 3); 1 -> 2 departs t=4 < 5:
+    # unusable; 1 -> 2 departs t=6 lands t=6 (dur 0): arrival 6
+    te = spark.createDataFrame(
+        [(0, 1, 2, 3), (1, 2, 4, 1), (1, 2, 6, 0)],
+        "src long, dst long, t long, dur long",
+    )
+    got = {r["id"]: r["arrival"] for r in
+           temporal_reachability(te, sources=[0],
+                                 duration_col="dur").collect()}
+    assert got == {0: 0, 1: 5, 2: 6}
