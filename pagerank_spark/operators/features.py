@@ -13,8 +13,14 @@ This implementation keeps every recursive feature an INTEGER SUM
 and bit-reproducible in ANSI SQL — the published mean/variance
 variants are one division away from these sufficient statistics and
 are emitted as final-step ratios. Int64 bounds: a round-2 sum is at
-most E·max(round-1 sum) ≤ E²·max_deg; for graphs approaching that
-range, widen to ``decimal(38,0)`` the way ``wl.py`` does.
+most E·max(round-1 sum) ≤ E²·max_deg, which stays inside int64
+(< 9.2e18) for any graph with E·max_deg·max_deg' < 2^63 — every
+realistic web graph, but exceedable by an adversarial 10⁹-edge /
+10⁷-degree-hub shape. The engine runs Spark's ANSI mode (the Spark 4
+default), so that extreme FAILS LOUDLY with an arithmetic-overflow
+error rather than silently wrapping (the failure mode the s-metric
+hardening closed); widen the sums to ``decimal(38,0)`` the way
+``wl.py:74`` does if such a graph is the actual workload.
 """
 
 from __future__ import annotations
