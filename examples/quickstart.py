@@ -103,6 +103,45 @@ def main():
     q = emb.where(F.col("vec_id") == 0).first()["embedding"]
     print("nearest neighbours of vec 0:")
     cosine_topk(emb, list(q), k=5).show()
+
+    # 4. round-5 surface: local push queries, temporal analytics,
+    # synthetic generation, corpus drift
+    from pagerank_spark import (
+        corpus_divergence,
+        hitting_time,
+        leaderrank,
+        local_community,
+        ppr_push,
+        rmat_edges,
+        temporal_reachability,
+    )
+
+    print("LeaderRank (parameter-free, top 3):")
+    leaderrank(g.edges, eps=0.0, max_iter=10).orderBy(F.desc("score")).show(3)
+
+    seed = pivots[0]
+    push = ppr_push(g.edges, seed=seed, eps_push=1e-5)
+    sp = push.estimates.agg(F.sum("p")).first()[0]
+    print(f"push PPR from {seed}: touched {push.estimates.count()} "
+          f"vertices, certified max error {1 - sp:.1e}")
+    comm = local_community(g.edges, seed=seed, eps_push=1e-5)
+    print(f"local community around {seed}: {comm.count()} members, "
+          f"phi={comm.first()['conductance']:.4f}")
+    print("truncated hitting time to the seed (closest 3):")
+    hitting_time(g.edges, targets=[seed], horizon=8).where(
+        F.col("hitting") > 0).orderBy("hitting").show(3)
+
+    te = g.edges.withColumn("t", (F.col("src") * 7 + F.col("dst")) % 20)
+    print("temporally reachable from the seed:",
+          temporal_reachability(te, sources=[seed]).count())
+
+    gen = rmat_edges(spark, 5000, 8, seed=1)
+    print("R-MAT synthetic graph: 5000 edges, max degree",
+          gen.groupBy("src").count().agg(F.max("count")).first()[0])
+
+    div = corpus_divergence(tr, ev).first()
+    print(f"train/eval corpus divergence: JS={div['js_divergence']:.4f} "
+          f"TV={div['total_variation']:.4f}")
     spark.stop()
 
 
