@@ -3469,6 +3469,29 @@ def q_ppr_push_keyed_bound(spark, sf_dir):
     ).orderBy("seed")
 
 
+TRI_NULL_SAMPLES = 2
+
+
+def q_triangle_config_null(spark, sf_dir):
+    """Observed triangles vs two deterministic configuration-model
+    draws (portable md5 stub order) — the Maslov-Sneppen motif
+    significance; every count exact-integer, the derived mean/std/z
+    pure functions of them."""
+    from pagerank_spark.operators.nullmodel import triangle_null_samples
+
+    out = triangle_null_samples(
+        _eid_edges(spark, sf_dir), id_col="eid",
+        n_samples=TRI_NULL_SAMPLES, seed=42, hash_fn="md5",
+    )
+    return out.select(
+        "observed",
+        F.round("null_mean", 7).alias("null_mean"),
+        F.round("null_std", 7).alias("null_std"),
+        F.round("z_score", 7).alias("z_score"),
+        *[f"sample_{i}" for i in range(TRI_NULL_SAMPLES)],
+    )
+
+
 def q_corpus_divergence(spark, sf_dir):
     """KL/JS/TV between the even- and odd-doc_id halves of the
     documents table — smoothed unigram distributions over the union
@@ -3542,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_community_check": q_local_community_check,
         "corpus_divergence": q_corpus_divergence,
         "ppr_push_keyed_bound": q_ppr_push_keyed_bound,
+        "triangle_config_null": q_triangle_config_null,
         "incremental_cc": q_incremental_cc,
         "incremental_cc_stream": q_incremental_cc_stream,
         "attack_tolerance": q_attack_tolerance,
@@ -5160,6 +5184,72 @@ def _refex_sql() -> str:
     )
 
 
+def _tri_count_sql(edges_sql: str) -> str:
+    """Oriented-wedge triangle count as a scalar subquery body over an
+    arbitrary (src, dst) edges SQL."""
+    return (
+        f"(WITH teg AS ({edges_sql}), "
+        "tsimple AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM teg WHERE src <> dst), "
+        "tdeg AS (SELECT id, count(*) AS d FROM (SELECT a AS id FROM tsimple "
+        "UNION ALL SELECT b FROM tsimple) GROUP BY id), "
+        "tor AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b) "
+        "THEN s.a ELSE s.b END AS u, "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND s.a < s.b) "
+        "THEN s.b ELSE s.a END AS v "
+        "FROM tsimple s JOIN tdeg da ON s.a = da.id JOIN tdeg db ON s.b = db.id) "
+        "SELECT count(*) AS triangles FROM tor e1 JOIN tor e2 ON e1.v = e2.u "
+        "JOIN tor e3 ON e3.u = e1.u AND e3.v = e2.v)"
+    )
+
+
+def _config_rewire_edges_sql(seed: int) -> str:
+    """The rewired (src, dst) edge list for one md5 draw — the
+    row_number pairing without the presentation ORDER BY."""
+    ho = _MD5H.format(x=f"CAST(eid AS VARCHAR) || '-o-{seed}'")
+    hi = _MD5H.format(x=f"CAST(eid AS VARCHAR) || '-i-{seed}'")
+    return (
+        f"WITH reg AS ({_EID_EDGES_SQL}), "
+        f"ro AS (SELECT row_number() OVER (ORDER BY {ho}, eid) AS rn, src FROM reg), "
+        f"ri AS (SELECT row_number() OVER (ORDER BY {hi}, eid) AS rn, dst FROM reg) "
+        "SELECT ro.src, ri.dst FROM ro JOIN ri ON ro.rn = ri.rn"
+    )
+
+
+def _triangle_null_sql() -> str:
+    """Observed triangle count + TRI_NULL_SAMPLES md5 rewire draws,
+    each an exact integer; mean/std/z derived in plain arithmetic."""
+    obs = _tri_count_sql(_EDGES_SQL)
+    samps = [
+        _tri_count_sql(_config_rewire_edges_sql(42 + i))
+        for i in range(TRI_NULL_SAMPLES)
+    ]
+    n = TRI_NULL_SAMPLES
+    sample_cols = ", ".join(
+        f"(SELECT triangles FROM s{i}) AS sample_{i}" for i in range(n)
+    )
+    mean = "(" + " + ".join(f"CAST(sample_{i} AS DOUBLE)" for i in range(n)) + f") / {n}"
+    var = (
+        "(" + " + ".join(
+            f"pow(sample_{i} - ({mean}), 2)" for i in range(n)
+        ) + f") / {n - 1}"
+    )
+    ctes = [f"obs AS MATERIALIZED {obs}"] + [
+        f"s{i} AS MATERIALIZED {samps[i]}" for i in range(n)
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"base AS (SELECT (SELECT triangles FROM obs) AS observed, "
+        f"{sample_cols}), "
+        f"stats AS (SELECT *, {mean} AS m, sqrt({var}) AS sd FROM base) "
+        "SELECT observed, round(m, 7) AS null_mean, "
+        "round(sd, 7) AS null_std, "
+        "CASE WHEN sd > 0 THEN round((observed - m) / sd, 7) END AS z_score, "
+        + ", ".join(f"sample_{i}" for i in range(n))
+        + " FROM stats"
+    )
+
+
 def _config_rewire_sql(seed: int = 42) -> str:
     """Configuration-model draw replay: the portable md5 stub hash is
     the same `conv(substr(md5(s),1,15),16,10)` value on both engines;
@@ -6125,6 +6215,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(unnest([0, 7, 42]) AS BIGINT) AS seed, "
             "TRUE AS within_bound, TRUE AS push_converged ORDER BY seed"
         ),
+        "triangle_config_null": _triangle_null_sql(),
         "corpus_divergence": (
             "WITH ta AS MATERIALIZED (SELECT w FROM "
             "(SELECT unnest(string_split_regex(lower(trim(text)), "

@@ -85,7 +85,10 @@ from pagerank_spark.operators.centrality import (
 from pagerank_spark.operators.summary import graph_summary
 from pagerank_spark.operators.derive import derive_edges
 from pagerank_spark.operators.features import refex_features
-from pagerank_spark.operators.nullmodel import configuration_rewire
+from pagerank_spark.operators.nullmodel import (
+    configuration_rewire,
+    triangle_null_samples,
+)
 from pagerank_spark.operators.temporal import (
     snapshot_pagerank,
     temporal_reachability,
@@ -180,6 +183,7 @@ __all__ = [
     "leaderrank",
     "refex_features",
     "configuration_rewire",
+    "triangle_null_samples",
     "temporal_reachability",
     "hitting_time",
     "absorption_probability",

@@ -81,3 +81,58 @@ def configuration_rewire(
         .join(ranked("dst", "i"), "rn")
         .select("rn", "src", "dst")
     )
+
+
+def triangle_null_samples(
+    edges: DataFrame,
+    id_col: str = "eid",
+    n_samples: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Motif significance: the observed triangle count against
+    configuration-model null draws — the published form of "is this
+    graph MORE clustered than its degree sequence implies" (Maslov &
+    Sneppen, Science 2002; Milo et al., Science 2002 network motifs).
+    A link-farm core lights up here: its triangles survive the
+    degree-preserving rewire only at the null rate.
+
+    Returns ONE row ``(observed, null_mean, null_std, z_score,
+    sample_0 … sample_{n-1})`` — every count an exact integer (each
+    sample is one deterministic :func:`configuration_rewire` draw with
+    seed ``seed + i``, so the whole row replays bit-exact), with the
+    mean/std/z the standard-form floats derived from them
+    (sample std, ddof=1; z = NULL when std = 0).
+
+    Scale shape: n_samples × (one rewire = two skinny sorts + a rank
+    join, one triangle count = the oriented wedge join) — independent
+    bounded jobs; nothing beyond the scalar counts ever reaches the
+    driver.
+    """
+    import math as _math
+
+    from pagerank_spark.operators.triangles import triangle_count
+
+    spark = edges.sparkSession
+    obs = int(
+        triangle_count(edges.select("src", "dst")).first()["triangles"]
+    )
+    samples = []
+    for i in range(n_samples):
+        rw = configuration_rewire(
+            edges, id_col=id_col, seed=seed + i, hash_fn=hash_fn
+        ).select("src", "dst")
+        samples.append(int(triangle_count(rw).first()["triangles"]))
+    mean = sum(samples) / n_samples
+    var = (
+        sum((s - mean) ** 2 for s in samples) / (n_samples - 1)
+        if n_samples > 1
+        else 0.0
+    )
+    std = _math.sqrt(var)
+    z = (obs - mean) / std if std > 0 else None
+    cols = "observed long, null_mean double, null_std double, z_score double"
+    cols += "".join(f", sample_{i} long" for i in range(n_samples))
+    return spark.createDataFrame(
+        [tuple([obs, mean, std, z] + samples)], cols
+    )

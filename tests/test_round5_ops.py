@@ -570,3 +570,27 @@ def test_temporal_durations(spark):
            temporal_reachability(te, sources=[0],
                                  duration_col="dur").collect()}
     assert got == {0: 0, 1: 5, 2: 6}
+
+
+def test_triangle_null_samples(spark):
+    from pagerank_spark import triangle_null_samples
+
+    # K4 (12 directed rows) has 4 triangles; degree-preserving rewires
+    # of a multigraph rarely keep all of them, and the row is
+    # deterministic: same seed -> same samples
+    und = []
+    for i in range(4):
+        for j in range(4):
+            if i != j:
+                und.append((i, j))
+    e = spark.createDataFrame(
+        [(k, s, d) for k, (s, d) in enumerate(und)],
+        "eid long, src long, dst long",
+    )
+    r1 = triangle_null_samples(e, n_samples=3, seed=5).first()
+    r2 = triangle_null_samples(e, n_samples=3, seed=5).first()
+    assert r1["observed"] == 4
+    assert tuple(r1) == tuple(r2)  # fully deterministic
+    assert r1["null_mean"] >= 0 and r1["null_std"] >= 0
+    for i in range(3):
+        assert 0 <= r1[f"sample_{i}"] <= 4 + 12  # bounded by rewire size
