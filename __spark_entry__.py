@@ -3301,6 +3301,21 @@ def q_hitting_time(spark, sf_dir):
 ABSORB_B = [3, 99]
 
 
+def q_hitting_time_weighted(spark, sf_dir):
+    """Weighted-walk truncated hitting time: P(v,u) = w/strength —
+    the weighted twin of hitting_time over the canonical weighted
+    graph."""
+    from pagerank_spark.operators.absorbing import hitting_time
+
+    out = hitting_time(
+        _edges_weighted(spark, sf_dir), targets=PPR_SOURCES,
+        horizon=HIT_HORIZON, weight_col="weight",
+    )
+    return out.select(
+        "id", F.round("hitting", 7).alias("hitting")
+    ).orderBy("id")
+
+
 def q_absorption(spark, sf_dir):
     """Truncated committor P[hit the PPR seed core before the B core]
     — the two-sided refinement of TrustRank's one-sided propagation."""
@@ -3556,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability": q_temporal_reachability,
         "rmat_md5": q_rmat_md5,
         "hitting_time": q_hitting_time,
+        "hitting_time_weighted": q_hitting_time_weighted,
         "temporal_reachability_dur": q_temporal_reachability_dur,
         "absorption": q_absorption,
         "temporal_reachability_keyed": q_temporal_reachability_keyed,
@@ -5321,17 +5337,30 @@ def _rmat_sql(
     return "\n".join(parts)
 
 
-def _hitting_sql() -> str:
+def _hitting_sql(weighted: bool = False) -> str:
     """Unrolled truncated-hitting-time recursion: h0 = 0 everywhere;
     per level h(v) = 0 on targets else 1 + sum_out p*h (dangling
-    vertices coalesce to their previous value — the self-loop patch)."""
+    vertices coalesce to their previous value — the self-loop patch).
+    ``weighted``: P = w / strength over the canonical weighted graph."""
     t = ", ".join(str(int(x)) for x in PPR_SOURCES)
+    if weighted:
+        edge_ctes = [
+            "od AS (SELECT src, CAST(sum(weight) AS DOUBLE) AS odeg "
+            "FROM eg GROUP BY src),",
+            "w AS (SELECT e.src, e.dst, e.weight / od.odeg AS p "
+            "FROM eg e JOIN od ON e.src = od.src),",
+        ]
+    else:
+        edge_ctes = [
+            "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg "
+            "FROM eg GROUP BY src),",
+            "w AS (SELECT e.src, e.dst, 1.0 / od.odeg AS p "
+            "FROM eg e JOIN od ON e.src = od.src),",
+        ]
     parts = [
-        f"WITH eg AS ({_EDGES_SQL}),",
+        f"WITH eg AS ({_W_EDGES_SQL if weighted else _EDGES_SQL}),",
         "nn AS (SELECT CAST(1 + max(greatest(src, dst)) AS BIGINT) AS n FROM eg),",
-        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM eg GROUP BY src),",
-        "w AS (SELECT e.src, e.dst, 1.0 / od.odeg AS p "
-        "FROM eg e JOIN od ON e.src = od.src),",
+        *edge_ctes,
         "v AS (SELECT CAST(unnest(range(0, (SELECT n FROM nn))) AS BIGINT) AS id),",
         "h0 AS (SELECT id, 0.0 AS h FROM v),",
     ]
@@ -6300,6 +6329,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reachability_dur": _temporal_sql(dur=True),
         "rmat_md5": _rmat_sql(),
         "hitting_time": _hitting_sql(),
+        "hitting_time_weighted": _hitting_sql(weighted=True),
         "absorption": _absorption_sql(),
         "temporal_reachability_keyed": _temporal_keyed_sql(),
         "snapshot_pagerank": _snapshot_pr_sql(),

@@ -34,13 +34,16 @@ def hitting_time(
     horizon: int = 20,
     n: int | None = None,
     checkpoint_every: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """K-truncated expected hitting time to ``targets`` per vertex.
 
     Returns ``(id, hitting)`` for every id in [0, n): 0.0 on targets,
     in (0, horizon] elsewhere. Parallel edges carry multiplicity
     (P(v,u) = multiplicity / out_deg), matching the engine's
-    multigraph convention everywhere else.
+    multigraph convention everywhere else. ``weight_col`` switches to
+    the weighted walk P(v,u) = w(v,u) / Σ_x w(v,x) (positive weights
+    — the same strength normalization weighted PageRank uses).
 
     Scale shape per level: ONE join of the (src, dst, p) stochastic
     edge frame against the O(n) value frame on ``dst`` plus a
@@ -51,10 +54,13 @@ def hitting_time(
     SpMVs, no convergence loop.
     """
     spark = edges.sparkSession
-    e = edges.select(
+    cols = [
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    )
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    e = edges.select(*cols)
     if n is None:
         row = e.agg(F.max(F.greatest("src", "dst")).alias("m")).first()
         if row is None or row["m"] is None:
@@ -64,10 +70,16 @@ def hitting_time(
     if not tset:
         raise ValueError("hitting_time: empty target set")
 
-    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
-    w = e.join(od, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("_od")).alias("p")
-    )
+    if weight_col is None:
+        od = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+        w = e.join(od, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("_od")).alias("p")
+        )
+    else:
+        od = e.groupBy("src").agg(F.sum("_w").alias("_od"))
+        w = e.join(od, "src").select(
+            "src", "dst", (F.col("_w") / F.col("_od")).alias("p")
+        )
     v = spark.range(n).select(F.col("id").cast("long").alias("id"))
     is_target = F.col("id").isin(tset)
     h = v.select("id", F.lit(0.0).alias("h"))

@@ -594,3 +594,15 @@ def test_triangle_null_samples(spark):
     assert r1["null_mean"] >= 0 and r1["null_std"] >= 0
     for i in range(3):
         assert 0 <= r1[f"sample_{i}"] <= 4 + 12  # bounded by rewire size
+
+
+def test_hitting_time_weighted(spark):
+    # weights 3:1 on 0->1 / 0->2; target {1}: vertex 2 dangles so
+    # h_k(2) = k and h_10(0) = 1 + (1/4)*h_9(2) = 1 + 9/4
+    te = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0)], "src long, dst long, weight double")
+    got = {r["id"]: r["hitting"] for r in
+           hitting_time(te, targets=[1], horizon=10,
+                        weight_col="weight").collect()}
+    assert got[1] == 0.0 and got[2] == 10.0
+    assert math.isclose(got[0], 1 + 9 / 4, rel_tol=1e-12)
