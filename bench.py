@@ -70,6 +70,12 @@ HEADLINE = [
     "matching_md5",
     "min_spanning_forest",
     "global_efficiency",
+    # promoted from round-5 extras (same rationale): the slowest of the
+    # round-5 surface. r05 shared-box baselines at sf0.1:
+    # hitting_time 12.8s pre-fix -> ~7.5s after the checkpoint_every=3
+    # lineage fix, config_rewire_md5 5.9s. Compare per-query.
+    "hitting_time",
+    "config_rewire_md5",
 ]
 
 # Round-3 operators, timed and reported under "extra_queries" WITHOUT
@@ -152,10 +158,8 @@ EXTRA = [
     "pagerank_two_phase_bound",
     "leaderrank",
     "refex_features",
-    "config_rewire_md5",
     "temporal_reachability",
     "rmat_md5",
-    "hitting_time",
     "absorption",
     "temporal_reachability_keyed",
     "snapshot_pagerank",

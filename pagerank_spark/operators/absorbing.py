@@ -33,7 +33,7 @@ def hitting_time(
     targets: list[int],
     horizon: int = 20,
     n: int | None = None,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 3,
     weight_col: str | None = None,
 ) -> DataFrame:
     """K-truncated expected hitting time to ``targets`` per vertex.
@@ -113,7 +113,7 @@ def absorption_probability(
     targets_b: list[int],
     horizon: int = 20,
     n: int | None = None,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """P[the walk from v hits A before B], truncated at ``horizon``.
 
