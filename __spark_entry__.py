@@ -3529,6 +3529,66 @@ def q_corpus_divergence(spark, sf_dir):
     )
 
 
+DRIFT_BUCKETS = 64
+
+
+def q_drift_stream(spark, sf_dir):
+    """Streaming drift monitor: per-window (doc_id parity) hashed
+    token histograms aggregated on the stream (state = 64 counters
+    per window), drained and fed to hashed_divergence — the whole
+    stream→histogram→divergence pipeline replayed as pure SQL."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pagerank_spark.streaming.dedup import read_docs_stream
+    from pagerank_spark.streaming.drift import streaming_token_histogram
+    from pagerank_spark.operators.textstats import hashed_divergence
+
+    d = tempfile.mkdtemp(prefix="drift_gate_")
+    ck = tempfile.mkdtemp(prefix="drift_gate_ck_")
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{d}/docs", dirs_exist_ok=True)
+        src_dir = f"{d}/docs"
+    else:
+        shutil.copy(src, d)
+        src_dir = d
+    hist = streaming_token_histogram(
+        read_docs_stream(spark, src_dir),
+        window_expr=F.col("doc_id") % 2,
+        n_buckets=DRIFT_BUCKETS,
+        hash_fn="md5",
+    )
+    name = "gate_drift_" + uuid.uuid4().hex[:8]
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    t = spark.table(name).localCheckpoint()
+    out = hashed_divergence(
+        t.where(F.col("win") == 0).select("bucket", "c"),
+        t.where(F.col("win") == 1).select("bucket", "c"),
+        n_buckets=DRIFT_BUCKETS,
+    )
+    return out.select(
+        "tokens_a",
+        "tokens_b",
+        F.round("kl_ab", 6).alias("kl_ab"),
+        F.round("kl_ba", 6).alias("kl_ba"),
+        F.round("js_divergence", 6).alias("js_divergence"),
+        F.round("total_variation", 6).alias("total_variation"),
+    )
+
+
 SNAPSHOT_BOUNDS = [0, 32, 64]
 
 
@@ -3580,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_contrib_bound": q_ppr_contrib_bound,
         "local_community_check": q_local_community_check,
         "corpus_divergence": q_corpus_divergence,
+        "drift_stream": q_drift_stream,
         "ppr_push_keyed_bound": q_ppr_push_keyed_bound,
         "triangle_config_null": q_triangle_config_null,
         "incremental_cc": q_incremental_cc,
@@ -6245,6 +6306,33 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS within_bound, TRUE AS push_converged ORDER BY seed"
         ),
         "triangle_config_null": _triangle_null_sql(),
+        "drift_stream": (
+            "WITH tk AS MATERIALIZED (SELECT doc_id % 2 AS win, w FROM "
+            "(SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+            "'\\s+')) AS w FROM documents) WHERE w <> ''), "
+            f"hb AS (SELECT win, {_MD5H.format(x='w')} % {DRIFT_BUCKETS} "
+            "AS bucket, count(*) AS c FROM tk GROUP BY win, bucket), "
+            f"b AS (SELECT CAST(unnest(range(0, {DRIFT_BUCKETS})) AS BIGINT) AS bucket), "
+            "j AS (SELECT coalesce(a.c, 0) AS ca, coalesce(bb.c, 0) AS cb "
+            "FROM b LEFT JOIN (SELECT bucket, c FROM hb WHERE win = 0) a "
+            "USING (bucket) "
+            "LEFT JOIN (SELECT bucket, c FROM hb WHERE win = 1) bb "
+            "USING (bucket)), "
+            "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS tca, "
+            "CAST(sum(cb) AS BIGINT) AS tcb FROM j), "
+            "terms AS (SELECT "
+            f"(ca + 0.5) / ((SELECT tca FROM tot) + 0.5 * {DRIFT_BUCKETS}) AS pa, "
+            f"(cb + 0.5) / ((SELECT tcb FROM tot) + 0.5 * {DRIFT_BUCKETS}) AS pb "
+            "FROM j) "
+            "SELECT (SELECT tca FROM tot) AS tokens_a, "
+            "(SELECT tcb FROM tot) AS tokens_b, "
+            "round(sum(pa * log2(pa / pb)), 6) AS kl_ab, "
+            "round(sum(pb * log2(pb / pa)), 6) AS kl_ba, "
+            "round(sum(0.5 * (pa * log2(pa / ((pa + pb) / 2)) "
+            "+ pb * log2(pb / ((pa + pb) / 2)))), 6) AS js_divergence, "
+            "round(sum(0.5 * abs(pa - pb)), 6) AS total_variation "
+            "FROM terms"
+        ),
         "corpus_divergence": (
             "WITH ta AS MATERIALIZED (SELECT w FROM "
             "(SELECT unnest(string_split_regex(lower(trim(text)), "

@@ -126,6 +126,8 @@ from pagerank_spark.operators.textstats import (
     corpus_divergence,
     fingerprints,
     gopher_filter,
+    hashed_divergence,
+    hashed_token_histogram,
     repetition_scores,
     tfidf_top_terms,
     language_id,
@@ -194,6 +196,8 @@ __all__ = [
     "ppr_contributions",
     "local_community",
     "corpus_divergence",
+    "hashed_token_histogram",
+    "hashed_divergence",
     "rmat_edges",
     "betweenness_centrality",
     "edge_betweenness",

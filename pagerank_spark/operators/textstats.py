@@ -613,6 +613,105 @@ def corpus_divergence(
     )
 
 
+def hashed_token_histogram(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width hashed token histogram — the BOUNDED-STATE corpus
+    fingerprint (feature hashing, Weinberger et al. 2009): every token
+    maps to ``hash(token) mod n_buckets``, so the histogram is exactly
+    ``n_buckets`` counters regardless of vocabulary size. This is what
+    makes a drift monitor deployable on an unbounded stream: per-window
+    state is B counters, never a vocabulary. ``hash_fn="md5"`` uses the
+    portable hash so the histogram replays bit-exact in ANSI SQL.
+
+    Returns ``(*group_cols, bucket, c)`` — one row per non-empty
+    bucket (join against ``spark.range(n_buckets)`` for dense form).
+    One tokenize scan + one map-side-combinable count; text never
+    rides a shuffle.
+    """
+    from pagerank_spark.functions.text import hash64
+
+    gcols = list(group_cols or [])
+    tok = docs.select(
+        *gcols,
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        tok.withColumn(
+            "bucket", F.pmod(hash64(F.col("w"), hash_fn), F.lit(n_buckets))
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hashed_divergence(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    n_buckets: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """KL/JS/TV between two hashed histograms over the FIXED
+    ``n_buckets`` support (add-``alpha`` smoothing on every bucket, so
+    both distributions sum to exactly 1 and all quantities are
+    finite). The hashed divergences lower-bound the exact
+    vocabulary-level ones (hashing merges terms; a data-processing
+    inequality) — the standard operating statistic for drift alarms.
+
+    Inputs are ``(bucket, c)`` frames (e.g. two windows of
+    :func:`hashed_token_histogram`). Returns ONE row ``(tokens_a,
+    tokens_b, kl_ab, kl_ba, js_divergence, total_variation)``.
+    Scale shape: one ``range(n_buckets)`` frame + two B-row joins +
+    one combinable scalar fold — B-bounded everywhere.
+    """
+    spark = hist_a.sparkSession
+    base = spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    j = (
+        base.join(hist_a.select("bucket", F.col("c").alias("ca")), "bucket", "left")
+        .join(hist_b.select("bucket", F.col("c").alias("cb")), "bucket", "left")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    totals = j.agg(
+        F.sum("ca").alias("_Ca"), F.sum("cb").alias("_Cb")
+    )
+    pa = (F.col("ca") + F.lit(alpha)) / (
+        F.col("_Ca") + F.lit(alpha) * F.lit(n_buckets)
+    )
+    pb = (F.col("cb") + F.lit(alpha)) / (
+        F.col("_Cb") + F.lit(alpha) * F.lit(n_buckets)
+    )
+    m = (pa + pb) / 2
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_Ca").alias("tokens_a"),
+            F.col("_Cb").alias("tokens_b"),
+            (pa * F.log2(pa / pb)).alias("_kab"),
+            (pb * F.log2(pb / pa)).alias("_kba"),
+            (0.5 * (pa * F.log2(pa / m) + pb * F.log2(pb / m))).alias("_js"),
+            (0.5 * F.abs(pa - pb)).alias("_tv"),
+        )
+        .groupBy("tokens_a", "tokens_b")
+        .agg(
+            F.sum("_kab").alias("kl_ab"),
+            F.sum("_kba").alias("kl_ba"),
+            F.sum("_js").alias("js_divergence"),
+            F.sum("_tv").alias("total_variation"),
+        )
+    )
+
+
 def zipf_fit(
     docs: DataFrame,
     id_col: str = "doc_id",

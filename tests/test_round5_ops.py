@@ -606,3 +606,79 @@ def test_hitting_time_weighted(spark):
                         weight_col="weight").collect()}
     assert got[1] == 0.0 and got[2] == 10.0
     assert math.isclose(got[0], 1 + 9 / 4, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# hashed histograms / drift
+# ---------------------------------------------------------------------------
+
+def test_hashed_histogram_counts(spark):
+    from pagerank_spark import hashed_token_histogram
+
+    docs = _docs_df(spark, ["a b a", "b c"])
+    h = hashed_token_histogram(docs, n_buckets=8, hash_fn="md5")
+    rows = h.collect()
+    assert sum(r["c"] for r in rows) == 5  # every token lands once
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+    # deterministic across partitionings
+    h2 = hashed_token_histogram(docs.repartition(5), n_buckets=8,
+                                hash_fn="md5")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, h2.collect()))
+
+
+def test_hashed_divergence_bounds_exact(spark):
+    from pagerank_spark import (
+        corpus_divergence, hashed_divergence, hashed_token_histogram,
+    )
+
+    # token counts must dominate the alpha*B smoothing mass for the
+    # hashed statistic to read through (true by construction on a real
+    # stream: tokens >> buckets) — repeat the docs to get there
+    a = _docs_df(
+        spark, ["the quick brown fox jumps over the lazy dog"] * 200)
+    b = _docs_df(
+        spark, ["la rapida zorra salta sobre el perro perezoso"] * 200,
+        start=1000)
+    exact = corpus_divergence(a, b).first()
+    B = 64
+    ha = hashed_token_histogram(a, n_buckets=B, hash_fn="md5")
+    hb = hashed_token_histogram(b, n_buckets=B, hash_fn="md5")
+    hashed = hashed_divergence(ha, hb, n_buckets=B).first()
+    # identical histograms -> zero
+    zero = hashed_divergence(ha, ha, n_buckets=B).first()
+    assert zero["js_divergence"] == 0.0 and zero["total_variation"] == 0.0
+    # disjoint-language corpora: both statistics near their maxima,
+    # and hashing can only merge mass (lower-bounds the exact TV)
+    assert 0 < hashed["total_variation"] <= exact["total_variation"] + 1e-9
+    assert hashed["total_variation"] > 0.8
+    assert hashed["js_divergence"] > 0.5
+
+
+def test_streaming_histogram_equals_batch(spark, tmp_path):
+    from pagerank_spark import hashed_token_histogram
+    from pagerank_spark.streaming.dedup import read_docs_stream
+    from pagerank_spark.streaming.drift import streaming_token_histogram
+    import uuid
+
+    docs = _docs_df(spark, ["alpha beta", "beta gamma delta",
+                            "alpha alpha", "gamma"])
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    stream = read_docs_stream(spark, src)
+    hist = streaming_token_histogram(
+        stream, window_expr=__import__("pyspark").sql.functions.col("doc_id") % 2,
+        n_buckets=16, hash_fn="md5",
+    )
+    name = "t_drift_" + uuid.uuid4().hex[:8]
+    q = (hist.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    batch = hashed_token_histogram(
+        docs.withColumn("win", F.col("doc_id") % 2),
+        n_buckets=16, hash_fn="md5", group_cols=["win"],
+    )
+    want = sorted(map(tuple, batch.select("win", "bucket", "c").collect()))
+    assert got == want
