@@ -164,6 +164,9 @@ EXTRA = [
     "temporal_reachability_keyed",
     "snapshot_pagerank",
     "corpus_divergence",
+    "drift_stream",
+    "hitting_time_weighted",
+    "triangle_config_null",
     # ppr_push_bound / ppr_contrib_bound are gated (sf0.01) but not
     # benched: each runs 1-4 exact eps=1e-12 personalized PageRank
     # convergence loops as its comparison baseline — legitimate for the
