@@ -71,9 +71,9 @@ HEADLINE = [
     "min_spanning_forest",
     "global_efficiency",
     # promoted from round-5 extras (same rationale): the slowest of the
-    # round-5 surface. r05 shared-box baselines at sf0.1:
-    # hitting_time 12.8s pre-fix -> ~7.5s after the checkpoint_every=3
-    # lineage fix, config_rewire_md5 5.9s. Compare per-query.
+    # round-5 surface. r05 solo best-of-2 baselines at sf0.1 local[32]:
+    # hitting_time 5.26s (12.8s pre checkpoint_every=3 lineage fix),
+    # config_rewire_md5 5.21s. Compare per-query.
     "hitting_time",
     "config_rewire_md5",
 ]
