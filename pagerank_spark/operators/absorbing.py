@@ -80,6 +80,10 @@ def hitting_time(
         w = e.join(od, "src").select(
             "src", "dst", (F.col("_w") / F.col("_od")).alias("p")
         )
+    # materialize the stochastic edge frame ONCE: every level (and every
+    # eager localCheckpoint of the state) re-joins against it, and an
+    # unpersisted w rebuilds the O(E) degree agg + join per level
+    w = w.localCheckpoint(eager=True)
     v = spark.range(n).select(F.col("id").cast("long").alias("id"))
     is_target = F.col("id").isin(tset)
     h = v.select("id", F.lit(0.0).alias("h"))
@@ -153,6 +157,9 @@ def absorption_probability(
     w = e.join(od, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("_od")).alias("p")
     )
+    # same as hitting_time: one materialization of the stochastic edge
+    # frame instead of horizon O(E) rebuilds
+    w = w.localCheckpoint(eager=True)
     v = spark.range(n).select(F.col("id").cast("long").alias("id"))
     in_a, in_b = F.col("id").isin(aset), F.col("id").isin(bset)
     h = v.select(

@@ -208,7 +208,11 @@ def hyper_anf(
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     m = 1 << p
-    e = edges.select("src", "dst").repartition(P, "dst").persist()
+    # sketch merge is an idempotent element-wise max, so parallel
+    # (src, dst) rows are exactly redundant: distinct is
+    # result-identical and divides the per-round message volume (each
+    # message carries a 2^p-byte sketch) by the duplication factor
+    e = edges.select("src", "dst").distinct().repartition(P, "dst").persist()
     e.count()
     vertices = (
         edges.select(F.col("src").alias("id"))

@@ -86,7 +86,11 @@ def _count(e: DataFrame) -> int:
 # same adaptive strategy pagerank's local mode uses. Composed operators
 # (simhash_dedup_near, dedup_near: CC over a fingerprint/pair graph)
 # hit this constantly: their graphs are tiny even on huge corpora.
-LOCAL_CC_MAX_E = 100_000
+# Cutoff sized in BYTES, not vibes: 250k edge pairs = ~4 MB — under
+# the 10 MB build-side norm a broadcast join already ships to every
+# executor, and the union-find touches each edge once (~1 μs/edge,
+# measured 2.4x faster than star rounds at 123k edges on local[32]).
+LOCAL_CC_MAX_E = 250_000
 
 
 def _cc_local(spark, vertices: DataFrame, e: DataFrame) -> DataFrame:

@@ -183,51 +183,85 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     analysis"). The (k)-truss is a stricter cohesion filter than the
     (k−1)-core it is contained in — the standard community-core miner.
 
-    Peeling fixpoint on the ``plans.iterate`` harness: each round
-    re-counts per-edge triangle support over the SURVIVING edge set
-    via the degree-ordered orientation join (the engine's triangle
-    kernel — no wedge explosion at hubs), drops edges below support,
-    and stops when the edge count is stable (support only ever
-    decreases as edges leave, so a stable count is the fixpoint — one
-    cheap action per round, the same monotone argument as
-    :func:`k_core`). ``k <= 2`` degenerates to the whole simple edge
-    set (every edge trivially closes ≥ 0 triangles).
+    Peeling fixpoint on the ``plans.iterate`` harness. Triangles are
+    enumerated ONCE, up front, via the degree-ordered orientation join
+    (the engine's triangle kernel — no wedge explosion at hubs): the
+    peel only ever REMOVES edges, so the triangles of any later
+    round's graph are exactly the original triangles whose three
+    member edges all survive. Each round therefore (a) filters the
+    materialized triangle table with three semi-joins against the
+    surviving edge set, (b) recounts per-edge support by exploding
+    the surviving triangles (one scan — a 3-branch union would re-run
+    the filter per edge position), (c) drops edges below support, and
+    stops when the edge count is stable (support only ever decreases
+    as edges leave, so a stable count is the fixpoint — one cheap
+    action per round, the same monotone argument as :func:`k_core`).
+    ``k <= 2`` degenerates to the whole simple edge set (every edge
+    trivially closes ≥ 0 triangles).
 
-    Each round is bounded shuffles over a monotonically shrinking edge
-    set; support recount is two self-joins per round — at 100 TB this
-    is the dominant cost, and it contracts geometrically in practice
-    as the sparse fringe peels in the first rounds.
+    This trades O(#triangles) materialized skinny rows (6 longs each,
+    spillable localCheckpoint — the same storage class the trussness
+    decomposition's triangle→member-edge table already uses) for
+    removing the two O(E^1.5-ish) wedge self-joins from EVERY round
+    after the first: rounds become bounded semi-joins + one
+    map-side-combinable aggregate over a monotonically shrinking
+    triangle set.
     """
     from pagerank_spark.operators.triangles import _orient, _triangles
 
     state = _simple_undirected(edges).localCheckpoint()
     if k <= 2:
         return state
+    o = _orient(state, _simple_degrees(state)).localCheckpoint()
+    tri0 = (
+        _triangles(o)
+        .select(
+            F.least("x", "y").alias("a1"),
+            F.greatest("x", "y").alias("b1"),
+            F.least("y", "z").alias("a2"),
+            F.greatest("y", "z").alias("b2"),
+            F.least("x", "z").alias("a3"),
+            F.greatest("x", "z").alias("b3"),
+        )
+        .localCheckpoint()
+    )
+    tri_ctx = {"tri": tri0}
 
     def _step(e: DataFrame, _round: int) -> DataFrame:
-        o = _orient(e, _simple_degrees(e)).localCheckpoint()
-        tri = _triangles(o)
-        # each (x, y, z) triangle supports its three edges; corners are
-        # oriented by degree, so re-sort endpoints to the (a < b) key.
-        # ONE scan of the triangle join: a 3-branch union re-runs the
-        # two self-joins once per edge position (the _corner_counts
-        # pitfall — measured ~2x slower per round at sf0.1); explode
-        # emits the three edges per triangle in place.
+        tri = tri_ctx["tri"]
+        if _round > 1:
+            # surviving triangles = rows whose three edges all survive
+            tri = (
+                tri.join(
+                    e.select(F.col("a").alias("a1"), F.col("b").alias("b1")),
+                    ["a1", "b1"],
+                    "left_semi",
+                )
+                .join(
+                    e.select(F.col("a").alias("a2"), F.col("b").alias("b2")),
+                    ["a2", "b2"],
+                    "left_semi",
+                )
+                .join(
+                    e.select(F.col("a").alias("a3"), F.col("b").alias("b3")),
+                    ["a3", "b3"],
+                    "left_semi",
+                )
+                .localCheckpoint()
+            )
+            tri_ctx["tri"] = tri
         support = (
             tri.select(
                 F.explode(
                     F.array(
                         F.struct(
-                            F.least("x", "y").alias("a"),
-                            F.greatest("x", "y").alias("b"),
+                            F.col("a1").alias("a"), F.col("b1").alias("b")
                         ),
                         F.struct(
-                            F.least("y", "z").alias("a"),
-                            F.greatest("y", "z").alias("b"),
+                            F.col("a2").alias("a"), F.col("b2").alias("b")
                         ),
                         F.struct(
-                            F.least("x", "z").alias("a"),
-                            F.greatest("x", "z").alias("b"),
+                            F.col("a3").alias("a"), F.col("b3").alias("b")
                         ),
                     )
                 ).alias("_e")

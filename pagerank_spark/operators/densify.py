@@ -5,13 +5,12 @@ The reference assumes dense int ids straight from the file header
 (repo names, 64-bit hashes); the broadcast-rank PageRank path indexes a
 NumPy vector by id, so it needs dense ids.
 
-Implementation: distinct ids, sorted, then ``zipWithIndex``. This is
-one of the few justified RDD uses in the engine: ``zipWithIndex`` is
-the canonical distributed dense-numbering primitive (one pass to count
-per-partition sizes, one to assign offsets — no single-partition
-window, no driver collect), which is exactly what a scale-safe dense
-rank requires. Sorting first makes the assignment deterministic across
-runs and partitionings.
+Implementation: distinct ids, sorted, then the JVM-side global row
+numbering in ``plans.rank.zip_with_index`` (per-partition counts +
+broadcast offsets — no single-partition window, no driver collect, and
+no Python row pass), which is exactly what a scale-safe dense rank
+requires. Sorting first makes the assignment deterministic across runs
+and partitionings.
 """
 
 from __future__ import annotations
@@ -36,11 +35,10 @@ def densify_ids(
         .distinct()
         .sort("orig_id")
     )
-    mapping = (
-        ids.rdd.map(lambda r: r[0])
-        .zipWithIndex()
-        .toDF(["orig_id", "id"])
-        .select("orig_id", F.col("id").cast("long"))
+    from pagerank_spark.plans.rank import zip_with_index
+
+    mapping = zip_with_index(ids, out="id", start=0).select(
+        "orig_id", F.col("id").cast("long")
     )
     dense = (
         edges.join(mapping.withColumnRenamed("orig_id", src), src)

@@ -59,6 +59,12 @@ def label_propagation(
         sym = sym.union(
             sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+    # collapse parallel edges to an integer multiplicity ONCE: the
+    # per-round vote is a pure count, so summing multiplicities is
+    # bit-identical to counting raw message rows — and every round's
+    # message join and delivery shuffle move duplication-factor fewer
+    # rows (exact-integer twin of the walks-module distinct collapse)
+    sym = sym.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("_m"))
     # persist, NOT localCheckpoint: the cached InMemoryRelation reports
     # its hashpartitioning(src) to the planner so the per-round join
     # skips the fat-side exchange; a checkpoint's LogicalRDD drops the
@@ -108,8 +114,8 @@ def label_propagation(
             .withColumnRenamed("id", "src")
             .hint(join_hint),
             "src",
-        ).select(F.col("dst").alias("id"), "label")
-        counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
+        ).select(F.col("dst").alias("id"), "label", "_m")
+        counts = msgs.groupBy("id", "label").agg(F.sum("_m").alias("c"))
         # argmax by (count, -label): most frequent label, ties -> min label.
         picked = counts.groupBy("id").agg(
             F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("top")

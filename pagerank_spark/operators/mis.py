@@ -48,19 +48,22 @@ def maximal_independent_set(
         .distinct()
         .localCheckpoint()
     )
-    mis = spark.createDataFrame([], "id long").localCheckpoint()
+    mis_parts: list[DataFrame] = []
     exhausted = True
     for rnd in range(1, max_iter + 1):
         if undecided.isEmpty():
             exhausted = False
             break
+        # no checkpoint: both consumers re-derive the priorities with
+        # one deterministic hash projection over the checkpointed
+        # undecided frame — cheaper than materializing + re-reading
         pri = undecided.select(
             "id",
             hash64(
                 F.concat_ws("|", F.col("id").cast("string"), F.lit(str(rnd))),
                 hash_fn,
             ).alias("_p"),
-        ).localCheckpoint()
+        )
         # min (priority, id) among each vertex's UNDECIDED neighbors
         nbr_min = (
             sym.join(pri.withColumnRenamed("id", "dst"), "dst")
@@ -82,7 +85,10 @@ def maximal_independent_set(
             sym.join(cand.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
         ).distinct()
-        mis = mis.unionByName(cand).localCheckpoint()
+        # winners accumulate as already-checkpointed per-round frames;
+        # the union is assembled once at the end (no per-round
+        # materialization of the growing set)
+        mis_parts.append(cand)
         undecided = undecided.join(removed, "id", "left_anti").localCheckpoint()
     if exhausted and not undecided.isEmpty():
         import warnings
@@ -95,6 +101,9 @@ def maximal_independent_set(
             stacklevel=2,
         )
     sym.unpersist()
+    mis = spark.createDataFrame([], "id long")
+    for part in mis_parts:
+        mis = mis.unionByName(part)
     return mis
 
 

@@ -81,11 +81,18 @@ def minimum_spanning_forest(
         if live.isEmpty():
             exhausted = False
             break
-        # min incident edge per component over both endpoint sides
+        # min incident edge per component over both endpoint sides.
+        # The edge's CURRENT labels ride inside the struct after the
+        # deciding (weight, a, b) prefix — (w, a, b) already identifies
+        # the edge uniquely, so the extra fields never change which
+        # edge wins, and the selection carries its label pair out of
+        # the aggregate for free (no O(E) join-back per round).
         key = F.struct(
             F.col("weight").alias("_w"),
             F.col("a").alias("_ia"),
             F.col("b").alias("_ib"),
+            F.col("la").alias("_la"),
+            F.col("lb").alias("_lb"),
         ).alias("_k")
         both = live.select(F.col("la").alias("c"), key).union(
             live.select(F.col("lb").alias("c"), key)
@@ -93,7 +100,7 @@ def minimum_spanning_forest(
         sel = (
             both.groupBy("c")
             .agg(F.min("_k").alias("_k"))
-            .select("_k._w", "_k._ia", "_k._ib")
+            .select("_k._w", "_k._ia", "_k._ib", "_k._la", "_k._lb")
             .distinct()
             .localCheckpoint()
         )
@@ -106,12 +113,8 @@ def minimum_spanning_forest(
         )
         # contract: CC on the LABEL graph of the selection (the edge's
         # current labels, not its endpoints — ≤ 1 edge per component)
-        sel_labels = (
-            sel.join(
-                live.select("a", "b", "la", "lb"),
-                (F.col("_ia") == F.col("a")) & (F.col("_ib") == F.col("b")),
-            )
-            .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        sel_labels = sel.select(
+            F.col("_la").alias("src"), F.col("_lb").alias("dst")
         )
         relabel = connected_components(sel_labels).select(
             F.col("id").alias("_old"), F.col("component").alias("_new")

@@ -60,20 +60,19 @@ def configuration_rewire(
     )
 
     def ranked(endpoint: str, tag: str) -> DataFrame:
-        # sort + zipWithIndex — the same scale-safe dense-rank
-        # primitive densify_ids uses (per-partition counts + offsets;
-        # NO single-partition window, no driver collect)
+        # sort + JVM-side global numbering (plans.rank.zip_with_index:
+        # per-partition counts + broadcast offsets; NO single-partition
+        # window, no driver collect, no Python row pass)
+        from pagerank_spark.plans.rank import zip_with_index
+
         stubs = (
             edges.select(F.col(id_col).alias("_eid"), F.col(endpoint))
             .withColumn("h", hash64(sside(tag), hash_fn))
             .sort("h", "_eid")
+            .select(endpoint)
         )
-        return (
-            stubs.rdd.map(lambda r: (r[endpoint],))
-            .zipWithIndex()
-            .map(lambda t: (t[1] + 1, t[0][0]))
-            .toDF(["rn", endpoint])
-            .select(F.col("rn").cast("long"), F.col(endpoint).cast("long"))
+        return zip_with_index(stubs, out="rn", start=1).select(
+            F.col("rn").cast("long"), F.col(endpoint).cast("long")
         )
 
     return (

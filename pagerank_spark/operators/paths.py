@@ -43,13 +43,26 @@ def shortest_paths(
     if not sources:
         raise ValueError("sources must be non-empty")
     spark = edges.sparkSession
+    # min-plus semiring: parallel edges are EXACTLY redundant — only
+    # the minimum-weight instance of a (src, dst) pair can ever win a
+    # relaxation — so the multigraph collapses to its distinct edge
+    # set (min weight per pair) with bit-identical distances, and
+    # every round's relax join moves duplication-factor fewer rows
     if weight_col:
-        e = edges.select(
-            "src", "dst", F.col(weight_col).cast("double").alias("_w")
+        e = (
+            edges.select(
+                "src", "dst", F.col(weight_col).cast("double").alias("_w")
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("_w").alias("_w"))
         )
         zero = F.lit(0.0)
     else:
-        e = edges.select("src", "dst", F.lit(1).cast("long").alias("_w"))
+        e = (
+            edges.select("src", "dst")
+            .distinct()
+            .select("src", "dst", F.lit(1).cast("long").alias("_w"))
+        )
         zero = F.lit(0).cast("long")
     # loop-invariant: pre-partition by src once so each round's join
     # moves only the O(frontier) distance side (same motion as LPA)
@@ -153,14 +166,24 @@ def multi_source_bfs(
         raise ValueError("sources must be non-empty")
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
+    # parallel edges collapse exactly under min-plus — see
+    # shortest_paths
     if weight_col:
-        e = edges.select(
-            "src", "dst", F.col(weight_col).cast("double").alias("_w")
+        e = (
+            edges.select(
+                "src", "dst", F.col(weight_col).cast("double").alias("_w")
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("_w").alias("_w"))
         )
         seed = [(int(s), int(s), 0.0) for s in set(sources)]
         schema = "source long, id long, dist double"
     else:
-        e = edges.select("src", "dst", F.lit(1).cast("long").alias("_w"))
+        e = (
+            edges.select("src", "dst")
+            .distinct()
+            .select("src", "dst", F.lit(1).cast("long").alias("_w"))
+        )
         seed = [(int(s), int(s), 0) for s in set(sources)]
         schema = "source long, id long, dist long"
     e = e.repartition(P, "src").persist()
@@ -334,7 +357,14 @@ def topological_levels(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     """
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
-    e = edges.select("src", "dst").repartition(P, "src").persist()
+    # max-semiring levels: duplicate (src, dst) rows are exactly
+    # redundant under the max fold — distinct is result-identical
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(P, "src")
+        .persist()
+    )
     e.count()
     vertices = (
         edges.select(F.col("src").alias("id"))
@@ -442,8 +472,14 @@ def widest_paths(
         raise ValueError("sources must be non-empty")
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
-    e = edges.select(
-        "src", "dst", F.col(weight_col).cast("double").alias("_w")
+    # (max, min) semiring: only the MAX-capacity instance of a parallel
+    # (src, dst) pair can ever win a relaxation — collapse is exact
+    e = (
+        edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("_w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("_w").alias("_w"))
     )
     e = e.repartition(P, "src").persist()
     e.count()

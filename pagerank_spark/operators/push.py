@@ -74,10 +74,14 @@ def ppr_push(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     )
-    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    # materialized ONCE: every round joins the state against od and w,
+    # and an unpersisted frame rebuilds the O(E) degree agg per round
+    od = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("_od")
+    ).localCheckpoint(eager=True)
     w = e.join(od, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("_od")).alias("share")
-    )
+    ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     st = spark.createDataFrame(
         [(int(seed), 0.0, 1.0)], "id long, p double, r double"
@@ -93,7 +97,9 @@ def ppr_push(
         active = F.col("r") > F.when(
             F.col("deg") > 0, F.lit(eps_push) * F.col("deg")
         ).otherwise(F.lit(eps_push))
-        st = st.withColumn("act", active)
+        # checkpoint the flagged state so the convergence probe and the
+        # push/keep branches evaluate the od join + flag ONCE per round
+        st = st.withColumn("act", active).localCheckpoint(eager=True)
         if st.where("act").limit(1).count() == 0:
             converged = True
             st = st.drop("deg", "act")
@@ -163,10 +169,13 @@ def ppr_push_keyed(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     )
-    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    # materialized ONCE per run — see ppr_push
+    od = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("_od")
+    ).localCheckpoint(eager=True)
     w = e.join(od, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("_od")).alias("share")
-    )
+    ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     st = spark.createDataFrame(
         [(int(s), int(s), 0.0, 1.0) for s in sorted(set(seeds))],
@@ -183,7 +192,8 @@ def ppr_push_keyed(
         active = F.col("r") > F.when(
             F.col("deg") > 0, F.lit(eps_push) * F.col("deg")
         ).otherwise(F.lit(eps_push))
-        st = st.withColumn("act", active)
+        # one evaluation of the od join + flag per round — see ppr_push
+        st = st.withColumn("act", active).localCheckpoint(eager=True)
         if st.where("act").limit(1).count() == 0:
             converged = True
             st = st.drop("deg", "act")
@@ -273,11 +283,12 @@ def ppr_contributions(
     )
     od = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
     # reverse-push edge frame: receiver = src side, share = 1/d_out(src)
+    # — materialized ONCE (every round's push joins against it)
     w = e.join(od, "src").select(
         F.col("dst").alias("from_v"),
         F.col("src").alias("to_u"),
         (F.lit(1.0) / F.col("_od")).alias("share"),
-    )
+    ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     st = spark.createDataFrame(
         [(int(target), 0.0, 1.0)], "id long, p double, r double"

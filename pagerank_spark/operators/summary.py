@@ -42,32 +42,49 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     edges = edges.select("src", "dst").localCheckpoint()
     simple = _simple_undirected(edges).localCheckpoint()
     deg = _simple_degrees(simple).localCheckpoint()
-    n_edges = edges.count()
-    e_s = simple.count()
-    deg_row = deg.agg(
-        F.max("deg").alias("maxd"),
-        F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w2"),
-    ).collect()[0]
-    n = int(
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .count()
-    )
     o = _orient(simple, deg).localCheckpoint()
-    tri = int(
-        _triangles(o).agg(F.count(F.lit(1)).alias("t")).collect()[0]["t"]
-    )
+    # The scalar figures are INDEPENDENT actions over shared
+    # checkpointed frames — submit them from a small thread pool so
+    # the cheap counts back-fill executors freed by the triangle
+    # join's tail instead of serializing behind it (each value is a
+    # deterministic scalar, so concurrency cannot change the row).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_ne = pool.submit(edges.count)
+        f_es = pool.submit(simple.count)
+        f_deg = pool.submit(
+            deg.agg(
+                F.max("deg").alias("maxd"),
+                F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w2"),
+            ).collect
+        )
+        f_n = pool.submit(
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .count
+        )
+        f_tri = pool.submit(
+            _triangles(o).agg(F.count(F.lit(1)).alias("t")).collect
+        )
+        f_rec = pool.submit(reciprocity(edges).collect)
+        f_ncomp = pool.submit(
+            lambda: connected_components(edges)
+            .select("component")
+            .distinct()
+            .count()
+        )
+        n_edges = f_ne.result()
+        e_s = f_es.result()
+        deg_row = f_deg.result()[0]
+        n = int(f_n.result())
+        tri = int(f_tri.result()[0]["t"])
+        rec = float(f_rec.result()[0]["reciprocity"])
+        ncomp = int(f_ncomp.result())
     # same operand order as the clustering_global oracle: 3.0*t / (W/2)
     wedges = (deg_row["w2"] or 0) / 2
     trans = (3.0 * tri / wedges) if wedges > 0 else 0.0
-    rec = float(reciprocity(edges).collect()[0]["reciprocity"])
-    ncomp = int(
-        connected_components(edges)
-        .select("component")
-        .distinct()
-        .count()
-    )
     spark = edges.sparkSession
     return spark.createDataFrame(
         [
