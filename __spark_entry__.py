@@ -3378,8 +3378,10 @@ def q_ppr_contrib_bound(spark, sf_dir):
     """Reverse-push PageRank contributions with the per-source uniform
     certificate |ppr_v(target) − p(v)| ≤ eps_push, spot-checked
     in-engine against exact leak-mode personalized runs for the top-3
-    estimated contributors plus one untouched source; oracle pins the
-    certificate TRUE."""
+    estimated contributors plus the weakest TOUCHED contributor
+    (``ranked[-1:]`` — untouched sources never enter ``estimates``, so
+    the certificate's untouched branch is covered by the bound's
+    derivation, not by a probe); oracle pins the certificate TRUE."""
     from pagerank_spark.operators.push import ppr_contributions
     from pagerank_spark.operators.pagerank import pagerank
 

@@ -160,9 +160,19 @@ def _merge_by_id(df: DataFrame, m: int, num_partitions: int) -> DataFrame:
     # order rows, so an id could appear mid-batch in two batches and be
     # emitted twice with partially-merged sketches; with the partition
     # sorted, every id is contiguous and the single-group carry at each
-    # batch boundary is exact
+    # batch boundary is exact.
+    #
+    # Two-stage merge (the classic combiner): a map-side partial pass
+    # runs the SAME kernel over each input partition (local sort, no
+    # exchange) so at most one sketch per (partition, id) enters the
+    # shuffle — the exchange then moves O(partitions × distinct ids)
+    # sketch-sized rows instead of one per message. Element-wise max is
+    # associative/commutative/idempotent, so the two-stage registers
+    # are bit-identical to the single-stage ones.
     return (
-        df.repartition(num_partitions, "id")
+        df.sortWithinPartitions("id")
+        .mapInArrow(merge, "id long, sk binary")
+        .repartition(num_partitions, "id")
         .sortWithinPartitions("id")
         .mapInArrow(merge, "id long, sk binary")
     )

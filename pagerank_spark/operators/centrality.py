@@ -212,7 +212,21 @@ def brandes_forward(
         raise ValueError("pivots must be non-empty")
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
-    e = edges.select("src", "dst").repartition(P, "src").persist()
+    # parallel edges collapse to an integer multiplicity: path counts
+    # are integers carried in doubles, and integer products/sums below
+    # 2^53 are EXACT in fp64 regardless of order, so sum(sigma * m) is
+    # bit-identical to summing one term per parallel instance — while
+    # each level's message join moves duplication-factor fewer rows.
+    # (The backward dependency pass keeps the raw edge table: its
+    # sigma-ratio terms are genuine floats where a collapse could
+    # reassociate the rounding.)
+    e = (
+        edges.select("src", "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("_m"))
+        .repartition(P, "src")
+        .persist()
+    )
     e.count()
     init = spark.createDataFrame(
         [(int(s), int(s), 0, 1.0) for s in set(pivots)],
@@ -226,7 +240,7 @@ def brandes_forward(
         msgs = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
             .groupBy("source", F.col("dst").alias("id"))
-            .agg(F.sum("sigma").alias("sigma"))
+            .agg(F.sum(F.col("sigma") * F.col("_m")).alias("sigma"))
         )
         new = (
             msgs.join(settled_ids, ["source", "id"], "left_anti")
@@ -697,6 +711,14 @@ def leaderrank(
     blocks or join mode, same salting/checkpoint knobs. The augmented
     graph has no dangling vertices by construction (every v points at
     g), so the d = 1 walk conserves mass without any dangling pass.
+
+    Convergence caveat: with d = 1 there is no damping-based
+    contraction guarantee — the rate is set by the augmented chain's
+    second eigenvalue, and the default unbounded loop
+    (``max_iter=None``) can run long on slowly-mixing graphs. For
+    production runs on unknown graphs pass a finite ``max_iter``
+    budget (the ground edges make mixing fast on typical link graphs,
+    which is why the published method leaves it unbounded).
     """
     from pagerank_spark.operators.pagerank import pagerank
 

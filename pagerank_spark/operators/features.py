@@ -43,12 +43,13 @@ def refex_features(edges: DataFrame, rounds: int = 2) -> DataFrame:
     (out/in × out_deg/in_deg) and round 2 the 4 second-order sums of
     the round-1 out/in sums along the same side.
 
-    Returns one row per vertex::
+    Returns one row per vertex (column names are ``prefix + '_' +
+    source column``, so the degree columns appear with underscores)::
 
         (id, out_deg, in_deg,
-         s_out_outdeg, s_out_indeg, s_in_outdeg, s_in_indeg,
-         s2_out_s_out_outdeg, s2_out_s_out_indeg,
-         s2_in_s_in_outdeg, s2_in_s_in_indeg,
+         s_out_out_deg, s_out_in_deg, s_in_out_deg, s_in_in_deg,
+         s2_out_s_out_out_deg, s2_out_s_out_in_deg,
+         s2_in_s_in_out_deg, s2_in_s_in_in_deg,
          mean_out_outdeg, mean_in_indeg)
 
     The two trailing means (avg out-degree of out-neighbors, avg

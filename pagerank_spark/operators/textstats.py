@@ -385,7 +385,11 @@ def bigram_perplexity(
     ``c(v, ·)`` counts v as a *context* (number of bigrams starting
     with v), so the conditional distribution normalizes over the
     observed follower multiset plus the reserved OOV mass. Documents
-    with fewer than two tokens have no bigram and are absent.
+    with fewer than two tokens have no bigram and are absent. The
+    smoothing vocabulary ``V`` is the BIGRAM-PARTICIPATING vocabulary
+    (distinct tokens appearing in at least one model bigram) — tokens
+    occurring solely in single-token documents are excluded, a
+    self-consistent but narrower set than the full corpus vocabulary.
 
     Bigram captures local word order that the unigram score is blind
     to: shuffled or template-stitched text keeps its unigram profile

@@ -87,6 +87,11 @@ def iterate(
     for rounds in range(start + 1, max_iter + 1):
         new = step(state, rounds)
         if checkpoint:
+            # eager on purpose: several convergence callbacks probe with
+            # partial-evaluation actions (isEmpty / limit-count), and a
+            # LAZY localCheckpoint finalized by a partial job is the
+            # classic missing-block hazard; the measured saving of
+            # fusing materialize+probe was within box noise (r6)
             new = new.localCheckpoint()
         fin = converged(state, new, rounds)
         if checkpoint_dir:
