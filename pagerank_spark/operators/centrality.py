@@ -47,13 +47,29 @@ def _gather_ready(edges: DataFrame, weight_col: str | None):
 
     One persisted copy partitioned by ``src``: every round's join
     against the score side is exchange-free on the fat side.
+
+    In the UNWEIGHTED case parallel (src, dst) instances are pre-folded
+    into one row whose ``_mw`` multiplier is the multiplicity — the
+    gather then computes ``Σ _mw·x`` instead of one term per instance,
+    moving duplication-factor fewer rows per round; verified bit-exact
+    against the oracle at every driver SF. The WEIGHTED case keeps one
+    row per instance with ``_mw`` = the raw weight: folding genuine
+    float weights (Σw)·x reassociates the rounding, and katz_weighted
+    measurably flipped a 7-dp rounding boundary at sf0.1 — not worth
+    the declared-result risk.
     """
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
-    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
-    e = edges.select(*cols)
     if weight_col:
-        e = e.withColumn(weight_col, F.col(weight_col).cast("double"))
+        e = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("_wt")
+        )
+        folded = e.select("src", "dst", F.col("_wt").alias("_mw"))
+    else:
+        e = edges.select("src", "dst")
+        folded = e.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("double").alias("_mw")
+        )
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -62,7 +78,11 @@ def _gather_ready(edges: DataFrame, weight_col: str | None):
     )
     n = vertices.count()
     hint = "broadcast" if n <= _BROADCAST_V else "shuffle_hash"
-    e = e.persist() if hint == "broadcast" else e.repartition(P, "src").persist()
+    e = (
+        folded.persist()
+        if hint == "broadcast"
+        else folded.repartition(P, "src").persist()
+    )
     e.count()
     return e, vertices, n, hint
 
@@ -86,11 +106,7 @@ def katz_centrality(
     contract, as with NetworkX.
     """
     e, vertices, _n, hint = _gather_ready(edges, weight_col)
-    wexpr = (
-        (F.col(weight_col) * F.col("katz")).alias("_m")
-        if weight_col
-        else F.col("katz").alias("_m")
-    )
+    wexpr = (F.col("_mw") * F.col("katz")).alias("_m")
 
     def _step(state: DataFrame, _round: int) -> DataFrame:
         msgs = (
@@ -143,11 +159,7 @@ def eigenvector_centrality(
     from pagerank_spark.operators.hits import _l2_normalized
 
     e, vertices, _n, hint = _gather_ready(edges, weight_col)
-    wexpr = (
-        (F.col(weight_col) * F.col("eigenvector")).alias("_m")
-        if weight_col
-        else F.col("eigenvector").alias("_m")
-    )
+    wexpr = (F.col("_mw") * F.col("eigenvector")).alias("_m")
 
     def _step(state: DataFrame, _round: int) -> DataFrame:
         msgs = (
@@ -471,10 +483,21 @@ def personalized_pagerank_keyed(
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    # parallel edges collapse to one row carrying m·d/od: duplicate
+    # (src, dst) instances contribute identical per-edge shares, so the
+    # gather's Σ _w·rank is the same sum with the duplicate terms
+    # pre-folded — values verified bit-exact against the oracle at
+    # every driver SF (the gate rounds to 7 dp, far above the ulp-level
+    # reassociation this can introduce) — while every iteration's O(E)
+    # join moves duplication-factor fewer rows
     ew = (
-        edges.join(out_deg, "src")
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .join(out_deg, "src")
         .select(
-            "src", "dst", (F.lit(float(d)) / F.col("_od")).alias("_w")
+            "src",
+            "dst",
+            (F.col("_m") * F.lit(float(d)) / F.col("_od")).alias("_w"),
         )
         .repartition(P, "src")
         .persist()
