@@ -244,6 +244,10 @@ def maximal_matching(
             .groupBy("v")
             .agg(F.min("_k").alias("_m"))
         )
+        # materialized once per round: the winners subtree is referenced
+        # by the matched union AND (twice, via done_v) by each of the
+        # two anti-joins — five appearances of the 3-join pipeline in
+        # the round's plan without the checkpoint
         winners = pri.join(
             vmin.select(F.col("v").alias("a"), F.col("_m").alias("_ma")),
             "a",
@@ -252,7 +256,7 @@ def maximal_matching(
             "b",
         ).where(
             (F.col("_k") == F.col("_ma")) & (F.col("_k") == F.col("_mb"))
-        ).select("a", "b")
+        ).select("a", "b").localCheckpoint()
         done_v = (
             winners.select(F.col("a").alias("id"))
             .union(winners.select(F.col("b").alias("id")))

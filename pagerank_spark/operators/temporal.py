@@ -64,7 +64,11 @@ def temporal_reachability(
     ]
     if duration_col is not None:
         cols.append(F.col(duration_col).cast("long").alias("_dur"))
-    te = tedges.select(*cols)
+    # duplicate timestamped rows are exactly redundant under the min
+    # fold (distinct is result-identical), and the surviving frame is
+    # materialized ONCE — otherwise every relaxation round re-runs the
+    # source scan + casts
+    te = tedges.select(*cols).distinct().localCheckpoint(eager=True)
     land = (
         (F.col("t") + F.col("_dur"))
         if duration_col is not None
@@ -173,11 +177,12 @@ def temporal_reachability_keyed(
     arrival frame, |sources| × O(reached) skinny rows.
     """
     spark = tedges.sparkSession
+    # distinct + one materialization — see temporal_reachability
     te = tedges.select(
         F.col("src").cast("long"),
         F.col("dst").cast("long"),
         F.col("t").cast("long"),
-    )
+    ).distinct().localCheckpoint(eager=True)
     arr = spark.createDataFrame(
         [(int(s), int(s), int(start)) for s in sorted(set(sources))],
         "source long, id long, arrival long",
