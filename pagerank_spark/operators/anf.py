@@ -162,17 +162,14 @@ def _merge_by_id(df: DataFrame, m: int, num_partitions: int) -> DataFrame:
     # sorted, every id is contiguous and the single-group carry at each
     # batch boundary is exact.
     #
-    # Two-stage merge (the classic combiner): a map-side partial pass
-    # runs the SAME kernel over each input partition (local sort, no
-    # exchange) so at most one sketch per (partition, id) enters the
-    # shuffle — the exchange then moves O(partitions × distinct ids)
-    # sketch-sized rows instead of one per message. Element-wise max is
-    # associative/commutative/idempotent, so the two-stage registers
-    # are bit-identical to the single-stage ones.
+    # (A two-stage map-side partial merge — bit-identical since max is
+    # associative/idempotent — was A/B-measured in r6 and LOST slightly
+    # at this vertex count: the extra local sort + Arrow pass outweighs
+    # the shuffle saving when distinct ids ≪ messages-per-partition.
+    # At a 10⁹-vertex scale where per-partition id cardinality is
+    # large, revisit the combiner.)
     return (
-        df.sortWithinPartitions("id")
-        .mapInArrow(merge, "id long, sk binary")
-        .repartition(num_partitions, "id")
+        df.repartition(num_partitions, "id")
         .sortWithinPartitions("id")
         .mapInArrow(merge, "id long, sk binary")
     )

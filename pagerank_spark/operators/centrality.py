@@ -48,28 +48,22 @@ def _gather_ready(edges: DataFrame, weight_col: str | None):
     One persisted copy partitioned by ``src``: every round's join
     against the score side is exchange-free on the fat side.
 
-    In the UNWEIGHTED case parallel (src, dst) instances are pre-folded
-    into one row whose ``_mw`` multiplier is the multiplicity — the
-    gather then computes ``Σ _mw·x`` instead of one term per instance,
-    moving duplication-factor fewer rows per round; verified bit-exact
-    against the oracle at every driver SF. The WEIGHTED case keeps one
-    row per instance with ``_mw`` = the raw weight: folding genuine
-    float weights (Σw)·x reassociates the rounding, and katz_weighted
-    measurably flipped a 7-dp rounding boundary at sf0.1 — not worth
-    the declared-result risk.
+    ``_mw`` is the per-row gather multiplier: the raw weight when
+    ``weight_col`` is given, 1.0 otherwise. A multiplicity pre-fold of
+    parallel unweighted edges (bit-exact for the gather sums at every
+    driver SF) was A/B-measured in r6 and regressed like HITS' — the
+    aggregated cache scans slower than the raw projection with the
+    score side broadcast — and folding genuine float weights flipped a
+    7-dp rounding boundary (katz_weighted, sf0.1); both stay reverted.
     """
     spark = edges.sparkSession
     P = spark.sparkContext.defaultParallelism
     if weight_col:
         e = edges.select(
-            "src", "dst", F.col(weight_col).cast("double").alias("_wt")
+            "src", "dst", F.col(weight_col).cast("double").alias("_mw")
         )
-        folded = e.select("src", "dst", F.col("_wt").alias("_mw"))
     else:
-        e = edges.select("src", "dst")
-        folded = e.groupBy("src", "dst").agg(
-            F.count(F.lit(1)).cast("double").alias("_mw")
-        )
+        e = edges.select("src", "dst", F.lit(1.0).alias("_mw"))
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -78,11 +72,7 @@ def _gather_ready(edges: DataFrame, weight_col: str | None):
     )
     n = vertices.count()
     hint = "broadcast" if n <= _BROADCAST_V else "shuffle_hash"
-    e = (
-        folded.persist()
-        if hint == "broadcast"
-        else folded.repartition(P, "src").persist()
-    )
+    e = e.persist() if hint == "broadcast" else e.repartition(P, "src").persist()
     e.count()
     return e, vertices, n, hint
 

@@ -82,22 +82,17 @@ def hits(
     """
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    # pre-fold parallel UNWEIGHTED (src, dst) instances into one row
-    # with an integer-multiplicity _mw multiplier — each gather then
-    # sums _mw·score instead of one term per instance; verified
-    # bit-exact at every driver SF. Weighted edges keep one row per
-    # instance (_mw = raw weight): folding float weights reassociates
-    # the rounding (see centrality._gather_ready).
+    # NOTE: a multiplicity pre-fold of parallel edges (bit-exact for
+    # the gather sums at every driver SF) was A/B-measured in r6 and
+    # REGRESSED ~20% here: with the score side broadcast, each gather
+    # streams the cached edge rows through codegen anyway, and the
+    # aggregated cache scans slower than the raw projection at this
+    # scale — so the raw per-instance table stays (contrast
+    # personalized_pagerank_keyed, where the fold won).
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    e = edges.select(*cols)
     if weight_col:
-        e = edges.select(
-            "src", "dst", F.col(weight_col).cast("double").alias("_wt")
-        )
-        folded = e.select("src", "dst", F.col("_wt").alias("_mw"))
-    else:
-        e = edges.select("src", "dst")
-        folded = e.groupBy("src", "dst").agg(
-            F.count(F.lit(1)).cast("double").alias("_mw")
-        )
+        e = e.withColumn(weight_col, F.col(weight_col).cast("double"))
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -115,16 +110,16 @@ def hits(
     if join_hint == "broadcast":
         # score side replicates; a broadcast-hash join needs no fat-side
         # partitioning, so ONE cached edge copy serves both gathers
-        e_src = e_dst = folded.persist()
+        e_src = e_dst = e.persist()
     else:
         # one persisted copy per join key: each shuffle-hash gather's
         # fat side is exchange-free every round (persist keeps the
         # partitioning visible to the planner; localCheckpoint would
         # drop it)
-        e_src = folded.repartition(P, "src").persist()
-        e_dst = folded.repartition(P, "dst").persist()
+        e_src = e.repartition(P, "src").persist()
+        e_dst = e.repartition(P, "dst").persist()
 
-    wmul = lambda c: F.col("_mw") * c  # noqa: E731
+    wmul = (lambda c: F.col(weight_col) * c) if weight_col else (lambda c: c)
 
     def _step(state: DataFrame, _round: int) -> DataFrame:
         a_raw = (
