@@ -213,17 +213,20 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     if k <= 2:
         return state
     o = _orient(state, _simple_degrees(state)).localCheckpoint()
-    tri0 = (
-        _triangles(o)
-        .select(
-            F.least("x", "y").alias("a1"),
-            F.greatest("x", "y").alias("b1"),
-            F.least("y", "z").alias("a2"),
-            F.greatest("y", "z").alias("b2"),
-            F.least("x", "z").alias("a3"),
-            F.greatest("x", "z").alias("b3"),
-        )
-        .localCheckpoint()
+    # LAZY triangle plan: round 1 streams it straight into the support
+    # aggregate (a graph whose peel converges immediately — common for
+    # dense cores — then never pays the O(#triangles) materialization;
+    # measured 9.2 s of pure checkpoint write at sf0.1's 20.2M
+    # triangles). The first round that actually filters (round 2)
+    # re-runs the enumeration once and checkpoints the SURVIVING set;
+    # later rounds filter the shrinking materialized table.
+    tri0 = _triangles(o).select(
+        F.least("x", "y").alias("a1"),
+        F.greatest("x", "y").alias("b1"),
+        F.least("y", "z").alias("a2"),
+        F.greatest("y", "z").alias("b2"),
+        F.least("x", "z").alias("a3"),
+        F.greatest("x", "z").alias("b3"),
     )
     tri_ctx = {"tri": tri0}
 

@@ -31,13 +31,27 @@ def maximal_independent_set(
     max_iter: int = 50,
     hash_fn: str = "xxhash64",
     num_partitions: int | None = None,
+    _assume_simple: bool = False,
 ) -> DataFrame:
     """``DataFrame[id: long]`` — a maximal independent set of the
     undirected simple projection (every vertex is in the set or
-    adjacent to it; no two set members are adjacent)."""
+    adjacent to it; no two set members are adjacent).
+
+    ``_assume_simple`` (internal) skips the simple-projection distinct
+    when the caller guarantees the input is already a loop-free
+    deduplicated ``src < dst`` edge set — iterated callers like
+    :func:`greedy_coloring` would otherwise pay one redundant
+    distinct shuffle per invocation (projection of a simple set is
+    itself, so results are identical either way).
+    """
     spark = edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    simple = _simple_undirected(edges)
+    if _assume_simple:
+        simple = edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+    else:
+        simple = _simple_undirected(edges)
     sym = simple.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(simple.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -151,6 +165,9 @@ def greedy_coloring(
             ),
             hash_fn=hash_fn,
             num_partitions=num_partitions,
+            # remaining_e is the induced subset of an already-simple
+            # (a < b) edge set — no re-distinct needed
+            _assume_simple=True,
         ).localCheckpoint()
         # isolated remaining vertices (no edges) are independent too
         isolated = remaining_v.join(
@@ -159,7 +176,10 @@ def greedy_coloring(
             "id",
             "left_anti",
         )
-        take = mis.unionByName(isolated).distinct().localCheckpoint()
+        # plain union: the MIS (edge-incident winners, one round each)
+        # and the isolated set are disjoint and internally duplicate-
+        # free, so the former per-color distinct shuffle was a no-op
+        take = mis.unionByName(isolated).localCheckpoint()
         colored = colored.unionByName(
             take.select("id", F.lit(c).cast("long").alias("color"))
         ).localCheckpoint()
