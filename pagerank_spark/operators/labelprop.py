@@ -363,11 +363,12 @@ def greedy_modularity_moves(
     from pagerank_spark.plans.iterate import iterate
 
     def _step(lab: DataFrame, _round: int) -> DataFrame:
-        sc = (
-            lab.join(strength, "id")
-            .groupBy("label")
-            .agg(F.sum("_k").alias("_tot"))
-        )
+        # one (id, label, _k) frame serves BOTH the community-strength
+        # aggregate and the scorer — replacing the scorer's separate
+        # lab and strength joins with one (identical joined values, so
+        # every downstream expression is unchanged)
+        labk = lab.join(strength, "id")
+        sc = labk.groupBy("label").agg(F.sum("_k").alias("_tot"))
         # weights of v's edges into each neighboring community
         msgs = (
             sym.join(
@@ -385,8 +386,7 @@ def greedy_modularity_moves(
         )
         scored = (
             cand.join(sc.withColumnRenamed("label", "_c").hint(join_hint), "_c")
-            .join(lab.hint(join_hint), "id")
-            .join(strength.hint(join_hint), "id")
+            .join(labk.hint(join_hint), "id")
             .select(
                 "id",
                 "_c",
