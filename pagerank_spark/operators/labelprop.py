@@ -59,12 +59,14 @@ def label_propagation(
         sym = sym.union(
             sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    # collapse parallel edges to an integer multiplicity ONCE: the
-    # per-round vote is a pure count, so summing multiplicities is
-    # bit-identical to counting raw message rows — and every round's
-    # message join and delivery shuffle move duplication-factor fewer
-    # rows (exact-integer twin of the walks-module distinct collapse)
-    sym = sym.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("_m"))
+    # NOTE (r6): a multiplicity collapse of parallel edges here (votes
+    # = Σm, bit-identical integers) was A/B-measured and REVERTED: the
+    # aggregate's AQE-coalesced output caches with low parallelism, so
+    # every round's message join ran on few tasks — net +1.5 s at
+    # sf0.1's 4 rounds. The raw mirrored table with one multiplicity
+    # row per instance stays; revisit at duplication factors ≫ 5 with
+    # an explicit post-aggregate repartition.
+    sym = sym.select("src", "dst", F.lit(1).alias("_m"))
     # persist, NOT localCheckpoint: the cached InMemoryRelation reports
     # its hashpartitioning(src) to the planner so the per-round join
     # skips the fat-side exchange; a checkpoint's LogicalRDD drops the
@@ -343,7 +345,6 @@ def greedy_modularity_moves(
             F.col("b").alias("src"), F.col("a").alias("dst"), "_w"
         )
     )
-    sym = sym.repartition(P, "src").persist()
     strength = strength.localCheckpoint()
     w_row = simple.agg(F.sum("_w").alias("w")).collect()[0]["w"]
     W = float(w_row or 0.0) + self_w_total
@@ -356,19 +357,20 @@ def greedy_modularity_moves(
             labels.select("id", F.col(lab_col).alias("label")), "id", "left"
         ).select("id", F.coalesce("label", "id").alias("label"))
     if W == 0.0:
-        sym.unpersist()
         return lab0
     n = vertices.count()
     join_hint = "broadcast" if n <= 2_000_000 else "shuffle_hash"
+    # repartition unconditionally: an AQE-coalesced cache would run
+    # every sweep round at low parallelism (measured on LPA/WL in r6)
+    sym = sym.repartition(P, "src").persist()
     from pagerank_spark.plans.iterate import iterate
 
     def _step(lab: DataFrame, _round: int) -> DataFrame:
-        # one (id, label, _k) frame serves BOTH the community-strength
-        # aggregate and the scorer — replacing the scorer's separate
-        # lab and strength joins with one (identical joined values, so
-        # every downstream expression is unchanged)
-        labk = lab.join(strength, "id")
-        sc = labk.groupBy("label").agg(F.sum("_k").alias("_tot"))
+        sc = (
+            lab.join(strength, "id")
+            .groupBy("label")
+            .agg(F.sum("_k").alias("_tot"))
+        )
         # weights of v's edges into each neighboring community
         msgs = (
             sym.join(
@@ -386,7 +388,8 @@ def greedy_modularity_moves(
         )
         scored = (
             cand.join(sc.withColumnRenamed("label", "_c").hint(join_hint), "_c")
-            .join(labk.hint(join_hint), "id")
+            .join(lab.hint(join_hint), "id")
+            .join(strength.hint(join_hint), "id")
             .select(
                 "id",
                 "_c",

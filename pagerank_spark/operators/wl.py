@@ -50,13 +50,13 @@ def wl_colors(
         sym = sym.union(
             sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    # collapse parallel edges to an integer multiplicity ONCE: the
-    # neighbor-multiset signature is (Σ hash, count), both exact
-    # integer arithmetic, so summing m·hash and Σm is bit-identical to
-    # one term per instance — and every round's message join moves
-    # duplication-factor fewer rows (same exact-integer argument as
-    # the LPA vote collapse)
-    sym = sym.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("_m"))
+    # NOTE (r6): a multiplicity collapse (Σ m·hash, Σm — exact integer
+    # arithmetic, bit-identical) was A/B-measured and REVERTED for the
+    # same reason as label_propagation's: the aggregate's AQE-coalesced
+    # output caches with low parallelism and the rounds slow down. One
+    # multiplicity-1 row per instance keeps the round expressions
+    # unchanged.
+    sym = sym.select("src", "dst", F.lit(1).alias("_m"))
     sym = sym.repartition(P, "src").persist()
     vertices = (
         edges.select(F.col("src").alias("id"))
